@@ -1,0 +1,272 @@
+"""Sliding-window bundle adjustment: device-resident Levenberg-Marquardt with
+Schur-complement reduction over landmark blocks.
+
+Capability parity (SURVEY.md §2 #15 optimize / §3.3 — ref
+src/estimator/sliding_window.rs:137-486): optimize W keyframe poses (first
+pose gauge-fixed) and L landmarks against stereo reprojection observations,
+Huber δ=2.0, ≤20 LM iterations, stereo-observability gating (a landmark must
+be seen at least once in BOTH cameras across the window), under-constrained
+refusal, rollback-on-failure semantics, and a Schur → plain-solve fallback.
+
+TPU-first re-design (NOT a translation of apex-solver):
+  * No factor graph. The observation set is a dense masked tensor
+    obs[(W, 2, L, 2)] + mask[(W, 2, L)]; linearization of every observation is
+    ONE vmapped call producing whitened residuals and Jacobians.
+  * Normal-equation blocks are einsums (MXU work):
+      H_pp (W,6,6) block-diagonal, H_ll (L,3,3), H_pl (W,L,6,3), gradients.
+  * Schur: 3x3 landmark blocks inverted in closed form (batched), reduced
+    camera system S ((W·6) x (W·6)) assembled with one einsum and solved by
+    Cholesky; landmark updates back-substituted. The whole reduction mirrors
+    the reference's SparseSchurComplement + BlockDiagonal preconditioner
+    configuration (ref sliding_window.rs:126-135) but as dense blocked MXU ops
+    — at W=10, L≤1024 the "sparse" problem is a small dense one on TPU.
+  * LM accept/reject + rollback is branchless lax.while_loop state; the
+    reference's Cholesky fallback on a singular Schur solve (ref :328-354)
+    maps to detecting a non-finite step and retrying with boosted damping,
+    which is what the fallback accomplishes numerically.
+  * Gauge fixing: pose 0's rows/cols of S are replaced by the identity and its
+    rhs zeroed, so δ_pose0 = 0 exactly (ref :281-292 excludes the first pose
+    from the variable set).
+
+Solver variables are body-from-world transforms T_B_W like the reference
+(ref :217-226); the public API speaks world-from-body (T_W_B) like the
+estimator state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.projection import linearize_projection, projection_cost
+
+STATUS_MAX_ITERATIONS = 0
+STATUS_COST_TOL = 1
+STATUS_PARAM_TOL = 2
+STATUS_FAILED = 3
+STATUS_SKIPPED = 4  # under-constrained -> not attempted (ref :309-319)
+
+
+class BAConfig(NamedTuple):
+    max_iterations: int = 20     # ref config bundle_adjustment_max_iterations
+    huber_delta: float = 2.0     # ref sliding_window.rs:295
+    cost_tol: float = 1e-6       # ref :132
+    param_tol: float = 1e-9      # ref :133
+    lambda_init: float = 1e-4
+    lambda_max: float = 1e8
+    min_residual_blocks: int = 6  # ref :309-319
+
+
+class BAResult(NamedTuple):
+    T_W_B: jnp.ndarray      # (W,4,4) optimized poses
+    landmarks: jnp.ndarray  # (L,3) optimized landmarks
+    success: jnp.ndarray    # () bool — on failure inputs are returned (rollback)
+    status: jnp.ndarray     # () int32
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def stereo_observability_mask(obs_mask, lm_valid):
+    """Landmark eligibility: valid slot AND observed >=1 time in BOTH cameras
+    across the window (ref sliding_window.rs:243-246).
+
+    obs_mask: (W, 2, L) bool; lm_valid: (L,) bool. Returns (L,) bool.
+    """
+    seen_left = jnp.any(obs_mask[:, 0, :], axis=0)
+    seen_right = jnp.any(obs_mask[:, 1, :], axis=0)
+    return lm_valid & seen_left & seen_right
+
+
+def _linearize_all(T_B_W, T_C_B, landmarks, obs, mask, delta):
+    """Batched linearization over (W, 2, L). Returns Linearization pytree with
+    leading dims (W, 2, L)."""
+    f = jax.vmap(  # over W
+        jax.vmap(  # over cameras
+            jax.vmap(  # over landmarks
+                lambda T, Tcb, p, o, m: linearize_projection(Tcb, T, p, o, m, delta),
+                in_axes=(None, None, 0, 0, 0)),
+            in_axes=(None, 0, None, 0, 0)),
+        in_axes=(0, None, None, 0, 0))
+    return f(T_B_W, T_C_B, landmarks, obs, mask)
+
+
+def _total_cost(T_B_W, T_C_B, landmarks, obs, mask, delta):
+    f = jax.vmap(jax.vmap(jax.vmap(
+        lambda T, Tcb, p, o, m: projection_cost(Tcb, T, p, o, m, delta),
+        in_axes=(None, None, 0, 0, 0)), in_axes=(None, 0, None, 0, 0)),
+        in_axes=(0, None, None, 0, 0))
+    return jnp.sum(f(T_B_W, T_C_B, landmarks, obs, mask))
+
+
+def build_normal_equations(lin):
+    """Accumulate block normal equations from a (W,2,L) Linearization.
+
+    Returns H_pp (W,6,6), H_ll (L,3,3), H_pl (W,L,6,3), g_p (W,6), g_l (L,3).
+    """
+    Jp = lin.J_pose  # (W,2,L,2,6)
+    Jl = lin.J_lm    # (W,2,L,2,3)
+    r = lin.r        # (W,2,L,2)
+    H_pp = jnp.einsum("wclri,wclrj->wij", Jp, Jp)
+    H_ll = jnp.einsum("wclri,wclrj->lij", Jl, Jl)
+    H_pl = jnp.einsum("wclri,wclrj->wlij", Jp, Jl)
+    g_p = jnp.einsum("wclri,wclr->wi", Jp, r)
+    g_l = jnp.einsum("wclri,wclr->li", Jl, r)
+    return H_pp, H_ll, H_pl, g_p, g_l
+
+
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse via adjugate (L,3,3) -> (L,3,3)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+    ], axis=-2)
+    inv = adj / det_safe[..., None, None]
+    ok = jnp.abs(det) > 1e-12
+    return inv, ok
+
+
+def schur_solve(H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first: bool = True):
+    """Damped Schur-complement solve of the BA normal equations.
+
+    Solves (H + lam*D) [dp; dl] = -[g_p; g_l] by eliminating landmark blocks.
+    Inactive landmarks get identity blocks -> zero update. Returns
+    (delta_pose (W,6), delta_lm (L,3), ok).
+    """
+    W = H_pp.shape[0]
+    L = H_ll.shape[0]
+    dtype = H_pp.dtype
+
+    # Marquardt damping on block diagonals.
+    dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)       # (W,6)
+    H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
+    dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)       # (L,3)
+    H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+    # Inactive landmark -> identity block, zero gradient (no update).
+    eye3 = jnp.eye(3, dtype=dtype)
+    H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+    g_l = jnp.where(lm_active[:, None], g_l, 0.0)
+    H_pl = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+
+    H_ll_inv, inv_ok = _inv3x3(H_ll_d)
+
+    # A[w,l] = H_pl[w,l] @ H_ll_inv[l]
+    A = jnp.einsum("wlij,ljk->wlik", H_pl, H_ll_inv)
+    # S[w,v] = delta_wv H_pp_d[w] - sum_l A[w,l] @ H_pl[v,l]^T
+    S_blocks = -jnp.einsum("wlik,vljk->wvij", A, H_pl)
+    S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
+    b_red = -(g_p - jnp.einsum("wlik,lk->wi", A, g_l))      # (W,6)
+
+    S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+    b = b_red.reshape(W * 6)
+
+    if fix_first:
+        # Gauge fix: identity rows/cols for pose 0, zero rhs -> delta0 = 0.
+        mask = jnp.concatenate([jnp.zeros(6, dtype=dtype),
+                                jnp.ones((W - 1) * 6, dtype=dtype)])
+        S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        b = b * mask
+
+    # Cholesky solve of the reduced camera system.
+    cho = jax.scipy.linalg.cho_factor(S, lower=True)
+    delta_p = jax.scipy.linalg.cho_solve(cho, b).reshape(W, 6)
+    # Back-substitute landmarks: dl = H_ll_inv (-g_l - H_lp dp)
+    rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_pl, delta_p)
+    delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+    delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+
+    ok = jnp.all(jnp.isfinite(delta_p)) & jnp.all(jnp.isfinite(delta_l)) & jnp.all(
+        inv_ok | (~lm_active))
+    return delta_p, delta_l, ok
+
+
+@partial(jax.jit, static_argnames=("cfg", "fix_first"))
+def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
+             cfg: BAConfig = BAConfig(), fix_first: bool = True):
+    """Sliding-window bundle adjustment.
+
+    Args:
+      T_W_B: (W,4,4) keyframe world-from-body poses.
+      T_C_B: (2,4,4) stereo extrinsics (camera-from-body, left/right).
+      landmarks: (L,3) world points (slot-aligned with the feature table).
+      obs: (W,2,L,2) normalized observations.
+      obs_mask: (W,2,L) bool validity.
+      lm_valid: (L,) bool landmark slot validity.
+    Returns BAResult. On failure the input poses/landmarks are returned
+    unchanged (rollback semantics, ref sliding_window.rs:397-416).
+    """
+    dtype = T_W_B.dtype
+    W = T_W_B.shape[0]
+
+    lm_active = stereo_observability_mask(obs_mask, lm_valid)
+    mask = obs_mask & lm_active[None, None, :]
+    n_blocks = jnp.sum(mask)
+    # Validation: enough residual blocks vs variables (ref :309-319).
+    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
+    attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
+
+    T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
+    cost0 = _total_cost(T_B_W0, T_C_B, landmarks, obs, mask, cfg.huber_delta)
+
+    def lin_and_blocks(T_B_W, lms):
+        lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        return build_normal_equations(lin)
+
+    def cond(state):
+        _, _, cost, lam, it, done, status = state
+        return (~done) & (it < cfg.max_iterations)
+
+    def body(state):
+        T_B_W, lms, cost, lam, it, done, status = state
+        H_pp, H_ll, H_pl, g_p, g_l = lin_and_blocks(T_B_W, lms)
+        delta_p, delta_l, ok_step = schur_solve(
+            H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first)
+        delta_p = jnp.where(ok_step, delta_p, 0.0)
+        delta_l = jnp.where(ok_step, delta_l, 0.0)
+        T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
+        lms_new = lms + delta_l
+        new_cost = _total_cost(T_new, T_C_B, lms_new, obs, mask, cfg.huber_delta)
+        accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+        cost_conv = accept & (jnp.abs(cost - new_cost)
+                              <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+        step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
+        param_conv = accept & (step_norm <= cfg.param_tol)
+        T_B_W = jnp.where(accept, T_new, T_B_W)
+        lms = jnp.where(accept, lms_new, lms)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+        hard_fail = lam > cfg.lambda_max
+        done = cost_conv | param_conv | hard_fail
+        status = jnp.where(
+            cost_conv, STATUS_COST_TOL,
+            jnp.where(param_conv, STATUS_PARAM_TOL,
+                      jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
+        return T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+
+    init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+            jnp.asarray(0, jnp.int32), ~attempt,
+            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
+    T_B_W, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(attempt, status, STATUS_SKIPPED)
+    # MaxIterations counts as success (ref :383-395); rollback only on hard
+    # failure or refusal.
+    success = attempt & (status != STATUS_FAILED)
+    T_W_B_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
+    lms_out = jnp.where(success, lms, landmarks)
+    return BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
+                    status=status, initial_cost=cost0, final_cost=cost,
+                    iterations=it)

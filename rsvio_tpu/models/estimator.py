@@ -1,0 +1,270 @@
+"""Estimator: jit-compiled per-frame VO step — frontend tracking, PnP motion
+tracking, keyframe policy, sliding-window roll, triangulation, and BA.
+
+Capability parity (SURVEY.md §2 #10 Estimator::process_frame — ref
+src/estimator/estimator.rs:101-259 and #15 SlidingWindow):
+  * every frame is a keyframe until the window fills
+    (ref frame.rs:96 is_keyframe default + sliding_window.rs:137-157 BA gate)
+  * once full: PnP motion tracking from the map, then keyframe test
+    ||t_rel|| > translation_threshold OR rot_angle > rotation_threshold vs the
+    last keyframe (ref estimator.rs:203-225)
+  * keyframes: FIFO window roll (ref sliding_window.rs:73-79), landmark
+    triangulation for new tracks (upgrading the fixed-depth-2.0 init of ref
+    sliding_window.rs:258), bundle adjustment, rollback on failure
+  * PnP failure tolerated: pose left unchanged (ref estimator.rs:228-234)
+
+TPU-first design: the whole step is ONE jitted function over fixed-shape
+arrays. The keyframe branch runs under lax.cond so BA cost is only paid on
+keyframes. Landmarks are slot-aligned with the feature table; feature-id tags
+guard against slot recycling inside the window.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cameras, lie, pyramid
+from ..ops.projection import triangulate_stereo
+from . import ba as ba_mod
+from . import pnp as pnp_mod
+from .frontend import FeatureTable, FrontendConfig, frontend_step, init_table
+
+
+class EstimatorConfig(NamedTuple):
+    """Static configuration (hashable; jit static argument)."""
+    frontend: FrontendConfig = FrontendConfig()
+    window_size: int = 10             # ref config keyframe_window_size
+    translation_threshold: float = 0.05  # ref config (meters)
+    rotation_threshold: float = 0.05     # ref config (radians)
+    cam_kind_l: str = cameras.PINHOLE_RADTAN
+    cam_kind_r: str = cameras.PINHOLE_RADTAN
+    pnp: pnp_mod.PnPConfig = pnp_mod.PnPConfig()
+    ba: ba_mod.BAConfig = ba_mod.BAConfig()
+    image_shape: tuple = (480, 752)   # (H, W)
+
+
+class CameraRig(NamedTuple):
+    """Device arrays describing the stereo rig."""
+    params: jnp.ndarray   # (2, 10) packed intrinsics (cameras.pack_params)
+    T_C_B: jnp.ndarray    # (2, 4, 4) camera-from-body extrinsics
+    T_B_C: jnp.ndarray    # (2, 4, 4) body-from-camera (inverse, precomputed)
+
+
+def make_rig(params_l, params_r, T_B_Cl, T_B_Cr) -> CameraRig:
+    T_B_C = jnp.stack([T_B_Cl, T_B_Cr])
+    T_C_B = jnp.stack([lie.se3_inverse(T_B_Cl), lie.se3_inverse(T_B_Cr)])
+    return CameraRig(params=jnp.stack([params_l, params_r]),
+                     T_C_B=T_C_B, T_B_C=T_B_C)
+
+
+class EstimatorState(NamedTuple):
+    table: FeatureTable
+    pyr0: tuple           # previous-frame pyramids (tuples of arrays)
+    pyr1: tuple
+    # Sliding window (oldest -> newest in the first kf_count entries)
+    kf_T_W_B: jnp.ndarray    # (W,4,4)
+    kf_count: jnp.ndarray    # () int32
+    obs: jnp.ndarray         # (W,2,N,2) normalized observations
+    obs_mask: jnp.ndarray    # (W,2,N)
+    obs_fid: jnp.ndarray     # (W,N) feature id tags
+    # Landmarks, slot-aligned with the feature table
+    lm: jnp.ndarray          # (N,3)
+    lm_fid: jnp.ndarray      # (N,) id tag; valid iff == table.fid and >= 0
+    # Current state
+    T_W_B: jnp.ndarray       # (4,4) current pose
+    last_kf_T_W_B: jnp.ndarray  # (4,4)
+    frame_id: jnp.ndarray    # () int32
+
+
+def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
+    N = cfg.frontend.capacity
+    W = cfg.window_size
+    H, Wd = cfg.image_shape
+    shapes = pyramid.pyramid_shapes((H, Wd), cfg.frontend.klt.levels)
+    pyr = tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
+    eye = jnp.eye(4, dtype=dtype)
+    return EstimatorState(
+        table=init_table(N, dtype),
+        pyr0=pyr, pyr1=pyr,
+        kf_T_W_B=jnp.broadcast_to(eye, (W, 4, 4)),
+        kf_count=jnp.asarray(0, jnp.int32),
+        obs=jnp.zeros((W, 2, N, 2), dtype=dtype),
+        obs_mask=jnp.zeros((W, 2, N), dtype=bool),
+        obs_fid=jnp.full((W, N), -1, jnp.int32),
+        lm=jnp.zeros((N, 3), dtype=dtype),
+        lm_fid=jnp.full((N,), -1, jnp.int32),
+        T_W_B=eye, last_kf_T_W_B=eye,
+        frame_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+class FrameOutput(NamedTuple):
+    T_W_B: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    pnp_success: jnp.ndarray
+    ba_success: jnp.ndarray
+    ba_iterations: jnp.ndarray
+    ba_final_cost: jnp.ndarray
+    n_tracked: jnp.ndarray
+    n_landmarks: jnp.ndarray
+
+
+def _undistort_table(cfg: EstimatorConfig, rig: CameraRig, table: FeatureTable):
+    """Normalized coords for all table slots in both cams: (2,N,2), (2,N)."""
+    un_l = jax.vmap(lambda uv: cameras.unproject(cfg.cam_kind_l, rig.params[0], uv))
+    un_r = jax.vmap(lambda uv: cameras.unproject(cfg.cam_kind_r, rig.params[1], uv))
+    xy0 = un_l(table.pos0)
+    xy1 = un_r(table.pos1)
+    obs = jnp.stack([xy0, xy1])                     # (2,N,2)
+    mask = jnp.stack([table.alive, table.alive])    # (2,N)
+    return obs, mask
+
+
+def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
+                     lm, lm_fid):
+    """Triangulate landmarks for alive slots without a valid landmark."""
+    T_W_C = jnp.einsum("ij,cjk->cik", T_W_B, rig.T_B_C)  # (2,4,4)
+    tri = jax.vmap(lambda xl, xr: triangulate_stereo(T_W_C[0], T_W_C[1], xl, xr))
+    p, tri_ok = tri(obs_cur[0], obs_cur[1])
+    has_lm = (lm_fid == table.fid) & (lm_fid >= 0)
+    want = table.alive & (~has_lm) & tri_ok
+    lm = jnp.where(want[:, None], p, lm)
+    lm_fid = jnp.where(want, table.fid, lm_fid)
+    # Invalidate landmarks whose slot was recycled or died.
+    stale = (lm_fid != table.fid) | (~table.alive)
+    lm_fid = jnp.where(stale & ~want, -1, lm_fid)
+    return lm, lm_fid
+
+
+def make_estimator_step(cfg: EstimatorConfig):
+    """Build the jitted per-frame step: (state, rig, img0, img1) -> (state, out)."""
+
+    W = cfg.window_size
+    N = cfg.frontend.capacity
+    levels = cfg.frontend.klt.levels
+
+    def step(state: EstimatorState, rig: CameraRig, img0, img1):
+        first = state.frame_id == 0
+
+        pyr0 = pyramid.build_pyramid(img0, levels)
+        pyr1 = pyramid.build_pyramid(img1, levels)
+
+        # --- frontend tracking (two traces: first frame has no prev pyramids;
+        # we fold it into data: prev == cur on frame 0 tracks trivially but
+        # frontend_step(first_frame) needs static flag — instead feed prev
+        # pyramids (zeros initially) and mask survivors by frame_id > 0).
+        table_in = state.table._replace(
+            alive=state.table.alive & (state.frame_id > 0))
+        table, fstats = frontend_step(
+            table_in, state.pyr0, state.pyr1, pyr0, pyr1, cfg.frontend)
+
+        obs_cur, obs_cur_mask = _undistort_table(cfg, rig, table)
+
+        window_full = state.kf_count >= W
+
+        # --- PnP motion tracking (only meaningful once the window is full)
+        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
+        pnp_mask = obs_cur_mask & lm_ok[None, :]
+
+        def run_pnp(_):
+            res = pnp_mod.solve_pnp(state.T_W_B, rig.T_C_B, state.lm,
+                                    obs_cur, pnp_mask, cfg.pnp)
+            return res.T_W_B, res.success
+
+        def skip_pnp(_):
+            return state.T_W_B, jnp.asarray(False)
+
+        T_pnp, pnp_success = jax.lax.cond(window_full, run_pnp, skip_pnp, None)
+        T_cur = jnp.where(pnp_success, T_pnp, state.T_W_B)
+
+        # --- keyframe policy (ref estimator.rs:203-225)
+        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
+        t_norm = jnp.linalg.norm(T_rel[:3, 3])
+        r_norm = lie.rotation_angle(T_rel[:3, :3])
+        is_kf = jnp.where(
+            window_full,
+            (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
+            True)  # every frame is a keyframe until the window fills
+
+        # --- keyframe branch: triangulate, roll window, BA
+        def kf_branch(operand):
+            table, T_cur, lm, lm_fid = operand
+            lm, lm_fid = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+
+            # FIFO roll: if full, shift left; insert at min(kf_count, W-1).
+            ins = jnp.minimum(state.kf_count, W - 1)
+
+            def roll_if_full(arr):
+                rolled = jnp.roll(arr, -1, axis=0)
+                return jnp.where(window_full, rolled, arr)
+
+            kf_T = roll_if_full(state.kf_T_W_B)
+            obs_w = roll_if_full(state.obs)
+            obs_m = roll_if_full(state.obs_mask)
+            obs_f = roll_if_full(state.obs_fid)
+
+            kf_T = kf_T.at[ins].set(T_cur)
+            obs_w = obs_w.at[ins].set(obs_cur)
+            obs_m = obs_m.at[ins].set(obs_cur_mask)
+            obs_f = obs_f.at[ins].set(table.fid)
+            kf_count = jnp.minimum(state.kf_count + 1, W)
+
+            # BA only when the window is full (ref sliding_window.rs:137-157).
+            full_now = kf_count >= W
+            # Observation valid only if slot not recycled since that KF.
+            eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
+            # Zero out rows for not-yet-filled KF slots.
+            kf_valid = jnp.arange(W) < kf_count
+            eff_mask = eff_mask & kf_valid[:, None, None]
+            lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+
+            def run_ba(_):
+                res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w, eff_mask,
+                                      lm_valid, cfg.ba)
+                return (res.T_W_B, res.landmarks, res.success,
+                        res.iterations, res.final_cost)
+
+            def skip_ba(_):
+                return (kf_T, lm, jnp.asarray(False),
+                        jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0.0, kf_T.dtype))
+
+            kf_T, lm, ba_ok, ba_it, ba_cost = jax.lax.cond(
+                full_now, run_ba, skip_ba, None)
+            T_new = kf_T[jnp.minimum(kf_count, W) - 1]
+            return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid,
+                    T_new, T_new, ba_ok, ba_it, ba_cost)
+
+        def no_kf_branch(operand):
+            table, T_cur, lm, lm_fid = operand
+            return (state.kf_T_W_B, state.kf_count, state.obs, state.obs_mask,
+                    state.obs_fid, lm, lm_fid, T_cur, state.last_kf_T_W_B,
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0.0, T_cur.dtype))
+
+        (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, T_out, last_kf,
+         ba_ok, ba_it, ba_cost) = jax.lax.cond(
+            is_kf, kf_branch, no_kf_branch,
+            (table, T_cur, state.lm, state.lm_fid))
+
+        new_state = EstimatorState(
+            table=table, pyr0=pyr0, pyr1=pyr1,
+            kf_T_W_B=kf_T, kf_count=kf_count,
+            obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+            lm=lm, lm_fid=lm_fid,
+            T_W_B=T_out, last_kf_T_W_B=last_kf,
+            frame_id=state.frame_id + 1,
+        )
+        out = FrameOutput(
+            T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,
+            ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
+            n_tracked=fstats["tracked"], n_landmarks=jnp.sum(
+                ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
+        )
+        return new_state, out
+
+    return jax.jit(step)

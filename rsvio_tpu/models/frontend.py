@@ -1,0 +1,152 @@
+"""Stereo feature-tracking frontend: fixed-capacity masked feature table +
+jit-compiled per-frame update.
+
+Capability parity (SURVEY.md §2 #12 StereoPatchTracker::process_frame — ref
+src/feature_tracker/feature_tracker.rs:116-207):
+  (a) build stereo pyramids
+  (b) temporally track existing features cam0 prev->cur and cam1 prev->cur
+      (bidirectional KLT with return gate)
+  (c) detect new corners in grid cells not already occupied (cam0)
+  (d) stereo-match the new corners cam0->cur cam1 by the same KLT
+  (e) keep only stereo-matched births, assign shared incremental feature ids
+
+TPU-first re-design: the reference's per-camera HashMap<feature_id, Affine2>
+track states become a fixed-capacity struct-of-arrays FeatureTable with an
+alive mask; births compact into free slots with a cumsum ranking — no dynamic
+shapes, so the whole frame step compiles once. Landmark storage elsewhere is
+slot-aligned with this table (ids are never reused while a slot is alive, and
+an id check guards against slot recycling inside the sliding window).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import detect, klt
+
+
+class FrontendConfig(NamedTuple):
+    capacity: int = 256           # feature table slots
+    cell_size: int = 50           # ref config feature_detection.grid_size
+    detect_margin: int = 19       # ref EDGE_THRESHOLD image_utilities.rs:118
+    min_score: float = 10.0       # floor of ref threshold cascade 40->10
+    klt: klt.KLTConfig = klt.KLTConfig()
+
+
+class FeatureTable(NamedTuple):
+    """Struct-of-arrays track state. N = capacity."""
+    pos0: jnp.ndarray    # (N,2) cam0 positions (full-res px)
+    pos1: jnp.ndarray    # (N,2) cam1 positions
+    A0: jnp.ndarray      # (N,2,2) cam0 warp linear part
+    A1: jnp.ndarray      # (N,2,2) cam1 warp linear part
+    fid: jnp.ndarray     # (N,) int32 feature ids (unique, never reused)
+    alive: jnp.ndarray   # (N,) bool
+    age: jnp.ndarray     # (N,) int32 frames tracked
+    next_id: jnp.ndarray  # () int32
+
+
+def init_table(capacity: int, dtype=jnp.float32) -> FeatureTable:
+    N = capacity
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (N, 2, 2))
+    return FeatureTable(
+        pos0=jnp.zeros((N, 2), dtype=dtype),
+        pos1=jnp.zeros((N, 2), dtype=dtype),
+        A0=eye, A1=eye,
+        fid=jnp.full((N,), -1, jnp.int32),
+        alive=jnp.zeros((N,), dtype=bool),
+        age=jnp.zeros((N,), jnp.int32),
+        next_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _insert_births(table: FeatureTable, cand0, cand1, cand_A1, cand_ok):
+    """Compact accepted candidates into free table slots.
+
+    cand0/cand1: (C,2) candidate positions in cam0/cam1; cand_ok: (C,) bool.
+    Uses nonzero-with-static-size for free slots and a cumsum rank for
+    candidates — fully static shapes.
+    """
+    N = table.alive.shape[0]
+    C = cand_ok.shape[0]
+    free_slots = jnp.nonzero(~table.alive, size=C, fill_value=N)[0]  # (C,)
+    rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1                 # (C,)
+    slot = jnp.where(cand_ok, free_slots[jnp.clip(rank, 0, C - 1)], N)
+    ok = cand_ok & (slot < N)
+    slot_c = jnp.clip(slot, 0, N - 1)
+
+    new_ids = table.next_id + rank
+    eye = jnp.eye(2, dtype=table.A0.dtype)
+
+    def scatter(arr, upd):
+        return arr.at[slot_c].set(jnp.where(ok[:, None] if arr.ndim == 2
+                                            else (ok[:, None, None] if arr.ndim == 3
+                                                  else ok),
+                                            upd, arr[slot_c]))
+
+    pos0 = scatter(table.pos0, cand0)
+    pos1 = scatter(table.pos1, cand1)
+    A0 = scatter(table.A0, jnp.broadcast_to(eye, (C, 2, 2)))
+    A1 = scatter(table.A1, cand_A1)
+    fid = table.fid.at[slot_c].set(jnp.where(ok, new_ids, table.fid[slot_c]))
+    alive = table.alive.at[slot_c].set(jnp.where(ok, True, table.alive[slot_c]))
+    age = table.age.at[slot_c].set(jnp.where(ok, 0, table.age[slot_c]))
+    n_born = jnp.sum(ok.astype(jnp.int32))
+    return table._replace(pos0=pos0, pos1=pos1, A0=A0, A1=A1, fid=fid,
+                          alive=alive, age=age,
+                          next_id=table.next_id + n_born)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
+                  cfg: FrontendConfig, first_frame: bool = False):
+    """One frame of stereo feature tracking.
+
+    Args:
+      table: current FeatureTable (tracks valid for the PREVIOUS frame).
+      pyr0_prev/pyr1_prev: previous stereo pyramids (ignored when first_frame).
+      pyr0/pyr1: current stereo pyramids.
+    Returns (new_table, stats dict).
+    """
+    kcfg = cfg.klt
+
+    # (b) temporal tracking in both cameras; a feature survives only if both
+    # temporal tracks pass the bidirectional gate (shared stereo id semantics).
+    if first_frame:
+        survived = jnp.zeros_like(table.alive)
+        pos0, A0 = table.pos0, table.A0
+        pos1, A1 = table.pos1, table.A1
+    else:
+        pos0, A0, ok0 = klt.track_points_bidirectional(
+            pyr0_prev, pyr0, table.pos0, table.alive, kcfg)
+        pos1, A1, ok1 = klt.track_points_bidirectional(
+            pyr1_prev, pyr1, table.pos1, table.alive, kcfg)
+        survived = table.alive & ok0 & ok1
+
+    table = table._replace(pos0=pos0, pos1=pos1, A0=A0, A1=A1,
+                           alive=survived,
+                           age=jnp.where(survived, table.age + 1, 0))
+
+    # (c) detect new corners in unoccupied cells of cam0 level 0.
+    score = detect.fast_score(pyr0[0])
+    cand_xy, cand_ok = detect.select_grid_features(
+        score, table.pos0, table.alive, cfg.cell_size,
+        margin=cfg.detect_margin, min_score=cfg.min_score)
+
+    # (d) stereo-match candidates cam0 -> cam1 (bidirectional KLT).
+    cand_pos1, cand_A1, stereo_ok = klt.track_points_bidirectional(
+        pyr0, pyr1, cand_xy, cand_ok, kcfg)
+
+    # (e) births: only stereo-matched candidates enter the table.
+    births_ok = cand_ok & stereo_ok
+    table = _insert_births(table, cand_xy, cand_pos1, cand_A1, births_ok)
+
+    stats = {
+        "tracked": jnp.sum(survived.astype(jnp.int32)),
+        "born": jnp.sum(births_ok.astype(jnp.int32)),
+        "alive": jnp.sum(table.alive.astype(jnp.int32)),
+    }
+    return table, stats

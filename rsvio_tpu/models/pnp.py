@@ -1,0 +1,135 @@
+"""PnP motion tracking: device-resident Levenberg-Marquardt over one SE(3) pose.
+
+Capability parity (SURVEY.md §2 #15 track_motion — ref
+src/estimator/sliding_window.rs:490-587): optimize a single body-from-world
+pose against the fixed map points observed in the current frame, Huber δ=2.0,
+≤10 LM iterations, returning the optimized pose and a success flag (the caller
+leaves the pose unchanged on failure, ref estimator.rs:228-234).
+
+TPU-first design: the reference builds an apex-solver Problem with one factor
+per observation and a sparse Cholesky; here the entire solve is one jitted
+function — residuals/Jacobians for ALL (camera × landmark) observations are
+one vmapped linearization, the 6x6 normal equations are formed with two small
+matmuls, and the LM accept/reject loop is a lax.while_loop with branchless
+state. No factor graph, no sparsity machinery — the problem IS dense-small.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.projection import linearize_projection, projection_cost
+
+# Convergence-status taxonomy (parity with the reference's success statuses,
+# ref sliding_window.rs:383-462: any of Converged/CostTol/ParamTol/... counts
+# as success; hard failure means rollback).
+STATUS_MAX_ITERATIONS = 0
+STATUS_COST_TOL = 1
+STATUS_PARAM_TOL = 2
+STATUS_FAILED = 3
+
+
+class PnPConfig(NamedTuple):
+    max_iterations: int = 10      # ref config optimization.pnp_max_iterations
+    huber_delta: float = 2.0      # ref sliding_window.rs:540
+    cost_tol: float = 1e-6        # ref LM cost tolerance (sliding_window.rs:132)
+    param_tol: float = 1e-9       # ref LM param tolerance (sliding_window.rs:133)
+    lambda_init: float = 1e-4
+    lambda_max: float = 1e8
+    min_observations: int = 6     # under-constrained refusal (ref :309-319)
+
+
+class PnPResult(NamedTuple):
+    T_W_B: jnp.ndarray   # (4,4) optimized world-from-body pose
+    success: jnp.ndarray  # () bool
+    status: jnp.ndarray   # () int32
+    final_cost: jnp.ndarray  # ()
+    iterations: jnp.ndarray  # () int32
+
+
+def _total_cost(T_B_W, T_C_B, landmarks, obs, mask, delta):
+    f = jax.vmap(jax.vmap(
+        lambda Tcb, p, o, m: projection_cost(Tcb, T_B_W, p, o, m, delta),
+        in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
+    return jnp.sum(f(T_C_B, landmarks, obs, mask))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfig()):
+    """Levenberg-Marquardt pose-only solve.
+
+    Args:
+      T_W_B_init: (4,4) initial world-from-body pose (last keyframe pose,
+        ref sliding_window.rs:506-515).
+      T_C_B: (2,4,4) camera-from-body extrinsics [left, right].
+      landmarks: (L,3) fixed world points (map points by slot).
+      obs: (2,L,2) normalized observations per camera.
+      mask: (2,L) bool observation validity (feature alive + landmark valid).
+    Returns PnPResult; on failure T_W_B is returned unchanged.
+    """
+    dtype = T_W_B_init.dtype
+    T_B_W0 = lie.se3_inverse(T_W_B_init)
+    n_obs = jnp.sum(mask)
+    enough = n_obs >= cfg.min_observations
+
+    def linearize(T_B_W):
+        # vmap over cams (2) x landmarks (L); T_B_W closed over per call
+        f = jax.vmap(jax.vmap(
+            lambda Tcb, p, o, m: linearize_projection(
+                Tcb, T_B_W, p, o, m, cfg.huber_delta),
+            in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
+        lin = f(T_C_B, landmarks, obs, mask)
+        J = lin.J_pose.reshape(-1, 6)          # (2L*2, 6)
+        r = lin.r.reshape(-1)                  # (2L*2,)
+        H = J.T @ J                            # (6,6)
+        g = J.T @ r                            # (6,)
+        cost = jnp.sum(lin.cost)
+        return H, g, cost
+
+    H0, g0, cost0 = linearize(T_B_W0)
+
+    def cond(state):
+        T, H, g, cost, lam, it, done, status = state
+        return (~done) & (it < cfg.max_iterations)
+
+    def body(state):
+        T, H, g, cost, lam, it, done, status = state
+        D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+        delta = -jnp.linalg.solve(H + lam * D, g)
+        ok_step = jnp.all(jnp.isfinite(delta))
+        T_new = lie.se3_retract_split(T, jnp.where(ok_step, delta, 0.0))
+        new_cost = _total_cost(T_new, T_C_B, landmarks, obs, mask, cfg.huber_delta)
+        accept = ok_step & (new_cost < cost)
+        # Convergence checks on the accepted step
+        cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+        param_conv = accept & (jnp.linalg.norm(delta) <= cfg.param_tol)
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 3.0)
+        hard_fail = (~ok_step) | (lam > cfg.lambda_max)
+        H_new, g_new, cost_new = linearize(T)
+        H = jnp.where(accept, H_new, H)
+        g = jnp.where(accept, g_new, g)
+        cost = jnp.where(accept, cost_new, cost)
+        done = cost_conv | param_conv | hard_fail
+        status = jnp.where(
+            cost_conv, STATUS_COST_TOL,
+            jnp.where(param_conv, STATUS_PARAM_TOL,
+                      jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
+        return T, H, g, cost, lam, it + 1, done, status.astype(jnp.int32)
+
+    init = (T_B_W0, H0, g0, cost0,
+            jnp.asarray(cfg.lambda_init, dtype), jnp.asarray(0, jnp.int32),
+            ~enough, jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
+    T_B_W, _, _, cost, _, it, _, status = jax.lax.while_loop(cond, body, init)
+
+    # MaxIterations counts as success (ref sliding_window.rs:383-395);
+    # only a hard numeric failure or an under-constrained problem fails.
+    success = enough & (status != STATUS_FAILED)
+    T_W_B = jnp.where(success, lie.se3_inverse(T_B_W), T_W_B_init)
+    return PnPResult(T_W_B=T_W_B, success=success, status=status,
+                     final_cost=cost, iterations=it)

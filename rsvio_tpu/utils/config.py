@@ -1,0 +1,172 @@
+"""YAML configuration system.
+
+Capability parity (SURVEY.md §2 #6 — ref src/datasets/config.rs): the same
+YAML schema as the reference configs (camera / keyframe_management /
+feature_detection / optimization sections, `%YAML:1.0` directive stripping,
+unknown keys ignored), mapped onto typed dataclasses. The hardcoded constants
+the reference buries in code (pyramid levels, Huber delta, detection
+thresholds, bidirectional gate, LM tolerances — SURVEY.md §5) are surfaced
+here with reference-matching defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import yaml
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    """Mirrors ref config.rs CameraConfig (flattened 4x4 row-major extrinsics)."""
+    image_width: int = 752
+    image_height: int = 480
+    left_intrinsics: List[float] = dataclasses.field(default_factory=list)
+    left_distortion: List[float] = dataclasses.field(default_factory=list)
+    right_intrinsics: List[float] = dataclasses.field(default_factory=list)
+    right_distortion: List[float] = dataclasses.field(default_factory=list)
+    left_model: str = "pinhole-radtan"
+    right_model: str = "pinhole-radtan"
+    T_B_Cl: List[float] = dataclasses.field(default_factory=lambda: list(np.eye(4).ravel()))
+    T_B_Cr: List[float] = dataclasses.field(default_factory=lambda: list(np.eye(4).ravel()))
+
+    def T_B_Cl_matrix(self) -> np.ndarray:
+        return np.asarray(self.T_B_Cl, dtype=np.float64).reshape(4, 4)
+
+    def T_B_Cr_matrix(self) -> np.ndarray:
+        return np.asarray(self.T_B_Cr, dtype=np.float64).reshape(4, 4)
+
+
+@dataclasses.dataclass
+class KeyframeManagementConfig:
+    keyframe_window_size: int = 10
+    translation_threshold: float = 0.05
+    rotation_threshold: float = 0.05
+
+
+@dataclasses.dataclass
+class FeatureDetectionConfig:
+    grid_size: int = 50
+    max_features_per_grid: int = 1
+    optical_flow_max_iterations: int = 20
+    optical_flow_convergence_threshold: float = 0.01
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    pnp_max_iterations: int = 10
+    bundle_adjustment_max_iterations: int = 20
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    """Constants the reference hardcodes, surfaced as config (SURVEY.md §5)."""
+    pyramid_levels: int = 6          # ref estimator.rs:27
+    bidir_threshold_sq: float = 0.4  # ref feature_tracker.rs:280
+    detect_margin: int = 19          # ref image_utilities.rs EDGE_THRESHOLD
+    min_corner_score: float = 10.0   # floor of ref threshold cascade 40->10
+    feature_capacity: int = 256
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    huber_delta: float = 2.0         # ref sliding_window.rs:295,540
+    cost_tol: float = 1e-6           # ref sliding_window.rs:132
+    param_tol: float = 1e-9          # ref sliding_window.rs:133
+
+
+@dataclasses.dataclass
+class Config:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    keyframe_management: KeyframeManagementConfig = dataclasses.field(
+        default_factory=KeyframeManagementConfig)
+    feature_detection: FeatureDetectionConfig = dataclasses.field(
+        default_factory=FeatureDetectionConfig)
+    optimization: OptimizationConfig = dataclasses.field(
+        default_factory=OptimizationConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+
+def _fill(cls, data: Optional[dict]):
+    """Build a dataclass from a dict, ignoring unknown keys (the reference's
+    serde behavior: the `depth:` section in tum_vi.yaml parses away)."""
+    if not isinstance(data, dict):
+        return cls()
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in data.items() if k in names})
+
+
+def load_config(path: str) -> Config:
+    """Load a reference-format YAML config (ref config.rs:71-88: strips
+    `%YAML` directive lines before parsing)."""
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines()
+                 if not ln.strip().startswith("%YAML")]
+    data = yaml.safe_load("\n".join(lines)) or {}
+    return Config(
+        camera=_fill(CameraConfig, data.get("camera")),
+        keyframe_management=_fill(KeyframeManagementConfig,
+                                  data.get("keyframe_management")),
+        feature_detection=_fill(FeatureDetectionConfig,
+                                data.get("feature_detection")),
+        optimization=_fill(OptimizationConfig, data.get("optimization")),
+        tracker=_fill(TrackerConfig, data.get("tracker")),
+        solver=_fill(SolverConfig, data.get("solver")),
+    )
+
+
+def make_estimator_config(cfg: Config):
+    """Translate a Config into the static EstimatorConfig + device CameraRig."""
+    import jax.numpy as jnp
+
+    from ..models import ba as ba_mod
+    from ..models import estimator as est
+    from ..models import pnp as pnp_mod
+    from ..models.frontend import FrontendConfig
+    from ..ops import cameras
+    from ..ops.klt import KLTConfig
+
+    kind_l = cfg.camera.left_model or "pinhole-radtan"
+    kind_r = cfg.camera.right_model or "pinhole-radtan"
+    params_l = cameras.pack_params(kind_l, cfg.camera.left_intrinsics,
+                                   cfg.camera.left_distortion)
+    params_r = cameras.pack_params(kind_r, cfg.camera.right_intrinsics,
+                                   cfg.camera.right_distortion)
+    rig = est.make_rig(params_l, params_r,
+                       jnp.asarray(cfg.camera.T_B_Cl_matrix(), dtype=jnp.float32),
+                       jnp.asarray(cfg.camera.T_B_Cr_matrix(), dtype=jnp.float32))
+
+    klt_cfg = KLTConfig(
+        max_iterations=cfg.feature_detection.optical_flow_max_iterations,
+        convergence_threshold=cfg.feature_detection.optical_flow_convergence_threshold,
+        levels=cfg.tracker.pyramid_levels,
+        bidir_threshold_sq=cfg.tracker.bidir_threshold_sq,
+    )
+    fe_cfg = FrontendConfig(
+        capacity=cfg.tracker.feature_capacity,
+        cell_size=cfg.feature_detection.grid_size,
+        detect_margin=cfg.tracker.detect_margin,
+        min_score=cfg.tracker.min_corner_score,
+        klt=klt_cfg,
+    )
+    ecfg = est.EstimatorConfig(
+        frontend=fe_cfg,
+        window_size=cfg.keyframe_management.keyframe_window_size,
+        translation_threshold=cfg.keyframe_management.translation_threshold,
+        rotation_threshold=cfg.keyframe_management.rotation_threshold,
+        cam_kind_l=kind_l.lower() if kind_l.lower() == "eucm" else kind_l,
+        cam_kind_r=kind_r.lower() if kind_r.lower() == "eucm" else kind_r,
+        pnp=pnp_mod.PnPConfig(
+            max_iterations=cfg.optimization.pnp_max_iterations,
+            huber_delta=cfg.solver.huber_delta,
+            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
+        ba=ba_mod.BAConfig(
+            max_iterations=cfg.optimization.bundle_adjustment_max_iterations,
+            huber_delta=cfg.solver.huber_delta,
+            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
+        image_shape=(cfg.camera.image_height, cfg.camera.image_width),
+    )
+    return ecfg, rig

@@ -1,0 +1,97 @@
+"""Frontend state-machine tests: births fill free slots with unique ids,
+temporal tracking survives across shifted frames, dead tracks free their
+slots, occupancy prevents duplicate detection."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvio_tpu.models import frontend
+from rsvio_tpu.ops import klt, pyramid
+
+
+def textured(H=120, W=160, seed=0):
+    rng = np.random.default_rng(seed)
+    import cv2
+    base = rng.uniform(0, 255, size=(H // 4, W // 4)).astype(np.float32)
+    img = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    return cv2.GaussianBlur(img, (5, 5), 1.0).astype(np.float32)
+
+
+def shift(img, dx, dy):
+    import cv2
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+CFG = frontend.FrontendConfig(
+    capacity=64, cell_size=24, detect_margin=10, min_score=5.0,
+    klt=klt.KLTConfig(levels=3))
+
+
+def build_pyrs(img):
+    return pyramid.build_pyramid(jnp.asarray(img), CFG.klt.levels)
+
+
+class TestFrontend:
+    def test_first_frame_births(self):
+        img0 = textured(seed=1)
+        img1 = shift(img0, -8.0, 0.0)  # stereo disparity
+        p0, p1 = build_pyrs(img0), build_pyrs(img1)
+        table = frontend.init_table(CFG.capacity)
+        table, stats = frontend.frontend_step(table, p0, p1, p0, p1, CFG)
+        n = int(stats["born"])
+        assert n > 10, f"only {n} births"
+        alive = np.asarray(table.alive)
+        fids = np.asarray(table.fid)[alive]
+        assert len(set(fids.tolist())) == len(fids)  # unique ids
+        # stereo positions should be displaced by ~ -8 px in x
+        d = np.asarray(table.pos1)[alive] - np.asarray(table.pos0)[alive]
+        assert abs(np.median(d[:, 0]) - (-8.0)) < 0.5
+        assert abs(np.median(d[:, 1])) < 0.5
+
+    def test_temporal_tracking_and_ids_stable(self):
+        imgA = textured(seed=2)
+        imgA_r = shift(imgA, -6.0, 0.0)
+        imgB = shift(imgA, 2.0, 1.0)
+        imgB_r = shift(imgA_r, 2.0, 1.0)
+        pA, pAr = build_pyrs(imgA), build_pyrs(imgA_r)
+        pB, pBr = build_pyrs(imgB), build_pyrs(imgB_r)
+        table = frontend.init_table(CFG.capacity)
+        table, s1 = frontend.frontend_step(table, pA, pAr, pA, pAr, CFG)
+        fid_before = np.asarray(table.fid).copy()
+        alive_before = np.asarray(table.alive).copy()
+        pos_before = np.asarray(table.pos0).copy()
+        table, s2 = frontend.frontend_step(table, pA, pAr, pB, pBr, CFG)
+        # most tracks survive
+        assert int(s2["tracked"]) > 0.6 * alive_before.sum()
+        # surviving slots keep their ids
+        surv = np.asarray(table.alive) & alive_before
+        np.testing.assert_array_equal(np.asarray(table.fid)[surv], fid_before[surv])
+        # and moved by ~(2, 1)
+        d = np.asarray(table.pos0)[surv] - pos_before[surv]
+        assert abs(np.median(d[:, 0]) - 2.0) < 0.3
+        assert abs(np.median(d[:, 1]) - 1.0) < 0.3
+        # ages incremented
+        assert np.asarray(table.age)[surv].min() >= 1
+
+    def test_lost_tracks_free_slots(self):
+        imgA = textured(seed=3)
+        flat = np.full_like(imgA, 128.0)
+        pA = build_pyrs(imgA)
+        pF = build_pyrs(flat)
+        table = frontend.init_table(CFG.capacity)
+        table, _ = frontend.frontend_step(table, pA, pA, pA, pA, CFG)
+        # next frame is flat: all tracks die, no births
+        table, stats = frontend.frontend_step(table, pA, pA, pF, pF, CFG)
+        assert int(stats["tracked"]) == 0
+        assert int(stats["alive"]) == 0
+
+    def test_capacity_respected(self):
+        cfg = CFG._replace(capacity=8)
+        imgA = textured(seed=4)
+        pA = build_pyrs(imgA)
+        table = frontend.init_table(8)
+        table, stats = frontend.frontend_step(table, pA, pA, pA, pA, cfg)
+        assert int(stats["alive"]) <= 8
+        assert int(table.next_id) >= int(stats["alive"])

@@ -1,0 +1,132 @@
+"""KLT tracker tests on synthetic images: known translations must be recovered
+sub-pixel; bidirectional gate must kill tracks that leave the image or land on
+textureless regions (mirrors the runtime self-checks of the reference,
+ref src/feature_tracker/feature_tracker.rs:252-291)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvio_tpu.ops import klt, pyramid
+
+RNG = np.random.default_rng(3)
+
+
+def textured_image(H=120, W=160, seed=0):
+    """Smooth random texture with enough gradient everywhere."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, size=(H // 4, W // 4)).astype(np.float32)
+    import cv2
+    img = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    img = cv2.GaussianBlur(img, (5, 5), 1.0)
+    return img.astype(np.float32)
+
+
+def shift_image(img, dx, dy):
+    """Subpixel shift via cv2 warpAffine (linear)."""
+    import cv2
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+CFG = klt.KLTConfig(max_iterations=20, convergence_threshold=0.005, levels=3)
+
+
+def make_points(n=16, H=120, W=160):
+    pts = RNG.uniform([30, 30], [W - 30, H - 30], size=(n, 2)).astype(np.float32)
+    return jnp.asarray(pts)
+
+
+class TestTrackTranslation:
+    def test_recovers_integer_shift(self):
+        img0 = textured_image()
+        dx, dy = 3.0, -2.0
+        img1 = shift_image(img0, dx, dy)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), CFG.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive, CFG)
+        ok = np.asarray(ok)
+        assert ok.sum() >= pts.shape[0] * 0.75, f"only {ok.sum()} tracks survived"
+        flow = np.asarray(pos) - np.asarray(pts)
+        err = np.abs(flow[ok] - np.array([dx, dy]))
+        assert np.median(err) < 0.25, f"median err {np.median(err)}"
+
+    def test_recovers_subpixel_shift(self):
+        img0 = textured_image(seed=1)
+        dx, dy = 1.3, 0.7
+        img1 = shift_image(img0, dx, dy)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), CFG.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive, CFG)
+        ok = np.asarray(ok)
+        assert ok.sum() >= pts.shape[0] * 0.75
+        flow = np.asarray(pos) - np.asarray(pts)
+        err = np.abs(flow[ok] - np.array([dx, dy]))
+        assert np.median(err) < 0.3
+
+    def test_brightness_invariance(self):
+        # Mean-normalized patches should tolerate a global gain change.
+        img0 = textured_image(seed=2)
+        img1 = shift_image(img0, 2.0, 1.0) * 1.3
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), CFG.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive, CFG)
+        ok = np.asarray(ok)
+        assert ok.sum() >= pts.shape[0] * 0.6
+        flow = np.asarray(pos) - np.asarray(pts)
+        err = np.abs(flow[ok] - np.array([2.0, 1.0]))
+        assert np.median(err) < 0.3
+
+
+class TestFailureModes:
+    def test_textureless_region_dies(self):
+        img0 = np.full((120, 160), 100.0, dtype=np.float32)
+        img1 = img0.copy()
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), CFG.levels)
+        pts = make_points(8)
+        alive = jnp.ones(8, dtype=bool)
+        _, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive, CFG)
+        # Flat image -> degenerate Hessian -> all tracks should die or at
+        # minimum not diverge (positions finite).
+        assert np.asarray(ok).sum() <= 2
+
+    def test_dead_slots_stay_dead(self):
+        img0 = textured_image(seed=4)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pts = make_points(8)
+        alive = jnp.zeros(8, dtype=bool)
+        _, _, ok = klt.track_points_bidirectional(pyr0, pyr0, pts, alive, CFG)
+        assert not np.asarray(ok).any()
+
+    def test_identity_track_is_fixed_point(self):
+        img0 = textured_image(seed=5)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pts = make_points(16)
+        alive = jnp.ones(16, dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr0, pts, alive, CFG)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 12
+        drift = np.abs(np.asarray(pos)[ok] - np.asarray(pts)[ok])
+        assert drift.max() < 0.1
+
+
+def test_build_patch_flat_invalid():
+    img = jnp.full((64, 64), 50.0)
+    p = klt.build_patch(img, jnp.asarray([32.0, 32.0]))
+    # A flat patch has zero gradients -> near-singular H; data should still be
+    # finite and ok=False is acceptable (mean is fine but H is singular).
+    assert bool(jnp.all(jnp.isfinite(p.data)))
+
+
+def test_pattern_layout():
+    assert klt.PATTERN.shape == (64, 2)
+    assert float(jnp.max(jnp.abs(klt.PATTERN))) == 7.0
+    # zero-mean symmetric pattern
+    assert float(jnp.abs(jnp.sum(klt.PATTERN))) < 1e-5

@@ -1,0 +1,91 @@
+"""PnP solver tests: synthetic forward-model fixtures (generate GT pose ->
+project -> perturb initial -> optimize -> compare), the test pattern of the
+reference's solver tests (ref src/optimization/tests.rs)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvio_tpu.models import pnp
+from rsvio_tpu.ops import lie
+
+def make_problem(n_lm=40, pose_noise=0.05, seed=21):
+    """Ground-truth pose + stereo observations of random landmarks."""
+    RNG = np.random.default_rng(seed)
+    # Stereo rig: left at body origin, right offset 0.11 m in x
+    T_C_B = jnp.stack([
+        jnp.eye(4, dtype=jnp.float32),
+        lie.se3_from_rt(jnp.eye(3, dtype=jnp.float32),
+                        jnp.asarray([-0.11, 0, 0], dtype=jnp.float32)),
+    ])
+    # GT body pose in world
+    w = RNG.normal(size=3) * 0.2
+    t = RNG.normal(size=3) * 0.5
+    T_W_B_gt = lie.se3_from_rt(lie.so3_exp(jnp.asarray(w, dtype=jnp.float32)),
+                               jnp.asarray(t, dtype=jnp.float32))
+    T_B_W_gt = lie.se3_inverse(T_W_B_gt)
+    # Landmarks in front of the body (z in [2, 6] body frame), mapped to world
+    p_B = np.stack([RNG.uniform(-1.5, 1.5, n_lm), RNG.uniform(-1.0, 1.0, n_lm),
+                    RNG.uniform(2.0, 6.0, n_lm)], axis=1).astype(np.float32)
+    p_W = np.asarray(
+        jnp.einsum("ij,nj->ni", T_W_B_gt[:3, :3], jnp.asarray(p_B)) + T_W_B_gt[:3, 3])
+    # Observations: project through each camera
+    obs = np.zeros((2, n_lm, 2), dtype=np.float32)
+    mask = np.zeros((2, n_lm), dtype=bool)
+    for c in range(2):
+        Tcb = np.asarray(T_C_B[c])
+        for i in range(n_lm):
+            pC = Tcb[:3, :3] @ (np.asarray(T_B_W_gt[:3, :3]) @ p_W[i]
+                                + np.asarray(T_B_W_gt[:3, 3])) + Tcb[:3, 3]
+            if pC[2] > 0.1:
+                obs[c, i] = pC[:2] / pC[2]
+                mask[c, i] = True
+    # Perturbed initial pose
+    dw = RNG.normal(size=3) * pose_noise
+    dt = RNG.normal(size=3) * pose_noise
+    T_W_B_init = lie.se3_from_rt(
+        T_W_B_gt[:3, :3] @ lie.so3_exp(jnp.asarray(dw, dtype=jnp.float32)),
+        T_W_B_gt[:3, 3] + jnp.asarray(dt, dtype=jnp.float32))
+    return (T_W_B_init, T_C_B, jnp.asarray(p_W), jnp.asarray(obs),
+            jnp.asarray(mask), T_W_B_gt)
+
+
+class TestPnP:
+    def test_recovers_gt_pose(self):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem()
+        res = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask)
+        assert bool(res.success)
+        t_err = float(jnp.linalg.norm(res.T_W_B[:3, 3] - T_gt[:3, 3]))
+        r_err = float(lie.rotation_angle(res.T_W_B[:3, :3].T @ T_gt[:3, :3]))
+        assert t_err < 1e-3, f"translation error {t_err}"
+        assert r_err < 1e-3, f"rotation error {r_err}"
+
+    def test_larger_perturbation(self):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(pose_noise=0.2)
+        res = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask)
+        assert bool(res.success)
+        t_err = float(jnp.linalg.norm(res.T_W_B[:3, 3] - T_gt[:3, 3]))
+        assert t_err < 1e-2
+
+    def test_under_constrained_refused(self):
+        # < 6 observations -> refuse, pose unchanged (ref sliding_window.rs:309-319)
+        T_init, T_C_B, p_W, obs, mask, _ = make_problem(n_lm=4)
+        mask = mask.at[:, 2:].set(False)  # only 2 landmarks visible
+        res = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask)
+        assert not bool(res.success)
+        np.testing.assert_allclose(res.T_W_B, T_init)
+
+    def test_robust_to_outliers(self):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(n_lm=60, seed=5)
+        # Corrupt 10% of observations badly
+        obs = obs.at[0, :6].add(jnp.asarray([0.5, -0.4]))
+        cfg = pnp.PnPConfig(huber_delta=0.01, max_iterations=15)
+        res = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask, cfg)
+        assert bool(res.success)
+        t_err = float(jnp.linalg.norm(res.T_W_B[:3, 3] - T_gt[:3, 3]))
+        assert t_err < 5e-3, f"translation error {t_err}"
+
+    def test_already_at_optimum_converges_fast(self):
+        _, T_C_B, p_W, obs, mask, T_gt = make_problem()
+        res = pnp.solve_pnp(T_gt, T_C_B, p_W, obs, mask)
+        assert bool(res.success)
+        assert float(res.final_cost) < 1e-8
