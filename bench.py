@@ -1,0 +1,100 @@
+"""Benchmark: steady-state VO frame rate on EuRoC-shaped input (752x480,
+window 10, 6 pyramid levels, 256-feature table) on the available device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference's implicit real-time target of
+20 Hz (EuRoC camera rate — the reference player paces to the inter-frame
+interval, ref src/datasets/euroc_player.rs:124-133; no absolute numbers are
+published, see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WARMUP = 6
+MEASURE = 30
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rsvio_tpu.models import estimator as est
+    from rsvio_tpu.models.frontend import FrontendConfig
+    from rsvio_tpu.ops import cameras
+    from rsvio_tpu.ops.klt import KLTConfig
+
+    H, W = 480, 752
+    FX = FY = 458.0
+    CX, CY = W / 2, H / 2
+    BASELINE_M = 0.11
+    PLANE_Z = 5.0
+    STEP = 0.03
+
+    import cv2
+    rng = np.random.default_rng(0)
+    tex = cv2.resize(rng.uniform(40, 220, (128, 128)).astype(np.float32),
+                     (3072, 3072), interpolation=cv2.INTER_CUBIC)
+
+    def render(cam_t):
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        x = (u - CX) / FX
+        y = (v - CY) / FY
+        mx = ((x * PLANE_Z + cam_t[0]) * 120.0 + 1300.0).astype(np.float32)
+        my = ((y * PLANE_Z + cam_t[1]) * 120.0 + 1300.0).astype(np.float32)
+        return cv2.remap(tex, mx, my, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT)
+
+    params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                 [FX, FY, CX, CY], [0, 0, 0, 0])
+    rig = est.make_rig(params, params,
+                       jnp.eye(4, dtype=jnp.float32),
+                       jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE_M))
+    cfg = est.EstimatorConfig(
+        frontend=FrontendConfig(capacity=256, cell_size=50, detect_margin=19,
+                                klt=KLTConfig(levels=6, max_iterations=20)),
+        window_size=10,
+        translation_threshold=0.05,
+        rotation_threshold=0.05,
+        image_shape=(H, W),
+    )
+    step = est.make_estimator_step(cfg)
+    state = est.init_state(cfg)
+
+    # Pre-render all frames on host so the timing loop measures device compute.
+    n_frames = WARMUP + MEASURE
+    frames = []
+    for k in range(n_frames):
+        cam = np.array([STEP * k, 0.0, 0.0])
+        frames.append((jnp.asarray(render(cam)),
+                       jnp.asarray(render(cam + np.array([BASELINE_M, 0, 0])))))
+
+    for k in range(WARMUP):
+        state, out = step(state, rig, *frames[k])
+    jax.block_until_ready(state)
+
+    t0 = time.time()
+    for k in range(WARMUP, n_frames):
+        state, out = step(state, rig, *frames[k])
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+
+    fps = MEASURE / dt
+    result = {
+        "metric": "synthetic_euroc_shape_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 20.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Shared player loop: drives the estimator over a dataset with real-time
+pacing, per-stage timing, viewer logging, statistics and trajectory export.
+
+Capability parity (SURVEY.md §2 #7 EurocPlayer::run — ref
+src/datasets/euroc_player.rs:20-176):
+  * real-time pacing: sleep frame_interval − processing_time (ref :124-133)
+  * per-frame wall-time accumulation + end-of-run statistics banner and
+    `statistics.txt` (frames, avg ms, fps; ref :147-171, :325-346)
+  * per-stage timing log line per frame (ref estimator.rs:252-259)
+  * trajectory saving — a stub in the reference (ref :316-323), real
+    TUM-format export here (required for the ATE north-star metric)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+log = logging.getLogger("rsvio")
+
+
+@dataclass
+class PlayerConfig:
+    """(ref src/datasets/mod.rs:64-71)"""
+    enable_statistics: bool = True
+    enable_console_statistics: bool = True
+    step_mode: bool = False
+    realtime: bool = False
+    max_frames: Optional[int] = None
+    enable_viewer: bool = False
+    trajectory_out: Optional[str] = None
+
+
+@dataclass
+class PlayerResult:
+    """(ref src/datasets/mod.rs:55-62)"""
+    success: bool = False
+    frame_processing_times_ms: List[float] = field(default_factory=list)
+    avg_processing_time_ms: float = 0.0
+
+
+def setup_logging(verbose: bool = True):
+    """ANSI-colored ms-timestamped log format (ref run_euroc.rs:14-35)."""
+    level = logging.DEBUG if verbose else logging.INFO
+    logging.basicConfig(
+        level=level,
+        format="\x1b[90m%(asctime)s.%(msecs)03d\x1b[0m "
+               "\x1b[36m%(levelname).1s\x1b[0m %(name)s: %(message)s",
+        datefmt="%H:%M:%S")
+
+
+def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
+    """Run the full pipeline over `player`'s frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import estimator as est
+    from ..utils.config import load_config, make_estimator_config
+    from ..utils.trajectory import save_tum
+    from ..viewers import create_viewer
+    from .. import profiling
+
+    cfg = load_config(config_path)
+    ecfg, rig = make_estimator_config(cfg)
+    step = est.make_estimator_step(ecfg)
+    state = est.init_state(ecfg)
+    viewer = create_viewer(pcfg.enable_viewer)
+
+    n_frames = len(player)
+    if pcfg.max_frames:
+        n_frames = min(n_frames, pcfg.max_frames)
+    log.info("dataset: %d frames (processing %d)", len(player), n_frames)
+
+    result = PlayerResult()
+    timestamps: List[int] = []
+    poses: List[np.ndarray] = []
+    kf_trajectory: List[np.ndarray] = []
+    prev_ts = None
+
+    from ..data.players import prefetch_frames
+    for k, frame in enumerate(prefetch_frames(player, 0, n_frames)):
+        t_start = time.time()
+        try:
+            with profiling.span("frame_creation"):
+                img_l = jnp.asarray(frame.left)
+                img_r = jnp.asarray(frame.right)
+            with profiling.span("process_frame"):
+                state, out = step(state, rig, img_l, img_r)
+                jax.block_until_ready(out.T_W_B)
+        except Exception as e:  # per-frame errors logged and skipped (ref :110-114)
+            log.error("frame %d failed: %s", k, e)
+            continue
+        elapsed_ms = (time.time() - t_start) * 1000.0
+        result.frame_processing_times_ms.append(elapsed_ms)
+
+        T = np.asarray(out.T_W_B)
+        timestamps.append(frame.timestamp_ns)
+        poses.append(T)
+        if bool(out.is_keyframe):
+            # Reference appends the OLDEST window pose per BA
+            # (ref estimator.rs:355-361); we record the current KF pose.
+            kf_trajectory.append(T)
+
+        log.debug(
+            "[Timing] frame %d: %.1f ms | kf=%d pnp=%d ba=%d(it=%d) "
+            "tracked=%d lm=%d | %s", k, elapsed_ms, int(out.is_keyframe),
+            int(out.pnp_success), int(out.ba_success), int(out.ba_iterations),
+            int(out.n_tracked), int(out.n_landmarks), profiling.report())
+
+        if pcfg.enable_viewer:
+            viewer.set_frame(k, frame.timestamp_ns)
+            viewer.log_image_raw("stereo/left", frame.left)
+            viewer.log_pose("pose_current", T)
+            if len(poses) > 1:
+                viewer.log_trajectory(
+                    "trajectory/path", np.asarray([p[:3, 3] for p in poses]))
+
+        # Real-time pacing (ref euroc_player.rs:124-133)
+        if pcfg.realtime and prev_ts is not None:
+            interval = (frame.timestamp_ns - prev_ts) * 1e-9
+            remaining = interval - (time.time() - t_start)
+            if remaining > 0:
+                time.sleep(remaining)
+        prev_ts = frame.timestamp_ns
+
+        if pcfg.step_mode:
+            input("press enter for next frame...")
+
+    times = result.frame_processing_times_ms
+    if times:
+        result.avg_processing_time_ms = float(np.mean(times))
+        result.success = True
+
+    # Trajectory export (TUM format)
+    if pcfg.trajectory_out and poses:
+        save_tum(pcfg.trajectory_out, timestamps, poses)
+        log.info("trajectory (%d poses) -> %s", len(poses), pcfg.trajectory_out)
+
+    # Statistics (ref euroc_player.rs:147-171, :325-346)
+    if pcfg.enable_console_statistics and times:
+        fps = 1000.0 / result.avg_processing_time_ms
+        log.info("=" * 50)
+        log.info("Processing complete: %d frames", len(times))
+        log.info("Average processing time: %.2f ms (%.1f fps)",
+                 result.avg_processing_time_ms, fps)
+        log.info("=" * 50)
+    if pcfg.enable_statistics and times:
+        stats_path = os.path.join(getattr(player, "root", "."), "statistics.txt")
+        try:
+            with open(stats_path, "w") as f:
+                f.write(f"frames_processed: {len(times)}\n")
+                f.write(f"avg_processing_time_ms: {result.avg_processing_time_ms:.3f}\n")
+                f.write(f"fps: {1000.0 / result.avg_processing_time_ms:.3f}\n")
+            log.info("statistics -> %s", stats_path)
+        except OSError as e:
+            log.warning("could not write statistics: %s", e)
+
+    return result
+
+
+def make_cli(player_cls, name: str):
+    """Build a main() for one dataset (ref src/bin/run_euroc.rs:9-73:
+    two positional args, config then dataset path)."""
+
+    def main(argv=None):
+        ap = argparse.ArgumentParser(description=f"Run {name} stereo VO")
+        ap.add_argument("config_file")
+        ap.add_argument("dataset_path")
+        ap.add_argument("--max-frames", type=int, default=None)
+        ap.add_argument("--realtime", action="store_true")
+        ap.add_argument("--step-mode", action="store_true")
+        ap.add_argument("--viewer", action="store_true")
+        ap.add_argument("--trajectory-out", default=None)
+        ap.add_argument("--quiet", action="store_true")
+        args = ap.parse_args(argv)
+        setup_logging(verbose=not args.quiet)
+        np.random.seed(42)  # ref run_euroc.rs seed
+        player = player_cls(args.dataset_path)
+        pcfg = PlayerConfig(
+            step_mode=args.step_mode, realtime=args.realtime,
+            max_frames=args.max_frames, enable_viewer=args.viewer,
+            trajectory_out=args.trajectory_out)
+        res = run_player(player, args.config_file, pcfg)
+        return 0 if res.success else -1
+
+    return main

@@ -1,0 +1,280 @@
+"""Visual-inertial sliding-window BA: 15-dim keyframe states
+[pose(6) | velocity(3) | gyro bias(3) | accel bias(3)] with IMU
+preintegration factors chaining consecutive keyframes, joined to the stereo
+reprojection system, solved by the same damped Schur-complement LM.
+
+Greenfield capability (SURVEY.md §7 step 8, BASELINE.json config 4): the
+reference only carries IMU placeholders (ref src/estimator/state.rs:12-19,
+src/datasets/mod.rs:21-26) and lists preintegration as future work
+(ref README.md:70).
+
+Design:
+  * Reprojection factors touch only the pose sub-block (first 6 dims) of one
+    state; their Jacobians are the analytic ones from ops.projection.
+  * IMU factors touch two consecutive 15-dim states; their Jacobians come
+    from jax.jacfwd of the preintegration residual — exact, batched, and
+    immune to hand-derivation bugs (15x30 per interval, negligible cost).
+  * Landmarks are Schur-eliminated exactly as in models.ba; the reduced state
+    system is (W·15)^2 (W=10 -> 150x150 Cholesky, trivial on the MXU).
+  * Gauge: first pose (6 dims) fixed; its velocity/biases stay free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.projection import linearize_projection, projection_cost
+from . import ba as ba_mod
+from .imu import Preintegrated, imu_residual
+
+D = 15  # state dim per keyframe
+
+
+class VIOBAConfig(NamedTuple):
+    max_iterations: int = 20
+    huber_delta: float = 2.0
+    cost_tol: float = 1e-6
+    param_tol: float = 1e-9
+    lambda_init: float = 1e-4
+    lambda_max: float = 1e8
+    min_residual_blocks: int = 6
+    bias_gyro_weight: float = 1e3    # sqrt-info for bias random-walk residuals
+    bias_accel_weight: float = 1e2
+    # Cap on the preintegration sqrt-information scale. Mixing 1e4-weighted
+    # IMU blocks (squared -> 1e8) with O(1e2) visual blocks in an f32 Hessian
+    # drowns the visual information (7 significant digits); ~3e2 keeps a
+    # strong inertial prior while preserving visual conditioning.
+    imu_weight_cap: float = 3e2
+
+
+class VIOState(NamedTuple):
+    """Per-window VIO variables (W leading dim)."""
+    T_W_B: jnp.ndarray   # (W,4,4)
+    vel: jnp.ndarray     # (W,3)
+    bg: jnp.ndarray      # (W,3)
+    ba: jnp.ndarray      # (W,3)
+
+
+class VIOBAResult(NamedTuple):
+    state: VIOState
+    landmarks: jnp.ndarray
+    success: jnp.ndarray
+    status: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _retract_state(st: VIOState, delta):
+    """delta: (W, 15) -> retracted VIOState. Pose uses the split retraction on
+    T_B_W to stay consistent with the reprojection Jacobians."""
+    T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+    T_B_W = jax.vmap(lie.se3_retract_split)(T_B_W, delta[:, :6])
+    return VIOState(
+        T_W_B=jax.vmap(lie.se3_inverse)(T_B_W),
+        vel=st.vel + delta[:, 6:9],
+        bg=st.bg + delta[:, 9:12],
+        ba=st.ba + delta[:, 12:15],
+    )
+
+
+def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig):
+    """Whitened 15-dim IMU residual between state tuples
+    (T_W_B, v, bg, ba)."""
+    r = imu_residual(pre, st_i[0], st_i[1], st_i[2], st_i[3],
+                     st_j[0], st_j[1], st_j[2], st_j[3])
+    # sqrt information of [dR, dv, dp] from the preintegration covariance
+    dtype = r.dtype
+    cov = pre.cov + jnp.eye(9, dtype=dtype) * 1e-10
+    Linfo = jnp.linalg.cholesky(jnp.linalg.inv(cov))
+    # Uniform rescale (NOT elementwise clip — that would distort the
+    # whitening direction) so the largest sqrt-info entry is <= the cap.
+    scale = jnp.minimum(1.0, cfg.imu_weight_cap / jnp.maximum(
+        jnp.max(jnp.abs(Linfo)), 1e-12))
+    r9 = (Linfo.T * scale) @ r[:9]
+    r_bg = r[9:12] * cfg.bias_gyro_weight
+    r_ba = r[12:15] * cfg.bias_accel_weight
+    return jnp.concatenate([r9, r_bg, r_ba])
+
+
+def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig):
+    """Residual + Jacobians of the IMU factor between KF i and i+1.
+
+    Returns (r (15,), J_i (15,15), J_j (15,15)) where the Jacobians are taken
+    w.r.t. the same [pose(6 on T_B_W), v, bg, ba] increments used by
+    _retract_state.
+    """
+    Ti = st.T_W_B[i]
+    Tj = st.T_W_B[i + 1]
+    vi, vj = st.vel[i], st.vel[i + 1]
+    bgi, bgj = st.bg[i], st.bg[i + 1]
+    bai, baj = st.ba[i], st.ba[i + 1]
+
+    def res(di, dj):
+        T_B_Wi = lie.se3_retract_split(lie.se3_inverse(Ti), di[:6])
+        T_B_Wj = lie.se3_retract_split(lie.se3_inverse(Tj), dj[:6])
+        si = (lie.se3_inverse(T_B_Wi), vi + di[6:9], bgi + di[9:12], bai + di[12:15])
+        sj = (lie.se3_inverse(T_B_Wj), vj + dj[6:9], bgj + dj[9:12], baj + dj[12:15])
+        return _imu_whitened_residual(pre, si, sj, cfg)
+
+    z = jnp.zeros(D, dtype=Ti.dtype)
+    r = res(z, z)
+    J_i = jax.jacfwd(res, argnums=0)(z, z)
+    J_j = jax.jacfwd(res, argnums=1)(z, z)
+    return r, J_i, J_j
+
+
+def _visual_linearize(T_B_W, T_C_B, landmarks, obs, mask, delta):
+    lin = ba_mod._linearize_all(T_B_W, T_C_B, landmarks, obs, mask, delta)
+    return lin
+
+
+@partial(jax.jit, static_argnames=("cfg", "fix_first"))
+def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
+                 preint: Preintegrated, preint_valid,
+                 cfg: VIOBAConfig = VIOBAConfig(), fix_first: bool = True):
+    """Joint visual-inertial window optimization.
+
+    Args:
+      state: VIOState over W keyframes.
+      T_C_B, landmarks, obs, obs_mask, lm_valid: as in models.ba.solve_ba.
+      preint: Preintegrated pytree with leading dim (W-1) — interval i joins
+        KF i and i+1.
+      preint_valid: (W-1,) bool — missing IMU intervals contribute nothing.
+    """
+    W = state.T_W_B.shape[0]
+    dtype = state.T_W_B.dtype
+
+    lm_active = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+    mask = obs_mask & lm_active[None, None, :]
+    n_blocks = jnp.sum(mask) + jnp.sum(preint_valid)
+    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
+    attempt = n_blocks >= cfg.min_residual_blocks
+
+    def total_cost(st: VIOState, lms):
+        T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+        vis = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+
+        def imu_cost(i):
+            si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
+            sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1], st.ba[i + 1])
+            pre_i = jax.tree.map(lambda x: x[i], preint)
+            r = _imu_whitened_residual(pre_i, si, sj, cfg)
+            return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
+
+        imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
+        return vis + imu
+
+    cost0 = total_cost(state, landmarks)
+
+    def build_system(st: VIOState, lms, lam):
+        T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+        lin = _visual_linearize(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
+
+        # Expand visual pose blocks into the 15-dim state layout.
+        H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
+        H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
+        g_s = jnp.zeros((W, D), dtype=dtype)
+        g_s = g_s.at[:, :6].add(g_p6)
+        H_sl = jnp.zeros((W, landmarks.shape[0], D, 3), dtype=dtype)
+        H_sl = H_sl.at[:, :, :6, :].add(H_pl6)
+
+        # IMU factors.
+        def imu_blocks(i):
+            r, J_i, J_j = _imu_linearize_one(
+                jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+            w = preint_valid[i].astype(dtype)
+            return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
+                    w * (J_i.T @ r), w * (J_j.T @ r))
+
+        Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+        idx = jnp.arange(W - 1)
+        H_ss = H_ss.at[idx, idx].add(Hii)
+        H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
+        H_ss = H_ss.at[idx, idx + 1].add(Hij)
+        H_ss = H_ss.at[idx + 1, idx].add(jnp.swapaxes(Hij, -1, -2))
+        g_s = g_s.at[idx].add(gi)
+        g_s = g_s.at[idx + 1].add(gj)
+
+        # Damping on the diagonal state blocks and landmark blocks.
+        diag_ss = jnp.maximum(
+            jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
+        H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+            lam * jax.vmap(jnp.diag)(diag_ss))
+        dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+        H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+        eye3 = jnp.eye(3, dtype=dtype)
+        H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        H_sl_m = jnp.where(lm_active[None, :, None, None], H_sl, 0.0)
+        return H_ss, H_ll_d, H_sl_m, g_s, g_l_m
+
+    def schur_step(H_ss, H_ll_d, H_sl, g_s, g_l):
+        H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
+        A = jnp.einsum("wlij,ljk->wlik", H_sl, H_ll_inv)
+        S_blocks = H_ss - jnp.einsum("wlik,vljk->wvij", A, H_sl)
+        b_red = -g_s + jnp.einsum("wlik,lk->wi", A, g_l)
+        S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
+        b = b_red.reshape(W * D)
+        if fix_first:
+            # Fix only the first pose's 6 dims; velocity/bias stay free.
+            m = jnp.ones(W * D, dtype=dtype).at[:6].set(0.0)
+            S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            b = b * m
+        cho = jax.scipy.linalg.cho_factor(S, lower=True)
+        delta_s = jax.scipy.linalg.cho_solve(cho, b).reshape(W, D)
+        rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_sl, delta_s)
+        delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+        delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+        ok = (jnp.all(jnp.isfinite(delta_s)) & jnp.all(jnp.isfinite(delta_l))
+              & jnp.all(inv_ok | (~lm_active)))
+        return delta_s, delta_l, ok
+
+    def cond(c):
+        return (~c[-2]) & (c[4] < cfg.max_iterations)
+
+    def body(c):
+        st, lms, cost, lam, it, done, status = c
+        H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
+        delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl, g_s, g_l_m)
+        delta_s = jnp.where(ok_step, delta_s, 0.0)
+        delta_l = jnp.where(ok_step, delta_l, 0.0)
+        st_new = _retract_state(st, delta_s)
+        lms_new = lms + delta_l
+        new_cost = total_cost(st_new, lms_new)
+        accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+        cost_conv = accept & (jnp.abs(cost - new_cost)
+                              <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+        step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
+        param_conv = accept & (step_norm <= cfg.param_tol)
+        st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
+        lms = jnp.where(accept, lms_new, lms)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+        hard_fail = lam > cfg.lambda_max
+        done = cost_conv | param_conv | hard_fail
+        status = jnp.where(
+            cost_conv, ba_mod.STATUS_COST_TOL,
+            jnp.where(param_conv, ba_mod.STATUS_PARAM_TOL,
+                      jnp.where(hard_fail, ba_mod.STATUS_FAILED,
+                                ba_mod.STATUS_MAX_ITERATIONS)))
+        return st, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+
+    init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+            jnp.asarray(0, jnp.int32), ~attempt,
+            jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
+    st, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
+    success = attempt & (status != ba_mod.STATUS_FAILED)
+    st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), state, st)
+    lms_out = jnp.where(success, lms, landmarks)
+    return VIOBAResult(state=st_out, landmarks=lms_out, success=success,
+                       status=status, initial_cost=cost0, final_cost=cost,
+                       iterations=it)

@@ -1,0 +1,168 @@
+"""Distributed sliding-window BA: landmark blocks sharded across a device
+mesh, Schur reduction via psum collectives over ICI.
+
+Greenfield capability (SURVEY.md §2.4, §7 step 9 — the reference has no
+distributed backend): the BA normal equations decompose as
+
+    [ H_pp  H_pl ] [dp]   [-g_p]
+    [ H_lp  H_ll ] [dl] = [-g_l]
+
+where H_ll is block-diagonal over landmarks. Sharding landmarks (and their
+observation columns) across the mesh makes linearization and landmark
+elimination local; only the reduced camera system
+
+    S = H_pp - sum_l H_pl[l] H_ll[l]^-1 H_lp[l]      ((W·6)^2, tiny)
+
+needs cross-device reduction — one psum per LM iteration. Every device then
+solves the same small S by Cholesky (replicated, cheaper than scattering) and
+back-substitutes its own landmark shard. Communication per iteration is
+O(W^2·36 + W·6) floats, independent of landmark count — near-perfect weak
+scaling in L.
+
+The LM accept/reject loop runs inside shard_map so the whole solve is one
+compiled program with fused collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import ba as ba_mod
+from ..ops import lie
+from .mesh import LANDMARK_AXIS
+
+
+def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
+                         lm_valid, cfg: ba_mod.BAConfig = ba_mod.BAConfig(),
+                         fix_first: bool = True):
+    """Landmark-sharded BA over `mesh` (1-D, axis LANDMARK_AXIS).
+
+    Same contract as models.ba.solve_ba; landmark count L must be divisible by
+    the mesh size. Returns a ba.BAResult.
+    """
+    axis = LANDMARK_AXIS
+    W = T_W_B.shape[0]
+    dtype = T_W_B.dtype
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(None, None, axis, None),
+                  P(None, None, axis), P(axis)),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid):
+        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask = mask_in & lm_active[None, None, :]
+        n_blocks = jax.lax.psum(jnp.sum(mask), axis)
+        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active), axis)
+        attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
+
+        T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
+
+        def total_cost(T_B_W, lms):
+            local = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
+                                       cfg.huber_delta)
+            return jax.lax.psum(local, axis)
+
+        cost0 = total_cost(T_B_W0, lms)
+
+        def cond(state):
+            _, _, cost, lam, it, done, status = state
+            return (~done) & (it < cfg.max_iterations)
+
+        def body(state):
+            T_B_W, lms, cost, lam, it, done, status = state
+            lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
+                                        cfg.huber_delta)
+            H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
+            # Global pose blocks: reduce partial sums over the landmark shards.
+            H_pp = jax.lax.psum(H_pp, axis)
+            g_p = jax.lax.psum(g_p, axis)
+
+            # Damping (must mirror ba.schur_solve semantics).
+            dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
+            H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
+            dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+            H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+            eye3 = jnp.eye(3, dtype=dtype)
+            lm_act = lm_active
+            H_ll_d = jnp.where(lm_act[:, None, None], H_ll_d, eye3[None])
+            g_l_m = jnp.where(lm_act[:, None], g_l, 0.0)
+            H_pl_m = jnp.where(lm_act[None, :, None, None], H_pl, 0.0)
+
+            H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
+            A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
+            # Local Schur contribution, then one psum -> global S and rhs.
+            # S dp = -g_p + A g_l  (same algebra as ba.schur_solve)
+            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_pl_m)
+            b_local = jnp.einsum("wlik,lk->wi", A, g_l_m)
+            S_blocks = jax.lax.psum(S_local, axis)
+            b_red = jax.lax.psum(b_local, axis) - g_p
+            S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
+
+            S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+            b = b_red.reshape(W * 6)
+            if fix_first:
+                m = jnp.concatenate([jnp.zeros(6, dtype=dtype),
+                                     jnp.ones((W - 1) * 6, dtype=dtype)])
+                S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+                b = b * m
+            cho = jax.scipy.linalg.cho_factor(S, lower=True)
+            delta_p = jax.scipy.linalg.cho_solve(cho, b).reshape(W, 6)
+            # Local landmark back-substitution.
+            rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
+            delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+            delta_l = jnp.where(lm_act[:, None], delta_l, 0.0)
+
+            local_ok = (jnp.all(jnp.isfinite(delta_l))
+                        & jnp.all(inv_ok | (~lm_act))).astype(jnp.int32)
+            n_bad = jax.lax.psum(1 - local_ok, axis)
+            ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
+            delta_p = jnp.where(ok_step, delta_p, 0.0)
+            delta_l = jnp.where(ok_step, delta_l, 0.0)
+            T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
+            lms_new = lms + delta_l
+            new_cost = total_cost(T_new, lms_new)
+            accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+            cost_conv = accept & (jnp.abs(cost - new_cost)
+                                  <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+            step_sq = jnp.sum(delta_p ** 2) + jax.lax.psum(
+                jnp.sum(delta_l ** 2), axis)
+            param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            T_B_W = jnp.where(accept, T_new, T_B_W)
+            lms = jnp.where(accept, lms_new, lms)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+            hard_fail = lam > cfg.lambda_max
+            done = cost_conv | param_conv | hard_fail
+            status = jnp.where(
+                cost_conv, ba_mod.STATUS_COST_TOL,
+                jnp.where(param_conv, ba_mod.STATUS_PARAM_TOL,
+                          jnp.where(hard_fail, ba_mod.STATUS_FAILED,
+                                    ba_mod.STATUS_MAX_ITERATIONS)))
+            return (T_B_W, lms, cost, lam, it + 1, done,
+                    status.astype(jnp.int32))
+
+        init = (T_B_W0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+                jnp.asarray(0, jnp.int32), ~attempt,
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
+        T_B_W, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+            cond, body, init)
+
+        status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
+        success = attempt & (status != ba_mod.STATUS_FAILED)
+        T_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
+        lms_final = jnp.where(success, lms_out, lms)
+        return T_out, lms_final, success, status, cost0, cost, it
+
+    T_out, lms_out, success, status, cost0, cost, it = jax.jit(_solve)(
+        T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid)
+    return ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
+                           status=status, initial_cost=cost0, final_cost=cost,
+                           iterations=it)

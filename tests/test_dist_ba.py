@@ -1,0 +1,56 @@
+"""Distributed BA tests on an 8-virtual-device CPU mesh: the sharded solve
+must agree with the single-device solve and recover ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvio_tpu.models import ba
+from rsvio_tpu.parallel import dist_ba, mesh as mesh_mod
+
+from test_ba import make_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8(request):
+    import jax
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_mod.make_mesh(8)
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, mesh8):
+        # L must divide the mesh: use 24 -> pad to 32
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=11, n_lm=32)
+        res_local = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid)
+        res_dist = dist_ba.solve_ba_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid)
+        assert bool(res_local.success) and bool(res_dist.success)
+        np.testing.assert_allclose(res_dist.T_W_B, res_local.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_dist.landmarks, res_local.landmarks,
+                                   rtol=1e-3, atol=1e-4)
+        assert abs(float(res_dist.final_cost) - float(res_local.final_cost)) \
+            <= 1e-4 * max(1.0, float(res_local.final_cost))
+
+    def test_recovers_ground_truth(self, mesh8):
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=12, n_lm=64, pose_noise=0.03, lm_noise=0.08, rot_noise=0.01)
+        res = dist_ba.solve_ba_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid)
+        assert bool(res.success)
+        t_err = np.abs(np.asarray(res.T_W_B[:, :3, 3])
+                       - np.asarray(T_gt[:, :3, 3])).max()
+        assert t_err < 0.05, f"pose translation error {t_err}"
+
+    def test_under_constrained_skipped(self, mesh8):
+        (T_init, T_C_B, lms, obs, mask, lm_valid, _, _) = make_problem(
+            seed=13, n_lm=32)
+        mask = jnp.zeros_like(mask)
+        res = dist_ba.solve_ba_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid)
+        assert not bool(res.success)
+        np.testing.assert_allclose(res.T_W_B, T_init)

@@ -1,0 +1,176 @@
+"""Dataset player + CLI end-to-end tests on a tiny generated EuRoC-layout
+dataset (synthetic textured frames written as PNGs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rsvio_tpu.data import players
+from rsvio_tpu.utils import trajectory
+
+
+@pytest.fixture(scope="module")
+def mini_euroc(tmp_path_factory):
+    """Generate a minimal EuRoC mav0 tree: 8 stereo frames of a shifting
+    texture + IMU csv + config yaml."""
+    import cv2
+    root = tmp_path_factory.mktemp("euroc") / "MINI_01"
+    cam0 = root / "mav0" / "cam0"
+    cam1 = root / "mav0" / "cam1"
+    imu0 = root / "mav0" / "imu0"
+    (cam0 / "data").mkdir(parents=True)
+    (cam1 / "data").mkdir(parents=True)
+    imu0.mkdir(parents=True)
+
+    H, W = 120, 160
+    rng = np.random.default_rng(0)
+    base = cv2.resize(rng.uniform(0, 255, (40, 50)).astype(np.float32),
+                      (W * 2, H * 2), interpolation=cv2.INTER_CUBIC)
+
+    rows = ["#timestamp [ns],filename"]
+    t0 = 1000000000
+    for k in range(8):
+        ts = t0 + k * 50_000_000  # 20 Hz
+        fname = f"{ts}.png"
+        left = base[k:k + H, k * 2:k * 2 + W]
+        right = base[k:k + H, k * 2 + 6:k * 2 + 6 + W]
+        cv2.imwrite(str(cam0 / "data" / fname), left.astype(np.uint8))
+        cv2.imwrite(str(cam1 / "data" / fname), right.astype(np.uint8))
+        rows.append(f"{ts},{fname}")
+    (cam0 / "data.csv").write_text("\n".join(rows) + "\n")
+    (cam1 / "data.csv").write_text("\n".join(rows) + "\n")
+
+    imu_rows = ["#timestamp,wx,wy,wz,ax,ay,az"]
+    for k in range(80):
+        ts = t0 + k * 5_000_000  # 200 Hz
+        imu_rows.append(f"{ts},0.01,0.0,-0.01,0.1,0.0,9.81")
+    (imu0 / "data.csv").write_text("\n".join(imu_rows) + "\n")
+
+    cfg = f"""%YAML:1.0
+---
+camera:
+  image_width: {W}
+  image_height: {H}
+  left_intrinsics: [100.0, 100.0, {W/2}, {H/2}]
+  left_distortion: [0.0, 0.0, 0.0, 0.0]
+  right_intrinsics: [100.0, 100.0, {W/2}, {H/2}]
+  right_distortion: [0.0, 0.0, 0.0, 0.0]
+  T_B_Cl: [1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,0,1]
+  T_B_Cr: [1,0,0,0.11, 0,1,0,0, 0,0,1,0, 0,0,0,1]
+keyframe_management:
+  keyframe_window_size: 4
+  translation_threshold: 0.01
+  rotation_threshold: 0.05
+feature_detection:
+  grid_size: 24
+  max_features_per_grid: 1
+  optical_flow_max_iterations: 10
+  optical_flow_convergence_threshold: 0.01
+unknown_section:
+  ignored_key: 1
+optimization:
+  pnp_max_iterations: 5
+  bundle_adjustment_max_iterations: 8
+tracker:
+  pyramid_levels: 3
+  feature_capacity: 64
+  detect_margin: 10
+  min_corner_score: 5.0
+"""
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(cfg)
+    return str(root), str(cfg_path)
+
+
+class TestPlayers:
+    def test_manifest_and_frames(self, mini_euroc):
+        root, _ = mini_euroc
+        p = players.EurocPlayer(root)
+        assert len(p) == 8
+        f = p.load_frame(0)
+        assert f.left.shape == (120, 160)
+        assert f.left.dtype == np.float32
+        assert f.timestamp_ns == 1000000000
+
+    def test_imu_loading(self, mini_euroc):
+        root, _ = mini_euroc
+        p = players.EurocPlayer(root)
+        samples = p.load_imu()
+        assert len(samples) == 80
+        np.testing.assert_allclose(samples[0].accel, [0.1, 0.0, 9.81])
+
+    def test_prefetch_order(self, mini_euroc):
+        root, _ = mini_euroc
+        p = players.EurocPlayer(root)
+        frames = list(players.prefetch_frames(p, 0, 5))
+        assert len(frames) == 5
+        ts = [f.timestamp_ns for f in frames]
+        assert ts == sorted(ts)
+
+
+class TestCLI:
+    def test_run_euroc_end_to_end(self, mini_euroc, tmp_path):
+        root, cfg_path = mini_euroc
+        traj = str(tmp_path / "traj.txt")
+        from rsvio_tpu.cli.run_euroc import main
+        rc = main([cfg_path, root, "--max-frames", "8", "--quiet",
+                   "--trajectory-out", traj])
+        assert rc == 0
+        assert os.path.exists(traj)
+        ts, pos, quat = trajectory.load_tum(traj)
+        assert len(ts) == 8
+        assert np.all(np.isfinite(pos))
+        # statistics.txt written into the dataset dir (ref euroc_player.rs:325)
+        assert os.path.exists(os.path.join(root, "statistics.txt"))
+
+
+class TestTrajectoryUtils:
+    def test_tum_roundtrip(self, tmp_path):
+        from rsvio_tpu.ops import lie
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        poses = []
+        ts = []
+        for k in range(5):
+            R = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.3,
+                                                   dtype=jnp.float32)))
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = rng.normal(size=3)
+            poses.append(T)
+            ts.append(1000000000 + k * 50_000_000)
+        path = str(tmp_path / "t.txt")
+        trajectory.save_tum(path, ts, poses)
+        ts2, pos2, quat2 = trajectory.load_tum(path)
+        np.testing.assert_allclose(ts2, np.asarray(ts) * 1e-9, atol=1e-9)
+        np.testing.assert_allclose(pos2, [p[:3, 3] for p in poses], atol=1e-5)
+
+    def test_ate_identity(self):
+        rng = np.random.default_rng(2)
+        pos = rng.normal(size=(20, 3))
+        rmse, _ = trajectory.ate_rmse(pos, pos)
+        assert rmse < 1e-9
+
+    def test_ate_invariant_to_rigid_transform(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(3)
+        pos = rng.normal(size=(30, 3))
+        R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+        moved = (R @ pos.T).T + np.array([1.0, -2.0, 3.0])
+        rmse, _ = trajectory.ate_rmse(moved, pos)
+        assert rmse < 1e-9
+
+    def test_ate_detects_error(self):
+        rng = np.random.default_rng(4)
+        pos = rng.normal(size=(30, 3))
+        noisy = pos + rng.normal(size=(30, 3)) * 0.1
+        rmse, _ = trajectory.ate_rmse(noisy, pos)
+        assert 0.02 < rmse < 0.3
+
+    def test_associate(self):
+        a = np.array([0.0, 0.1, 0.2, 0.35])
+        b = np.array([0.005, 0.105, 0.3])
+        ia, ib = trajectory.associate(a, b, max_dt=0.02)
+        assert list(ia) == [0, 1]
+        assert list(ib) == [0, 1]
