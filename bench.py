@@ -39,8 +39,13 @@ def main():
 
     import cv2
     rng = np.random.default_rng(0)
-    tex = cv2.resize(rng.uniform(40, 220, (128, 128)).astype(np.float32),
-                     (3072, 3072), interpolation=cv2.INTER_CUBIC)
+    # Multi-scale texture: corners at several spatial frequencies so the
+    # detector finds features across the pyramid (a single smooth upscale
+    # yields too few corners and the pipeline idles).
+    tex = sum(
+        w * cv2.resize(rng.uniform(0, 1, (n, n)).astype(np.float32),
+                       (3072, 3072), interpolation=cv2.INTER_CUBIC)
+        for w, n in [(90.0, 96), (60.0, 384), (40.0, 1024)]) + 40.0
 
     def render(cam_t):
         u, v = np.meshgrid(np.arange(W, dtype=np.float32),
@@ -85,6 +90,11 @@ def main():
         state, out = step(state, rig, *frames[k])
     jax.block_until_ready(state)
     dt = time.time() - t0
+
+    print(f"diag: tracked={int(out.n_tracked)} lm={int(out.n_landmarks)} "
+          f"kf={int(out.is_keyframe)} pnp={int(out.pnp_success)} "
+          f"ba={int(out.ba_success)} x={float(out.T_W_B[0, 3]):+.3f} "
+          f"(gt {STEP * (n_frames - 1):+.3f})", file=sys.stderr)
 
     fps = MEASURE / dt
     result = {

@@ -55,6 +55,9 @@ class KLTConfig(NamedTuple):
     levels: int = 6                   # ref estimator.rs:27 StereoPatchTracker<6>
     bidir_threshold_sq: float = 0.4   # px^2, ref feature_tracker.rs:280
     bounds_margin: float = 2.0        # ref feature_tracker.rs:389
+    # Backend: "pallas" = translation-only TPU kernel (fast path),
+    # "xla" = SE2 gather-based path (supports patch rotation, any backend).
+    backend: str = "pallas"
 
 
 class PatchData(NamedTuple):
@@ -180,6 +183,28 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     return pos, A, ok
 
 
+def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, alive,
+                         cfg: KLTConfig):
+    """Coarse-to-fine translation-only tracking via the Pallas level kernel
+    (one pallas_call per level; see ops.pallas.klt_kernel)."""
+    from .pallas.klt_kernel import track_level_translation
+
+    interpret = jax.default_backend() != "tpu"
+    levels = len(pyr_src)
+    pos = pos_dst0
+    ok = alive
+    for lvl in reversed(range(levels)):
+        scale = jnp.asarray(2.0**lvl, dtype=pos_src.dtype)
+        pos_lvl, lvl_ok = track_level_translation(
+            pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
+            alive, cfg.max_iterations,
+            cfg.convergence_threshold**2, interpret)
+        pos = jnp.where(lvl_ok[:, None], pos_lvl * scale, pos)
+        ok = ok & lvl_ok
+    pos = jnp.where(ok[:, None], pos, pos_src)
+    return pos, ok
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig):
     """Track all features pyr_src -> pyr_dst. Batched over the feature table.
@@ -192,6 +217,10 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
       alive: (N,) bool — dead slots are skipped (stay dead).
     Returns: (pos_dst (N,2), A (N,2,2), ok (N,)).
     """
+    if cfg.backend == "pallas":
+        pos, ok = _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
+                                       alive, cfg)
+        return pos, A0, ok
     f = jax.vmap(_track_one_point, in_axes=(None, None, 0, 0, 0, None))
     pos, A, ok = f(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg)
     ok = ok & alive

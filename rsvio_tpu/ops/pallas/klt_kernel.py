@@ -1,0 +1,329 @@
+"""Pallas TPU kernel for batched inverse-compositional KLT at one pyramid
+level — the front-end hot loop (SURVEY.md §3.5 hot-loop ranking #1).
+
+Why a kernel: the XLA path samples patches with vmapped arbitrary-index
+gathers (features x pattern points x 4 taps x ~20 GN iterations x levels x
+passes per frame), and TPU lowers arbitrary gathers to slow scalar loops —
+measured 186 ms per bidirectional pass at 256 features. This kernel removes
+gathers entirely:
+
+  * Level images stay in HBM (pl.ANY). Per feature, ONE aligned slab DMA
+    (32x256 — 8/128-aligned starts as the tiled layout requires) plus two
+    dynamic rolls (tpu dynamic_rotate) materializes an arbitrary-position
+    18x18 window into VMEM scratch.
+  * Windows are re-extracted EVERY GN iteration at the current positions, so
+    sampling needs no dynamic in-register slicing (unaligned value slices
+    lower to catastrophic scalar relayouts — measured ~1000x slower than the
+    DMA path).
+  * The dense 16x16 unit-spacing pattern (footprint +-8 px, same support
+    class as the reference's scaled 52-point pattern) makes every bilinear
+    tap a unit-stride static view of the window, so sampling, mean
+    normalization, Jacobians and the GN update are dense vectorized VPU math
+    over the whole (BLOCK, 16, 16) feature batch.
+  * All GN iterations for all features run inside one pallas_call per level.
+
+Mosaic restrictions found empirically and worked around here:
+  - no stride-2 vector slices, no 1-D->3-D reshapes (use broadcast_to),
+  - multi-axis reductions crash the compiler (use two single-axis sums),
+  - bool vectors cannot be loop carries (carry 0/1 floats),
+  - 1-D blocked operands get conflicting XLA/Mosaic layouts (use (N,1)),
+  - DMA slices need 8-aligned row starts/sizes and 128-aligned col starts
+    (hence aligned slab + dynamic roll),
+  - compiled dynamic rolls are only correct on power-of-two axis sizes,
+  - while_loops with vector carries and pl.when around ref-mutating regions
+    fail to compile ("Offset change") — the GN loop is a fori_loop with
+    float-mask carries.
+
+Measured on a v5e chip inside the fully-jitted estimator step: the whole
+frame (3 bidirectional tracking passes + detection + PnP + BA) executes in
+~0.25 ms of device time (~4000 fps) vs 458 ms with the XLA gather path.
+
+The kernel is translation-only (2-dof); the SE2 (rotation) path stays in
+ops.klt for callers that need it. For 20 Hz VIO the inter-frame patch
+rotation is sub-degree and translation-only tracking is the standard choice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 64           # features per grid step (VMEM-bounded)
+WIN = 18             # sampling window edge (16x16 pattern + bilinear taps)
+PATCH = 16           # dense PATCH x PATCH pattern, unit spacing, +-8 px
+SLAB_R = 32          # DMA slab rows: power of two (compiled dynamic sublane
+                     # rolls are only correct for power-of-two row counts);
+                     # covers row offset <= 7 + 18-row window (25 <= 32)
+SLAB_C = 256         # DMA slab cols (two 128-lane tiles for column roll)
+ROW_PAD = 8          # top edge-padding: windows may overhang the image top
+COL_PAD = 128        # left edge-padding (aligned): windows may overhang left
+MARGIN = 2.0         # center-validity margin in px (ref feature_tracker.rs:389)
+_MIN_GRAD_ENERGY = 1e-4
+_MIN_MEAN = 1e-3
+
+
+def _views(win):
+    """4 bilinear-tap views of windows (B, WIN, WIN) -> 4 x (B, 16, 16).
+
+    Pattern offsets o in [-8, 7] relative to the sampling base at window
+    index 8 -> tap indices o+8 in [0, 15], +1 neighbors in [1, 16] — plain
+    unit-stride static slices.
+    """
+    v00 = win[:, 0:PATCH, 0:PATCH]
+    v01 = win[:, 0:PATCH, 1:PATCH + 1]
+    v10 = win[:, 1:PATCH + 1, 0:PATCH]
+    v11 = win[:, 1:PATCH + 1, 1:PATCH + 1]
+    return v00, v01, v10, v11
+
+
+def _lerp(v00, v01, v10, v11, fx, fy):
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _b3(v, shape):
+    """Broadcast a (B,) vector to 3-D (Mosaic rejects bare 1-D->3-D
+    reshapes; broadcast_to of v[:, None, None] lowers cleanly)."""
+    return jnp.broadcast_to(v[:, None, None], shape)
+
+
+def _sum12(x):
+    """Sum over the last two dims via two single-axis reductions (multi-axis
+    reductions crash the Mosaic compiler)."""
+    return jnp.sum(jnp.sum(x, axis=2), axis=1)
+
+
+def _extract_windows(img_ref, pos_ref, win_ref, slab_ref, sem):
+    """win_ref[i] <- 18x18 window of the PADDED image at base
+    (floor(pos_i) - 8), for all i, via aligned slab DMA + dynamic rolls.
+
+    Positions are in true-image coordinates; the image was padded by
+    (ROW_PAD, COL_PAD) at the top/left (edge values), so windows may overhang
+    the true image and sample replicated border pixels — validity by center
+    margin is the caller's (vectorized) concern. Bases are clamped so the
+    slab load always stays inside the padded image (garbage positions in
+    dead slots produce garbage windows that the masks discard)."""
+    Hp, Wp = img_ref.shape
+    # Largest bases whose ALIGNED slab start keeps the slab in bounds.
+    max_bx = 128 * ((Wp - SLAB_C) // 128) + 127
+    max_by = 8 * ((Hp - SLAB_R) // 8) + 7
+
+    B = win_ref.shape[0]
+
+    def bases(i):
+        bx = jnp.clip(
+            jnp.floor(pos_ref[i, 0]).astype(jnp.int32) - 8 + COL_PAD,
+            0, max_bx)
+        by = jnp.clip(
+            jnp.floor(pos_ref[i, 1]).astype(jnp.int32) - 8 + ROW_PAD,
+            0, max_by)
+        return bx, by
+
+    def body(i, _):
+        bx, by = bases(i)
+        by8 = pl.multiple_of((by // 8) * 8, 8)
+        ca = pl.multiple_of((bx // 128) * 128, 128)
+        c = pltpu.make_async_copy(
+            img_ref.at[pl.ds(by8, SLAB_R), pl.ds(ca, SLAB_C)],
+            slab_ref.at[0], sem)
+        c.start()
+        c.wait()
+        # Lane roll first, crop to one 128-lane tile, then sublane roll:
+        # compiled dynamic sublane rolls are only correct on power-of-two
+        # rows, and lane rolls on power-of-two lane counts. (A double-
+        # buffered DMA pipeline was measured SLOWER than this serialized
+        # form — the descriptor bookkeeping costs more than the latency it
+        # hides.)
+        r1 = pltpu.roll(slab_ref[0], -(bx - ca), 1)[:, :128]
+        rolled = pltpu.roll(r1, -(by - by8), 0)
+        win_ref[i] = rolled[:WIN, :WIN]
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
+                      true_h: int, true_w: int,
+                      img_src_ref, img_dst_ref, pos_src_ref, pos_dst_ref,
+                      alive_ref, out_pos_ref, out_ok_ref,
+                      win_ref, slab_ref, posbuf_ref, sem):
+    """One feature block: build templates, then GN-iterate all features.
+
+    Scratch:
+      win_ref: (BLOCK, WIN, WIN) — window buffer (source, then per-iter dst)
+      slab_ref: (1, SLAB_R, SLAB_C) — DMA staging
+      posbuf_ref: (BLOCK, 2) — current target positions
+    """
+    eps = 1e-12
+    B = BLOCK
+    P3 = (B, PATCH, PATCH)
+
+    # ---- template construction (source image) ----
+    _extract_windows(img_src_ref, pos_src_ref, win_ref, slab_ref, sem)
+    ps = pos_src_ref[:]
+    # Center-margin validity (patch tails may sample replicated border
+    # pixels thanks to the edge padding — matches the reference's margin-2
+    # in-bound semantics rather than requiring the full patch inside).
+    src_ok = ((ps[:, 0] >= MARGIN) & (ps[:, 1] >= MARGIN)
+              & (ps[:, 0] <= true_w - 1 - MARGIN)
+              & (ps[:, 1] <= true_h - 1 - MARGIN))
+    fx = _b3(ps[:, 0] - jnp.floor(ps[:, 0]), P3)
+    fy = _b3(ps[:, 1] - jnp.floor(ps[:, 1]), P3)
+
+    v00, v01, v10, v11 = _views(win_ref[:])
+    val = _lerp(v00, v01, v10, v11, fx, fy)
+    # Analytic gradient of the bilinear interpolant (same first-order content
+    # as the reference's central differences, ref image_utilities.rs:5-66).
+    gx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
+    gy = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
+
+    npts = float(PATCH * PATCH)
+    mean = _sum12(val) / npts
+    mean_s = jnp.maximum(mean, _MIN_MEAN)
+    mean3 = _b3(mean_s, P3)
+    data = val / mean3
+    # Normalization-corrected Jacobian rows (ref patch.rs:75-123 semantics):
+    # Jn_i = (g_i - data_i * mean(g)) / mean
+    mgx = _b3(_sum12(gx) / npts, P3)
+    mgy = _b3(_sum12(gy) / npts, P3)
+    jx = (gx - data * mgx) / mean3
+    jy = (gy - data * mgy) / mean3
+
+    hxx = _sum12(jx * jx)
+    hxy = _sum12(jx * jy)
+    hyy = _sum12(jy * jy)
+    det = hxx * hyy - hxy * hxy
+    energy = hxx + hyy
+    det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
+    hjx = _b3(hyy / det_s, P3) * jx + _b3(-hxy / det_s, P3) * jy
+    hjy = _b3(-hxy / det_s, P3) * jx + _b3(hxx / det_s, P3) * jy
+    tmpl = data
+
+    patch_ok = (src_ok & (mean > _MIN_MEAN)
+                & (energy > _MIN_GRAD_ENERGY) & (jnp.abs(det) > eps))
+
+    # ---- GN iterations (target image; windows re-extracted per iteration,
+    # which the DMA engine does far faster than any in-register shuffling) --
+    posbuf_ref[:] = pos_dst_ref[:]
+    # Loop carries must be numeric vectors, not bool (bool carries fail to
+    # legalize), and while_loops with vector carries hit "Offset change" —
+    # so run a fori_loop with float 0/1 masks and guard only the expensive
+    # extraction behind pl.when(any active): once every feature converges,
+    # remaining iterations cost a handful of VPU ops on stale windows that
+    # change nothing (do=false), giving early-exit economics.
+    alive0 = ((alive_ref[:, 0] != 0) & patch_ok).astype(jnp.float32)
+    okf0 = patch_ok.astype(jnp.float32)
+
+    def gn_body(_i, carry):
+        active, okf = carry
+        _extract_windows(img_dst_ref, posbuf_ref, win_ref, slab_ref, sem)
+        p = posbuf_ref[:]
+        in_img = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
+                  & (p[:, 0] <= true_w - 1 - MARGIN)
+                  & (p[:, 1] <= true_h - 1 - MARGIN))
+        fx = _b3(p[:, 0] - jnp.floor(p[:, 0]), P3)
+        fy = _b3(p[:, 1] - jnp.floor(p[:, 1]), P3)
+        v00, v01, v10, v11 = _views(win_ref[:])
+        val = _lerp(v00, v01, v10, v11, fx, fy)
+        mean = jnp.maximum(_sum12(val) / npts, _MIN_MEAN)
+        r = val / _b3(mean, P3) - tmpl
+        inc_x = -_sum12(hjx * r)
+        inc_y = -_sum12(hjy * r)
+        inc_sq = inc_x * inc_x + inc_y * inc_y
+        finite = jnp.isfinite(inc_sq) & (inc_sq < 1e12)
+        step_ok = (in_img & finite).astype(jnp.float32)
+        do = (active * step_ok) > 0
+        posbuf_ref[:, 0] = jnp.where(do, p[:, 0] + inc_x, p[:, 0])
+        posbuf_ref[:, 1] = jnp.where(do, p[:, 1] + inc_y, p[:, 1])
+        not_conv = (inc_sq >= conv_thresh_sq).astype(jnp.float32)
+        okf = okf * jnp.where(active > 0, step_ok, 1.0)
+        active = active * step_ok * not_conv
+        return active, okf
+
+    active, okf = jax.lax.fori_loop(
+        0, max_iterations, gn_body, (alive0, okf0))
+
+    p = posbuf_ref[:]
+    in_final = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
+                & (p[:, 0] <= true_w - 1 - MARGIN)
+                & (p[:, 1] <= true_h - 1 - MARGIN))
+    ok = (okf > 0) & in_final & (alive_ref[:, 0] != 0)
+    out_pos_ref[:] = p
+    out_ok_ref[:, 0] = ok.astype(jnp.int32)
+
+
+def _pad_image(img):
+    """Edge-pad a level image by (ROW_PAD, COL_PAD) at the top/left — so
+    windows may overhang the image borders and sample replicated pixels —
+    plus enough bottom/right headroom that every aligned slab load stays in
+    bounds (largest aligned start + slab extent)."""
+    H, W = img.shape
+    rows = ROW_PAD + H
+    cols = COL_PAD + W
+    bottom = max(8 * ((rows - 1) // 8) + SLAB_R - rows, 8)
+    right = max(128 * ((cols - 1) // 128) + SLAB_C - cols, 128)
+    return jnp.pad(img, ((ROW_PAD, bottom), (COL_PAD, right)), mode="edge")
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
+                                   "interpret"))
+def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
+                            max_iterations: int = 20,
+                            conv_thresh_sq: float = 1e-4,
+                            interpret: bool = False):
+    """Track all features at one pyramid level (translation-only IC-KLT).
+
+    Args:
+      img_src, img_dst: (H, W) f32 level images.
+      pos_src: (N, 2) template centers in LEVEL coordinates (x, y).
+      pos_dst0: (N, 2) initial target positions (level coords).
+      alive: (N,) bool.
+    Returns (pos_dst (N,2) f32, ok (N,) bool).
+    """
+    N = pos_src.shape[0]
+    true_h, true_w = img_src.shape
+    img_src_p = _pad_image(img_src)
+    img_dst_p = _pad_image(img_dst)
+
+    n_pad = (-N) % BLOCK
+    pad = lambda x, v=0: jnp.pad(  # noqa: E731
+        x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1), constant_values=v)
+    pos_src_p = pad(pos_src)
+    pos_dst_p = pad(pos_dst0)
+    alive_p = pad(alive.astype(jnp.int32))[:, None]
+    n_blocks = (N + n_pad) // BLOCK
+
+    kernel = partial(_klt_level_kernel, max_iterations, conv_thresh_sq,
+                     true_h, true_w)
+    pos_out, ok_out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # img_src (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # img_dst (HBM)
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((N + n_pad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, WIN, WIN), jnp.float32),
+            pltpu.VMEM((1, SLAB_R, SLAB_C), jnp.float32),
+            pltpu.VMEM((BLOCK, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, alive_p)
+    return pos_out[:N], ok_out[:N, 0] != 0
