@@ -83,8 +83,18 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
     kf_trajectory: List[np.ndarray] = []
     prev_ts = None
 
+    # Prefer the native (C++) threaded PNG loader; fall back to the Python
+    # prefetcher for players without path lists or missing toolchains.
     from ..data.players import prefetch_frames
-    for k, frame in enumerate(prefetch_frames(player, 0, n_frames)):
+    from .. import native
+    H_img, W_img = ecfg.image_shape
+    frame_iter = native.native_prefetch_frames(player, H_img, W_img,
+                                               0, n_frames)
+    if frame_iter is None:
+        frame_iter = prefetch_frames(player, 0, n_frames)
+    else:
+        log.info("using native C++ frame loader")
+    for k, frame in enumerate(frame_iter):
         t_start = time.time()
         try:
             with profiling.span("frame_creation"):

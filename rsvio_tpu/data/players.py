@@ -182,3 +182,28 @@ def prefetch_frames(player, start: int = 0, end: Optional[int] = None,
         if isinstance(item, Exception):
             raise item
         yield item
+
+
+class TartanAirPlayer:
+    """TartanAir mono sequences: image_left/*.png ordered by filename
+    (capability of the reference's experimental crate,
+    ref feature_tracker/src/players/tartanair_player.rs:24-62, which reads
+    image_left, caps at 800 frames and feeds the mono tracker)."""
+
+    MAX_FRAMES = 800
+
+    def __init__(self, dataset_path: str):
+        self.root = dataset_path
+        img_dir = os.path.join(dataset_path, "image_left")
+        names = sorted(n for n in os.listdir(img_dir)
+                       if n.endswith(".png"))[: self.MAX_FRAMES]
+        self.entries = [(i, n) for i, n in enumerate(names)]
+
+    def __len__(self):
+        return len(self.entries)
+
+    def load_frame(self, i: int) -> FrameData:
+        idx, name = self.entries[i]
+        img = _load_gray(os.path.join(self.root, "image_left", name))
+        # mono: right slot mirrors left (consumers use left only)
+        return FrameData(int(idx * 1e8), img, img)

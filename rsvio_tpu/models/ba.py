@@ -69,6 +69,11 @@ class BAResult(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     iterations: jnp.ndarray
+    # Per-iteration metrics [cost, lambda, step_norm, accepted] — the
+    # device-side equivalent of the reference's TerminalObserver rows
+    # (ref src/optimization/observer.rs:21-68). Rows beyond `iterations`
+    # are zero. Render with utils.observer.format_metrics.
+    metrics: jnp.ndarray = None  # (max_iterations, 4)
 
 
 def stereo_observability_mask(obs_mask, lm_valid):
@@ -226,11 +231,11 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         return build_normal_equations(lin)
 
     def cond(state):
-        _, _, cost, lam, it, done, status = state
+        _, _, cost, lam, it, done, status, _m = state
         return (~done) & (it < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, cost, lam, it, done, status = state
+        T_B_W, lms, cost, lam, it, done, status, metrics = state
         H_pp, H_ll, H_pl, g_p, g_l = lin_and_blocks(T_B_W, lms)
         delta_p, delta_l, ok_step = schur_solve(
             H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first)
@@ -246,6 +251,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         param_conv = accept & (step_norm <= cfg.param_tol)
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
+        metrics = metrics.at[it].set(jnp.stack(
+            [new_cost, lam, step_norm, accept.astype(dtype)]))
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
@@ -254,12 +261,15 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             cost_conv, STATUS_COST_TOL,
             jnp.where(param_conv, STATUS_PARAM_TOL,
                       jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
-        return T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+        return (T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32),
+                metrics)
 
     init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
-            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
-    T_B_W, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
+            jnp.zeros((cfg.max_iterations, 4), dtype))
+    (T_B_W, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
     # MaxIterations counts as success (ref :383-395); rollback only on hard
@@ -269,4 +279,4 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     lms_out = jnp.where(success, lms, landmarks)
     return BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
                     status=status, initial_cost=cost0, final_cost=cost,
-                    iterations=it)
+                    iterations=it, metrics=metrics)

@@ -1,0 +1,324 @@
+"""Visual-inertial estimator: the VO estimator extended with on-device IMU
+preintegration, velocity/bias state, IMU-aided motion prediction, and the
+joint visual-inertial window solver.
+
+Greenfield capability (BASELINE.json config 4; the reference carries IMU
+stubs only — ref src/datasets/mod.rs:21-26, src/estimator/state.rs:12-19).
+
+Design: the per-frame step takes a fixed-capacity IMU sample buffer (the
+samples since the previous frame, masked) in addition to the stereo images.
+  * Each frame the buffered samples are preintegrated (lax.scan) and chained
+    into a running keyframe-interval preintegration (device-resident).
+  * Motion prediction: the IMU propagates pose/velocity from the last frame
+    (replacing the reference's identity motion model), and PnP refines it.
+  * On keyframes the interval preintegration joins the window as an IMU
+    factor; the window is solved by models.vio_ba (15-dim states with
+    Schur-eliminated landmarks).
+
+Static capacities: IMU_BUF samples per frame (e.g. 32 covers 200 Hz IMU at
+>6 Hz frame rate), (W-1) preintegrated intervals in the window.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, pyramid
+from . import imu as imu_mod
+from . import pnp as pnp_mod
+from . import vio_ba
+from .estimator import (CameraRig, EstimatorConfig, FrameOutput,
+                        _triangulate_new, _undistort_table)
+from .frontend import frontend_step, init_table
+from .imu import ImuParams, Preintegrated
+
+
+class VIOEstimatorConfig(NamedTuple):
+    base: EstimatorConfig = EstimatorConfig()
+    imu_buf: int = 64                    # max IMU samples per frame
+    imu_params: ImuParams = ImuParams()
+    vio: vio_ba.VIOBAConfig = vio_ba.VIOBAConfig()
+
+
+def _empty_preint(dtype=jnp.float32) -> Preintegrated:
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
+    z = jnp.zeros(3, dtype=dtype)
+    return Preintegrated(dR=I3, dv=z, dp=z, dt=jnp.zeros((), dtype),
+                         dR_dbg=Z3, dv_dbg=Z3, dv_dba=Z3, dp_dbg=Z3,
+                         dp_dba=Z3, cov=jnp.zeros((9, 9), dtype=dtype),
+                         bias_gyro=z, bias_accel=z)
+
+
+def _chain_preint(a: Preintegrated, b: Preintegrated) -> Preintegrated:
+    """Compose two consecutive preintegrations (same bias point).
+
+    Standard composition: dR = dRa dRb; dv = dva + dRa dvb;
+    dp = dpa + dva*dtb + dRa dpb; Jacobians chain to first order.
+    """
+    dR = a.dR @ b.dR
+    dv = a.dv + a.dR @ b.dv
+    dp = a.dp + a.dv * b.dt + a.dR @ b.dp
+    dR_dbg = b.dR.T @ a.dR_dbg + b.dR_dbg
+    dv_dbg = a.dv_dbg + a.dR @ b.dv_dbg  # + d(aR)/dbg b.dv (2nd order, dropped)
+    dv_dba = a.dv_dba + a.dR @ b.dv_dba
+    dp_dbg = a.dp_dbg + a.dv_dbg * b.dt + a.dR @ b.dp_dbg
+    dp_dba = a.dp_dba + a.dv_dba * b.dt + a.dR @ b.dp_dba
+    # Covariance: rotate a's into b's end frame and add (first order).
+    A = jnp.zeros((9, 9), dtype=a.cov.dtype)
+    A = A.at[0:3, 0:3].set(b.dR.T)
+    A = A.at[3:6, 3:6].set(jnp.eye(3, dtype=a.cov.dtype))
+    A = A.at[6:9, 3:6].set(jnp.eye(3, dtype=a.cov.dtype) * b.dt)
+    A = A.at[6:9, 6:9].set(jnp.eye(3, dtype=a.cov.dtype))
+    cov = A @ a.cov @ A.T + b.cov
+    return Preintegrated(dR=dR, dv=dv, dp=dp, dt=a.dt + b.dt,
+                         dR_dbg=dR_dbg, dv_dbg=dv_dbg, dv_dba=dv_dba,
+                         dp_dbg=dp_dbg, dp_dba=dp_dba, cov=cov,
+                         bias_gyro=a.bias_gyro, bias_accel=a.bias_accel)
+
+
+class VIOEstimatorState(NamedTuple):
+    table: object
+    pyr0: tuple
+    pyr1: tuple
+    # window (oldest -> newest)
+    kf_T_W_B: jnp.ndarray
+    kf_vel: jnp.ndarray       # (W,3)
+    kf_bg: jnp.ndarray        # (W,3)
+    kf_ba: jnp.ndarray        # (W,3)
+    kf_count: jnp.ndarray
+    obs: jnp.ndarray
+    obs_mask: jnp.ndarray
+    obs_fid: jnp.ndarray
+    # IMU preintegration per window interval (W-1 leading dim) + validity
+    kf_preint: Preintegrated
+    kf_preint_valid: jnp.ndarray  # (W-1,)
+    # running preintegration since last keyframe
+    run_preint: Preintegrated
+    run_valid: jnp.ndarray    # () bool — any samples integrated
+    # landmarks
+    lm: jnp.ndarray
+    lm_fid: jnp.ndarray
+    # current state
+    T_W_B: jnp.ndarray
+    vel: jnp.ndarray          # (3,)
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    last_kf_T_W_B: jnp.ndarray
+    frame_id: jnp.ndarray
+
+
+def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorState:
+    b = cfg.base
+    N = b.frontend.capacity
+    W = b.window_size
+    H, Wd = b.image_shape
+    shapes = pyramid.pyramid_shapes((H, Wd), b.frontend.klt.levels)
+    pyr = tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
+    eye = jnp.eye(4, dtype=dtype)
+    empty = _empty_preint(dtype)
+    kf_pre = jax.tree.map(lambda x: jnp.broadcast_to(x, (W - 1,) + x.shape), empty)
+    return VIOEstimatorState(
+        table=init_table(N, dtype), pyr0=pyr, pyr1=pyr,
+        kf_T_W_B=jnp.broadcast_to(eye, (W, 4, 4)),
+        kf_vel=jnp.zeros((W, 3), dtype=dtype),
+        kf_bg=jnp.zeros((W, 3), dtype=dtype),
+        kf_ba=jnp.zeros((W, 3), dtype=dtype),
+        kf_count=jnp.asarray(0, jnp.int32),
+        obs=jnp.zeros((W, 2, N, 2), dtype=dtype),
+        obs_mask=jnp.zeros((W, 2, N), dtype=bool),
+        obs_fid=jnp.full((W, N), -1, jnp.int32),
+        kf_preint=kf_pre,
+        kf_preint_valid=jnp.zeros((W - 1,), dtype=bool),
+        run_preint=empty,
+        run_valid=jnp.asarray(False),
+        lm=jnp.zeros((N, 3), dtype=dtype),
+        lm_fid=jnp.full((N,), -1, jnp.int32),
+        T_W_B=eye, vel=jnp.zeros(3, dtype=dtype),
+        bg=jnp.zeros(3, dtype=dtype), ba=jnp.zeros(3, dtype=dtype),
+        last_kf_T_W_B=eye,
+        frame_id=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _imu_predict(T_W_B, vel, pre: Preintegrated):
+    """Propagate pose/velocity through a preintegrated interval."""
+    dtype = T_W_B.dtype
+    g = jnp.asarray([0.0, 0.0, -imu_mod.GRAVITY], dtype=dtype)
+    R = T_W_B[:3, :3]
+    p = T_W_B[:3, 3]
+    dt = pre.dt
+    p_new = p + vel * dt + 0.5 * g * dt * dt + R @ pre.dp
+    v_new = vel + g * dt + R @ pre.dv
+    R_new = R @ pre.dR
+    return lie.se3_from_rt(R_new, p_new), v_new
+
+
+def make_vio_estimator_step(cfg: VIOEstimatorConfig):
+    """Jitted per-frame VIO step:
+    (state, rig, img0, img1, gyro (S,3), accel (S,3), dts (S,), imu_mask (S,))
+    -> (state, FrameOutput)."""
+    b = cfg.base
+    W = b.window_size
+
+    def step(state: VIOEstimatorState, rig: CameraRig, img0, img1,
+             gyro, accel, dts, imu_mask):
+        pyr0 = pyramid.build_pyramid(img0, b.frontend.klt.levels)
+        pyr1 = pyramid.build_pyramid(img1, b.frontend.klt.levels)
+
+        # ---- preintegrate this frame's IMU samples and chain ----
+        frame_pre = imu_mod.preintegrate(gyro, accel, dts, imu_mask,
+                                         state.bg, state.ba, cfg.imu_params)
+        have_samples = jnp.any(imu_mask)
+        run_pre = jax.tree.map(
+            lambda a, c: jnp.where(state.run_valid, c, a),
+            frame_pre, _chain_preint(state.run_preint, frame_pre))
+        run_pre = jax.tree.map(
+            lambda new, old: jnp.where(have_samples, new, old),
+            run_pre, state.run_preint)
+        run_valid = state.run_valid | have_samples
+
+        # ---- frontend ----
+        table_in = state.table._replace(
+            alive=state.table.alive & (state.frame_id > 0))
+        table, fstats = frontend_step(
+            table_in, state.pyr0, state.pyr1, pyr0, pyr1, b.frontend)
+        obs_cur, obs_cur_mask = _undistort_table(b, rig, table)
+
+        window_full = state.kf_count >= W
+
+        # ---- IMU motion prediction, PnP refinement ----
+        T_pred, v_pred = _imu_predict(state.T_W_B, state.vel, frame_pre)
+        T_pred = jax.tree.map(
+            lambda a, b_: jnp.where(have_samples, a, b_), T_pred, state.T_W_B)
+        v_pred = jnp.where(have_samples, v_pred, state.vel)
+
+        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
+        pnp_mask = obs_cur_mask & lm_ok[None, :]
+
+        def run_pnp(_):
+            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
+                                    obs_cur, pnp_mask, b.pnp)
+            return res.T_W_B, res.success
+
+        T_pnp, pnp_success = jax.lax.cond(
+            window_full, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
+        T_cur = jnp.where(pnp_success, T_pnp, T_pred)
+
+        # ---- keyframe policy ----
+        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
+        is_kf = jnp.where(
+            window_full,
+            (jnp.linalg.norm(T_rel[:3, 3]) > b.translation_threshold)
+            | (lie.rotation_angle(T_rel[:3, :3]) > b.rotation_threshold),
+            True)
+
+        def kf_branch(operand):
+            (table, T_cur, v_cur, lm, lm_fid) = operand
+            lm, lm_fid = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+            ins = jnp.minimum(state.kf_count, W - 1)
+
+            def roll_if_full(arr):
+                return jnp.where(window_full, jnp.roll(arr, -1, axis=0), arr)
+
+            kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
+            kf_v = roll_if_full(state.kf_vel).at[ins].set(v_cur)
+            kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
+            kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
+            obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
+            obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
+            obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+            # interval i joins KF i and i+1: the running preintegration lands
+            # at slot ins-1 (valid only when there is a previous KF)
+            pre_roll = jax.tree.map(
+                lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
+                state.kf_preint)
+            pv_roll = jnp.where(window_full,
+                                jnp.roll(state.kf_preint_valid, -1),
+                                state.kf_preint_valid)
+            slot = jnp.clip(ins - 1, 0, W - 2)
+            kf_pre = jax.tree.map(
+                lambda arr, v: arr.at[slot].set(
+                    jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
+            kf_pv = pv_roll.at[slot].set(
+                jnp.where(ins > 0, run_valid, pv_roll[slot]))
+            kf_count = jnp.minimum(state.kf_count + 1, W)
+
+            full_now = kf_count >= W
+            eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
+            kf_valid = jnp.arange(W) < kf_count
+            eff_mask = eff_mask & kf_valid[:, None, None]
+            lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+
+            def run_ba(_):
+                st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg, ba=kf_ba_)
+                res = vio_ba.solve_vio_ba(
+                    st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
+                    kf_pre, kf_pv, cfg.vio)
+                return (res.state.T_W_B, res.state.vel, res.state.bg,
+                        res.state.ba, res.landmarks, res.success,
+                        res.iterations, res.final_cost)
+
+            def skip_ba(_):
+                return (kf_T, kf_v, kf_bg, kf_ba_, lm, jnp.asarray(False),
+                        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, kf_T.dtype))
+
+            (kf_T, kf_v, kf_bg, kf_ba_, lm, ba_ok, ba_it, ba_cost) = \
+                jax.lax.cond(full_now, run_ba, skip_ba, None)
+            newest = jnp.minimum(kf_count, W) - 1
+            return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
+                    kf_pre, kf_pv, lm, lm_fid,
+                    kf_T[newest], kf_v[newest], kf_bg[newest], kf_ba_[newest],
+                    kf_T[newest], ba_ok, ba_it, ba_cost,
+                    jnp.asarray(True))  # reset running preint
+
+        def no_kf_branch(operand):
+            (table, T_cur, v_cur, lm, lm_fid) = operand
+            return (state.kf_T_W_B, state.kf_vel, state.kf_bg, state.kf_ba,
+                    state.kf_count, state.obs, state.obs_mask, state.obs_fid,
+                    state.kf_preint, state.kf_preint_valid, lm, lm_fid,
+                    T_cur, v_cur, state.bg, state.ba,
+                    state.last_kf_T_W_B, jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0.0, T_cur.dtype),
+                    jnp.asarray(False))
+
+        (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, kf_pre,
+         kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
+         ba_ok, ba_it, ba_cost, reset_run) = jax.lax.cond(
+            is_kf, kf_branch, no_kf_branch,
+            (table, T_cur, v_pred, state.lm, state.lm_fid))
+
+        empty = _empty_preint(T_out.dtype)
+        # On keyframes the running preintegration restarts at the new bias
+        # linearization point.
+        run_pre_out = jax.tree.map(
+            lambda e, r: jnp.where(reset_run, e, r), empty, run_pre)
+        run_pre_out = run_pre_out._replace(
+            bias_gyro=jnp.where(reset_run, bg_out, run_pre_out.bias_gyro),
+            bias_accel=jnp.where(reset_run, ba_out, run_pre_out.bias_accel))
+        run_valid_out = jnp.where(reset_run, False, run_valid)
+
+        new_state = VIOEstimatorState(
+            table=table, pyr0=pyr0, pyr1=pyr1,
+            kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
+            kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+            kf_preint=kf_pre, kf_preint_valid=kf_pv,
+            run_preint=run_pre_out, run_valid=run_valid_out,
+            lm=lm, lm_fid=lm_fid,
+            T_W_B=T_out, vel=v_out, bg=bg_out, ba=ba_out,
+            last_kf_T_W_B=last_kf,
+            frame_id=state.frame_id + 1,
+        )
+        out = FrameOutput(
+            T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,
+            ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
+            n_tracked=fstats["tracked"],
+            n_landmarks=jnp.sum(((lm_fid == table.fid)
+                                 & (lm_fid >= 0)).astype(jnp.int32)),
+        )
+        return new_state, out
+
+    return jax.jit(step)

@@ -1,0 +1,96 @@
+"""Mono feature tracker: temporal KLT + Shi-Tomasi grid detection, no stereo.
+
+Capability parity with the reference's experimental crate tracker
+(ref feature_tracker/src/feature_tracker.rs:24-77: configurable pyramid,
+temporal track_points then Shi-Tomasi add_points, Feature{id, point}) and
+with the unused mono PatchTracker of the main crate
+(ref src/feature_tracker/feature_tracker.rs:37-89).
+
+Built from the same batched primitives as the stereo frontend; useful for
+mono datasets (TartanAir) and as the minimal tracking building block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import detect, klt
+
+
+class MonoTrackerConfig(NamedTuple):
+    capacity: int = 256
+    cell_size: int = 30        # ref mono defaults grid 30 (feature_tracker.rs:84)
+    detect_margin: int = 19
+    min_score: float = 1.0     # Shi-Tomasi scores are small; low floor
+    klt: klt.KLTConfig = klt.KLTConfig(max_iterations=30,
+                                       convergence_threshold=0.005)
+    # ref mono PatchTracker defaults: 30 iterations / 0.005 threshold
+
+
+class MonoTable(NamedTuple):
+    pos: jnp.ndarray     # (N,2)
+    A: jnp.ndarray       # (N,2,2)
+    fid: jnp.ndarray     # (N,)
+    alive: jnp.ndarray   # (N,)
+    age: jnp.ndarray     # (N,)
+    next_id: jnp.ndarray
+
+
+def init_mono_table(capacity: int, dtype=jnp.float32) -> MonoTable:
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (capacity, 2, 2))
+    return MonoTable(
+        pos=jnp.zeros((capacity, 2), dtype=dtype), A=eye,
+        fid=jnp.full((capacity,), -1, jnp.int32),
+        alive=jnp.zeros((capacity,), dtype=bool),
+        age=jnp.zeros((capacity,), jnp.int32),
+        next_id=jnp.asarray(0, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "first_frame"))
+def mono_tracker_step(table: MonoTable, pyr_prev, pyr_cur,
+                      cfg: MonoTrackerConfig, first_frame: bool = False):
+    """One frame: temporal bidirectional KLT, then Shi-Tomasi births."""
+    if first_frame:
+        survived = jnp.zeros_like(table.alive)
+        pos, A = table.pos, table.A
+    else:
+        pos, A, ok = klt.track_points_bidirectional(
+            pyr_prev, pyr_cur, table.pos, table.alive, cfg.klt)
+        survived = table.alive & ok
+    table = table._replace(pos=pos, A=A, alive=survived,
+                           age=jnp.where(survived, table.age + 1, 0))
+
+    score = detect.shi_tomasi_score(pyr_cur[0])
+    cand_xy, cand_ok = detect.select_grid_features(
+        score, table.pos, table.alive, cfg.cell_size,
+        margin=cfg.detect_margin, min_score=cfg.min_score)
+
+    # compact births into free slots
+    N = table.alive.shape[0]
+    C = cand_ok.shape[0]
+    free = jnp.nonzero(~table.alive, size=C, fill_value=N)[0]
+    rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1
+    slot = jnp.where(cand_ok, free[jnp.clip(rank, 0, C - 1)], N)
+    ok = cand_ok & (slot < N)
+    slot_c = jnp.clip(slot, 0, N - 1)
+    eye = jnp.eye(2, dtype=table.A.dtype)
+    pos = table.pos.at[slot_c].set(
+        jnp.where(ok[:, None], cand_xy, table.pos[slot_c]))
+    A = table.A.at[slot_c].set(
+        jnp.where(ok[:, None, None], jnp.broadcast_to(eye, (C, 2, 2)),
+                  table.A[slot_c]))
+    fid = table.fid.at[slot_c].set(
+        jnp.where(ok, table.next_id + rank, table.fid[slot_c]))
+    alive = table.alive.at[slot_c].set(
+        jnp.where(ok, True, table.alive[slot_c]))
+    age = table.age.at[slot_c].set(jnp.where(ok, 0, table.age[slot_c]))
+    table = table._replace(
+        pos=pos, A=A, fid=fid, alive=alive, age=age,
+        next_id=table.next_id + jnp.sum(ok.astype(jnp.int32)))
+    stats = {"tracked": jnp.sum(survived.astype(jnp.int32)),
+             "alive": jnp.sum(table.alive.astype(jnp.int32))}
+    return table, stats

@@ -50,6 +50,9 @@ class PnPResult(NamedTuple):
     status: jnp.ndarray   # () int32
     final_cost: jnp.ndarray  # ()
     iterations: jnp.ndarray  # () int32
+    # Per-iteration [cost, lambda, step_norm, accepted] rows (observer parity,
+    # ref src/optimization/observer.rs) — see utils.observer.format_metrics.
+    metrics: jnp.ndarray = None  # (max_iterations, 4)
 
 
 def _total_cost(T_B_W, T_C_B, landmarks, obs, mask, delta):
@@ -94,11 +97,11 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
     H0, g0, cost0 = linearize(T_B_W0)
 
     def cond(state):
-        T, H, g, cost, lam, it, done, status = state
+        T, H, g, cost, lam, it, done, status, _m = state
         return (~done) & (it < cfg.max_iterations)
 
     def body(state):
-        T, H, g, cost, lam, it, done, status = state
+        T, H, g, cost, lam, it, done, status, metrics = state
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         delta = -jnp.linalg.solve(H + lam * D, g)
         ok_step = jnp.all(jnp.isfinite(delta))
@@ -109,6 +112,8 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         param_conv = accept & (jnp.linalg.norm(delta) <= cfg.param_tol)
         T = jnp.where(accept, T_new, T)
+        metrics = metrics.at[it].set(jnp.stack(
+            [new_cost, lam, jnp.linalg.norm(delta), accept.astype(dtype)]))
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 3.0)
         hard_fail = (~ok_step) | (lam > cfg.lambda_max)
         H_new, g_new, cost_new = linearize(T)
@@ -120,16 +125,18 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
             cost_conv, STATUS_COST_TOL,
             jnp.where(param_conv, STATUS_PARAM_TOL,
                       jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
-        return T, H, g, cost, lam, it + 1, done, status.astype(jnp.int32)
+        return T, H, g, cost, lam, it + 1, done, status.astype(jnp.int32), metrics
 
     init = (T_B_W0, H0, g0, cost0,
             jnp.asarray(cfg.lambda_init, dtype), jnp.asarray(0, jnp.int32),
-            ~enough, jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
-    T_B_W, _, _, cost, _, it, _, status = jax.lax.while_loop(cond, body, init)
+            ~enough, jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
+            jnp.zeros((cfg.max_iterations, 4), dtype))
+    (T_B_W, _, _, cost, _, it, _, status, metrics) = jax.lax.while_loop(
+        cond, body, init)
 
     # MaxIterations counts as success (ref sliding_window.rs:383-395);
     # only a hard numeric failure or an under-constrained problem fails.
     success = enough & (status != STATUS_FAILED)
     T_W_B = jnp.where(success, lie.se3_inverse(T_B_W), T_W_B_init)
     return PnPResult(T_W_B=T_W_B, success=success, status=status,
-                     final_cost=cost, iterations=it)
+                     final_cost=cost, iterations=it, metrics=metrics)
