@@ -35,6 +35,9 @@ class PlayerConfig:
     max_frames: Optional[int] = None
     enable_viewer: bool = False
     trajectory_out: Optional[str] = None
+    use_vio: bool = False       # visual-inertial mode (IMU preintegration)
+    checkpoint_out: Optional[str] = None
+    checkpoint_in: Optional[str] = None
 
 
 @dataclass
@@ -43,6 +46,29 @@ class PlayerResult:
     success: bool = False
     frame_processing_times_ms: List[float] = field(default_factory=list)
     avg_processing_time_ms: float = 0.0
+
+
+def _imu_buffer_for_frame(imu_data, prev_ts, cur_ts, buf: int = 64):
+    """Fixed-capacity masked IMU buffer for the interval (prev_ts, cur_ts]."""
+    import jax.numpy as jnp
+
+    gyro = np.zeros((buf, 3), np.float32)
+    accel = np.zeros((buf, 3), np.float32)
+    dts = np.zeros((buf,), np.float32)
+    mask = np.zeros((buf,), bool)
+    if prev_ts is not None:
+        ts = imu_data["ts"]
+        sel = np.nonzero((ts > prev_ts) & (ts <= cur_ts))[0][:buf]
+        n = len(sel)
+        if n:
+            gyro[:n] = imu_data["gyro"][sel]
+            accel[:n] = imu_data["accel"][sel]
+            t = ts[sel].astype(np.float64)
+            prev = np.concatenate([[prev_ts], t[:-1]])
+            dts[:n] = ((t - prev) * 1e-9).astype(np.float32)
+            mask[:n] = True
+    return (jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
+            jnp.asarray(mask))
 
 
 def setup_logging(verbose: bool = True):
@@ -68,8 +94,32 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
 
     cfg = load_config(config_path)
     ecfg, rig = make_estimator_config(cfg)
-    step = est.make_estimator_step(ecfg)
-    state = est.init_state(ecfg)
+
+    imu_data = None
+    if pcfg.use_vio:
+        from ..models import estimator_vio as ev
+        samples = player.load_imu() if hasattr(player, "load_imu") else []
+        if samples:
+            imu_data = {
+                "ts": np.asarray([s.timestamp_ns for s in samples]),
+                "gyro": np.asarray([s.gyro for s in samples], np.float32),
+                "accel": np.asarray([s.accel for s in samples], np.float32),
+            }
+            vcfg = ev.VIOEstimatorConfig(base=ecfg)
+            step = ev.make_vio_estimator_step(vcfg)
+            state = ev.init_vio_state(vcfg)
+            log.info("VIO mode: %d IMU samples loaded", len(samples))
+        else:
+            log.warning("VIO requested but no IMU data found; running VO")
+    if imu_data is None:
+        step = est.make_estimator_step(ecfg)
+        state = est.init_state(ecfg)
+
+    if pcfg.checkpoint_in:
+        from ..utils.checkpoint import load_state
+        state = load_state(pcfg.checkpoint_in, state)
+        log.info("resumed state from %s", pcfg.checkpoint_in)
+
     viewer = create_viewer(pcfg.enable_viewer)
 
     n_frames = len(player)
@@ -101,7 +151,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 img_l = jnp.asarray(frame.left)
                 img_r = jnp.asarray(frame.right)
             with profiling.span("process_frame"):
-                state, out = step(state, rig, img_l, img_r)
+                if imu_data is not None:
+                    gy, ac, dt_s, msk = _imu_buffer_for_frame(
+                        imu_data, prev_ts, frame.timestamp_ns, buf=64)
+                    state, out = step(state, rig, img_l, img_r,
+                                      gy, ac, dt_s, msk)
+                else:
+                    state, out = step(state, rig, img_l, img_r)
                 jax.block_until_ready(out.T_W_B)
         except Exception as e:  # per-frame errors logged and skipped (ref :110-114)
             log.error("frame %d failed: %s", k, e)
@@ -152,6 +208,11 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         save_tum(pcfg.trajectory_out, timestamps, poses)
         log.info("trajectory (%d poses) -> %s", len(poses), pcfg.trajectory_out)
 
+    if pcfg.checkpoint_out:
+        from ..utils.checkpoint import save_state
+        save_state(pcfg.checkpoint_out, state)
+        log.info("state checkpoint -> %s", pcfg.checkpoint_out)
+
     # Statistics (ref euroc_player.rs:147-171, :325-346)
     if pcfg.enable_console_statistics and times:
         fps = 1000.0 / result.avg_processing_time_ms
@@ -187,6 +248,10 @@ def make_cli(player_cls, name: str):
         ap.add_argument("--step-mode", action="store_true")
         ap.add_argument("--viewer", action="store_true")
         ap.add_argument("--trajectory-out", default=None)
+        ap.add_argument("--vio", action="store_true",
+                        help="visual-inertial mode (IMU preintegration)")
+        ap.add_argument("--checkpoint-out", default=None)
+        ap.add_argument("--checkpoint-in", default=None)
         ap.add_argument("--quiet", action="store_true")
         args = ap.parse_args(argv)
         setup_logging(verbose=not args.quiet)
@@ -195,7 +260,9 @@ def make_cli(player_cls, name: str):
         pcfg = PlayerConfig(
             step_mode=args.step_mode, realtime=args.realtime,
             max_frames=args.max_frames, enable_viewer=args.viewer,
-            trajectory_out=args.trajectory_out)
+            trajectory_out=args.trajectory_out, use_vio=args.vio,
+            checkpoint_out=args.checkpoint_out,
+            checkpoint_in=args.checkpoint_in)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

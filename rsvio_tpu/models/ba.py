@@ -280,3 +280,159 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     return BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
                     status=status, initial_cost=cost0, final_cost=cost,
                     iterations=it, metrics=metrics)
+
+
+# ---------------------------------------------------------------------------
+# Marginalization-aware BA: the window solve with a Gaussian prior over poses
+# (produced by Schur-marginalizing evicted keyframes) and production of the
+# next prior. Greenfield capability (BASELINE.json config 4): the reference
+# evicts FIFO with no marginalization (ref README.md:79 caveat).
+# ---------------------------------------------------------------------------
+
+from .marginalization import MargPrior, marginalize_oldest, prior_terms  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
+                          prior: MargPrior, will_evict,
+                          cfg: BAConfig = BAConfig()):
+    """solve_ba with a pose prior + production of the rolled next prior.
+
+    Args (beyond solve_ba):
+      prior: MargPrior over the W poses (6-dim blocks, T_B_W split-retraction
+        tangent convention). When prior.valid is False the first pose is
+        gauge-fixed instead.
+      will_evict: () bool — when True the returned new_prior marginalizes
+        pose 0 of the final linearized (landmark-eliminated) system and is
+        rolled one slot (matching the caller's upcoming window roll);
+        otherwise the input prior is passed through unchanged.
+
+    Returns (BAResult, new_prior).
+    """
+    dtype = T_W_B.dtype
+    W = T_W_B.shape[0]
+
+    lm_active = stereo_observability_mask(obs_mask, lm_valid)
+    mask = obs_mask & lm_active[None, None, :]
+    n_blocks = jnp.sum(mask)
+    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
+    attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
+    # With a valid prior the gauge is anchored by it; otherwise fix pose 0.
+    fix_first = ~prior.valid
+
+    no_extra = jnp.zeros((W, 0), dtype=dtype)
+
+    def full_cost(T_B_W, lms):
+        vis = _total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
+        _, _, pcost = prior_terms(prior, T_W_B_cur, no_extra)
+        return vis + pcost
+
+    def reduced_system(T_B_W, lms, lam):
+        """Damped, prior-augmented reduced camera system + landmark pieces."""
+        lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        H_pp, H_ll, H_pl, g_p, g_l = build_normal_equations(lin)
+        T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
+        H_add, g_add, _ = prior_terms(prior, T_W_B_cur, no_extra)
+
+        dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
+        H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
+        dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+        H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+        eye3 = jnp.eye(3, dtype=dtype)
+        H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+
+        H_ll_inv, inv_ok = _inv3x3(H_ll_d)
+        A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
+        S_blocks = -jnp.einsum("wlik,vljk->wvij", A, H_pl_m)
+        S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
+        S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6) + H_add
+        b = (-(g_p - jnp.einsum("wlik,lk->wi", A, g_l_m))).reshape(W * 6) \
+            - g_add
+        return S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok
+
+    def solve_from_system(S, b):
+        Sg = S
+        bg = b
+
+        def fixed(args):
+            S_, b_ = args
+            m = jnp.concatenate([jnp.zeros(6, dtype=dtype),
+                                 jnp.ones((W - 1) * 6, dtype=dtype)])
+            S2 = S_ * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            return S2, b_ * m
+
+        S2, b2 = jax.lax.cond(fix_first, fixed, lambda a: a, (Sg, bg))
+        cho = jax.scipy.linalg.cho_factor(S2, lower=True)
+        return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
+
+    T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
+    cost0 = full_cost(T_B_W0, landmarks)
+
+    def cond(state):
+        return (~state[5]) & (state[4] < cfg.max_iterations)
+
+    def body(state):
+        T_B_W, lms, cost, lam, it, done, status = state
+        S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = reduced_system(
+            T_B_W, lms, lam)
+        delta_p = solve_from_system(S, b)
+        rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
+        delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+        delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+        ok_step = (jnp.all(jnp.isfinite(delta_p))
+                   & jnp.all(jnp.isfinite(delta_l))
+                   & jnp.all(inv_ok | (~lm_active)))
+        delta_p = jnp.where(ok_step, delta_p, 0.0)
+        delta_l = jnp.where(ok_step, delta_l, 0.0)
+        T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
+        lms_new = lms + delta_l
+        new_cost = full_cost(T_new, lms_new)
+        accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+        cost_conv = accept & (jnp.abs(cost - new_cost)
+                              <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+        step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
+        param_conv = accept & (step_norm <= cfg.param_tol)
+        T_B_W = jnp.where(accept, T_new, T_B_W)
+        lms = jnp.where(accept, lms_new, lms)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+        hard_fail = lam > cfg.lambda_max
+        done = cost_conv | param_conv | hard_fail
+        status = jnp.where(
+            cost_conv, STATUS_COST_TOL,
+            jnp.where(param_conv, STATUS_PARAM_TOL,
+                      jnp.where(hard_fail, STATUS_FAILED,
+                                STATUS_MAX_ITERATIONS)))
+        return T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+
+    init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+            jnp.asarray(0, jnp.int32), ~attempt,
+            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
+    T_B_W, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(attempt, status, STATUS_SKIPPED)
+    success = attempt & (status != STATUS_FAILED)
+    T_W_B_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
+    lms_out = jnp.where(success, lms, landmarks)
+
+    # ---- next prior: marginalize pose 0 of the final linearized system ----
+    # (small damping keeps weakly-observed landmark blocks invertible)
+    S_f, b_f, *_ = reduced_system(
+        jax.vmap(lie.se3_inverse)(T_W_B_out), lms_out,
+        jnp.asarray(1e-5, dtype))
+    # reduced_system returns b = -(gradient); marginalize expects +gradient.
+    new_prior = marginalize_oldest(S_f, -b_f, T_W_B_out, no_extra, prior, 6)
+    do_new = will_evict & success
+    out_prior = jax.tree.map(
+        lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
+    out_prior = out_prior._replace(
+        valid=jnp.where(do_new, True, prior.valid))
+
+    result = BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
+                      status=status, initial_cost=cost0, final_cost=cost,
+                      iterations=it,
+                      metrics=jnp.zeros((cfg.max_iterations, 4), dtype))
+    return result, out_prior

@@ -31,6 +31,7 @@ from ..ops import cameras, lie, pyramid
 from ..ops.projection import triangulate_stereo
 from . import ba as ba_mod
 from . import pnp as pnp_mod
+from .marginalization import MargPrior, empty_prior
 from .frontend import FeatureTable, FrontendConfig, frontend_step, init_table
 
 
@@ -45,6 +46,10 @@ class EstimatorConfig(NamedTuple):
     pnp: pnp_mod.PnPConfig = pnp_mod.PnPConfig()
     ba: ba_mod.BAConfig = ba_mod.BAConfig()
     image_shape: tuple = (480, 752)   # (H, W)
+    # Marginalize evicted keyframes into a dense pose prior instead of
+    # dropping their constraints (the accuracy upgrade the reference defers,
+    # ref README.md:79). Off by default for reference-parity comparisons.
+    use_marginalization: bool = False
 
 
 class CameraRig(NamedTuple):
@@ -74,6 +79,9 @@ class EstimatorState(NamedTuple):
     # Landmarks, slot-aligned with the feature table
     lm: jnp.ndarray          # (N,3)
     lm_fid: jnp.ndarray      # (N,) id tag; valid iff == table.fid and >= 0
+    # Marginalization prior over window poses (used when the config enables
+    # marginalization; otherwise stays empty)
+    marg_prior: MargPrior
     # Current state
     T_W_B: jnp.ndarray       # (4,4) current pose
     last_kf_T_W_B: jnp.ndarray  # (4,4)
@@ -97,6 +105,7 @@ def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
         obs_fid=jnp.full((W, N), -1, jnp.int32),
         lm=jnp.zeros((N, 3), dtype=dtype),
         lm_fid=jnp.full((N,), -1, jnp.int32),
+        marg_prior=empty_prior(W, 6, dtype),
         T_W_B=eye, last_kf_T_W_B=eye,
         frame_id=jnp.asarray(0, jnp.int32),
     )
@@ -223,31 +232,37 @@ def make_estimator_step(cfg: EstimatorConfig):
             lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
 
             def run_ba(_):
-                res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w, eff_mask,
-                                      lm_valid, cfg.ba)
+                if cfg.use_marginalization:
+                    res, new_prior = ba_mod.solve_ba_marginalized(
+                        kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
+                        state.marg_prior, full_now, cfg.ba)
+                else:
+                    res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w,
+                                          eff_mask, lm_valid, cfg.ba)
+                    new_prior = state.marg_prior
                 return (res.T_W_B, res.landmarks, res.success,
-                        res.iterations, res.final_cost)
+                        res.iterations, res.final_cost, new_prior)
 
             def skip_ba(_):
                 return (kf_T, lm, jnp.asarray(False),
                         jnp.asarray(0, jnp.int32),
-                        jnp.asarray(0.0, kf_T.dtype))
+                        jnp.asarray(0.0, kf_T.dtype), state.marg_prior)
 
-            kf_T, lm, ba_ok, ba_it, ba_cost = jax.lax.cond(
+            kf_T, lm, ba_ok, ba_it, ba_cost, new_prior = jax.lax.cond(
                 full_now, run_ba, skip_ba, None)
             T_new = kf_T[jnp.minimum(kf_count, W) - 1]
             return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid,
-                    T_new, T_new, ba_ok, ba_it, ba_cost)
+                    T_new, T_new, ba_ok, ba_it, ba_cost, new_prior)
 
         def no_kf_branch(operand):
             table, T_cur, lm, lm_fid = operand
             return (state.kf_T_W_B, state.kf_count, state.obs, state.obs_mask,
                     state.obs_fid, lm, lm_fid, T_cur, state.last_kf_T_W_B,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0.0, T_cur.dtype))
+                    jnp.asarray(0.0, T_cur.dtype), state.marg_prior)
 
         (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, T_out, last_kf,
-         ba_ok, ba_it, ba_cost) = jax.lax.cond(
+         ba_ok, ba_it, ba_cost, marg_prior) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, state.lm, state.lm_fid))
 
@@ -255,7 +270,7 @@ def make_estimator_step(cfg: EstimatorConfig):
             table=table, pyr0=pyr0, pyr1=pyr1,
             kf_T_W_B=kf_T, kf_count=kf_count,
             obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
-            lm=lm, lm_fid=lm_fid,
+            lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,
         )

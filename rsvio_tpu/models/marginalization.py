@@ -115,6 +115,12 @@ def marginalize_oldest(H_full, g_full, T_W_B, extra, prior_in: MargPrior,
     g_p = g_r - X.T @ g_m
     # Symmetrize against roundoff.
     H_p = 0.5 * (H_p + H_p.T)
+    # Ridge regularization: the marginal information has exact null
+    # directions (global gauge); f32 roundoff leaks gradient into them,
+    # which would let LM march the whole window along the gauge "downhill"
+    # forever. A small relative ridge bounds the prior quadratic.
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(H_p))), 1.0)
+    H_p = H_p + (1e-5 * scale) * jnp.eye(H_p.shape[0], dtype=dtype)
 
     # Place into a full-window container: slots 0..W-2 get the prior, the new
     # (incoming) slot W-1 has no prior information.

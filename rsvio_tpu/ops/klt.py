@@ -55,9 +55,10 @@ class KLTConfig(NamedTuple):
     levels: int = 6                   # ref estimator.rs:27 StereoPatchTracker<6>
     bidir_threshold_sq: float = 0.4   # px^2, ref feature_tracker.rs:280
     bounds_margin: float = 2.0        # ref feature_tracker.rs:389
-    # Backend: "pallas" = translation-only TPU kernel (fast path),
+    # Backend: "auto" = Pallas kernel on TPU, XLA elsewhere;
+    # "pallas" = translation-only TPU kernel (interpret mode off-TPU);
     # "xla" = SE2 gather-based path (supports patch rotation, any backend).
-    backend: str = "pallas"
+    backend: str = "auto"
 
 
 class PatchData(NamedTuple):
@@ -217,7 +218,10 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
       alive: (N,) bool — dead slots are skipped (stay dead).
     Returns: (pos_dst (N,2), A (N,2,2), ok (N,)).
     """
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         pos, ok = _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
                                        alive, cfg)
         return pos, A0, ok

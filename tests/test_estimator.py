@@ -1,0 +1,85 @@
+"""VO estimator integration tests on a synthetic rendered sequence,
+including the marginalization-enabled mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvio_tpu.models import estimator as est
+from rsvio_tpu.models.frontend import FrontendConfig
+from rsvio_tpu.ops import cameras
+from rsvio_tpu.ops.klt import KLTConfig
+
+H, W = 120, 160
+FX = FY = 120.0
+CX, CY = W / 2, H / 2
+BASELINE = 0.11
+PLANE_Z = 4.0
+STEP_M = 0.02
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    import cv2
+    rng = np.random.default_rng(1)
+    tex = sum(w * cv2.resize(rng.uniform(0, 1, (n, n)).astype(np.float32),
+                             (1024, 1024), interpolation=cv2.INTER_CUBIC)
+              for w, n in [(120.0, 48), (60.0, 192)]) + 40.0
+
+    def render(cam_t):
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        mx = (((u - CX) / FX * PLANE_Z + cam_t[0]) * 90.0 + 350.0).astype(np.float32)
+        my = (((v - CY) / FY * PLANE_Z + cam_t[1]) * 90.0 + 350.0).astype(np.float32)
+        return cv2.remap(tex, mx, my, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT)
+
+    return [(render(np.array([STEP_M * k, 0, 0])),
+             render(np.array([STEP_M * k + BASELINE, 0, 0])))
+            for k in range(14)]
+
+
+def run_sequence(sequence, use_marg: bool):
+    params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                 [FX, FY, CX, CY], [0, 0, 0, 0])
+    rig = est.make_rig(params, params,
+                       jnp.eye(4, dtype=jnp.float32),
+                       jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+    cfg = est.EstimatorConfig(
+        frontend=FrontendConfig(capacity=96, cell_size=28, detect_margin=10,
+                                min_score=5.0,
+                                klt=KLTConfig(levels=3, max_iterations=12,
+                                              backend="xla")),
+        window_size=4,
+        translation_threshold=0.012,
+        rotation_threshold=0.05,
+        image_shape=(H, W),
+        use_marginalization=use_marg)
+    step = est.make_estimator_step(cfg)
+    state = est.init_state(cfg)
+    xs, kf_flags = [], []
+    for l, r in sequence:
+        state, out = step(state, rig, jnp.asarray(l), jnp.asarray(r))
+        xs.append(float(out.T_W_B[0, 3]))
+        kf_flags.append(bool(out.is_keyframe))
+    return np.asarray(xs), kf_flags, state
+
+
+class TestEstimatorVO:
+    def test_vo_tracks_motion(self, sequence):
+        xs, kfs, state = run_sequence(sequence, use_marg=False)
+        half = len(xs) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = STEP_M * (len(xs) - 1 - half)
+        assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
+        assert any(kfs[5:])  # keyframes keep coming after the window fills
+
+    def test_marginalization_mode_tracks_motion(self, sequence):
+        xs, kfs, state = run_sequence(sequence, use_marg=True)
+        assert np.all(np.isfinite(xs))
+        half = len(xs) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = STEP_M * (len(xs) - 1 - half)
+        assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
+        # the prior must be live once evictions started
+        assert bool(state.marg_prior.valid)
