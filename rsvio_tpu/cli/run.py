@@ -180,9 +180,32 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             int(out.n_tracked), int(out.n_landmarks), profiling.report())
 
         if pcfg.enable_viewer:
+            # Entity schema parity with ref estimator.rs:272-364:
+            # stereo/{left,right} images with colored tracked features,
+            # pose_current, pose_<i> keyframe frustums, map/points,
+            # trajectory/path.
             viewer.set_frame(k, frame.timestamp_ns)
-            viewer.log_image_raw("stereo/left", frame.left)
+            alive = np.asarray(state.table.alive)
+            fids = np.asarray(state.table.fid)[alive]
+            viewer.log_image_with_features_colored(
+                "stereo/left", frame.left,
+                np.asarray(state.table.pos0)[alive], fids)
+            viewer.log_image_with_features_colored(
+                "stereo/right", frame.right,
+                np.asarray(state.table.pos1)[alive], fids)
             viewer.log_pose("pose_current", T)
+            lm_valid = (np.asarray(state.lm_fid) == np.asarray(state.table.fid)) \
+                & (np.asarray(state.lm_fid) >= 0)
+            if lm_valid.any():
+                viewer.log_points_colored("map/points",
+                                          np.asarray(state.lm)[lm_valid],
+                                          np.asarray(state.lm_fid)[lm_valid])
+            n_kf = int(state.kf_count)
+            intr = np.asarray(rig.params[0][:4])
+            for i in range(n_kf):
+                viewer.log_camera_frustum(
+                    f"pose_{i}", np.asarray(state.kf_T_W_B[i]), intr,
+                    (ecfg.image_shape[1], ecfg.image_shape[0]))
             if len(poses) > 1:
                 viewer.log_trajectory(
                     "trajectory/path", np.asarray([p[:3, 3] for p in poses]))
