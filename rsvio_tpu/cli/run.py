@@ -130,7 +130,7 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
     result = PlayerResult()
     timestamps: List[int] = []
     poses: List[np.ndarray] = []
-    kf_trajectory: List[np.ndarray] = []
+    kf_trajectory: List[tuple] = []   # (timestamp_ns, pose) per keyframe
     prev_ts = None
 
     # Prefer the native (C++) threaded PNG loader; fall back to the Python
@@ -144,7 +144,21 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         frame_iter = prefetch_frames(player, 0, n_frames)
     else:
         log.info("using native C++ frame loader")
-    for k, frame in enumerate(frame_iter):
+    frame_it = iter(frame_iter)
+    k = -1
+    while True:
+        # Pull frames defensively: a decode failure mid-sequence must not
+        # discard the results of the frames already processed (trajectory /
+        # statistics / checkpoint still get written below).
+        try:
+            frame = next(frame_it)
+        except StopIteration:
+            break
+        except Exception as e:
+            log.error("frame loading failed after frame %d: %s — stopping "
+                      "early, keeping results so far", k, e)
+            break
+        k += 1
         t_start = time.time()
         try:
             with profiling.span("frame_creation"):
@@ -171,7 +185,7 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         if bool(out.is_keyframe):
             # Reference appends the OLDEST window pose per BA
             # (ref estimator.rs:355-361); we record the current KF pose.
-            kf_trajectory.append(T)
+            kf_trajectory.append((frame.timestamp_ns, T))
 
         log.debug(
             "[Timing] frame %d: %.1f ms | kf=%d pnp=%d ba=%d(it=%d) "
@@ -226,10 +240,18 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         result.avg_processing_time_ms = float(np.mean(times))
         result.success = True
 
-    # Trajectory export (TUM format)
+    # Trajectory export (TUM format) — per-frame plus keyframe-only (the
+    # reference records a keyframe trajectory, ref estimator.rs:355-361).
     if pcfg.trajectory_out and poses:
         save_tum(pcfg.trajectory_out, timestamps, poses)
         log.info("trajectory (%d poses) -> %s", len(poses), pcfg.trajectory_out)
+        if kf_trajectory:
+            root_name, ext = os.path.splitext(pcfg.trajectory_out)
+            kf_path = f"{root_name}_keyframes{ext or '.txt'}"
+            save_tum(kf_path, [t for t, _ in kf_trajectory],
+                     [p_ for _, p_ in kf_trajectory])
+            log.info("keyframe trajectory (%d poses) -> %s",
+                     len(kf_trajectory), kf_path)
 
     if pcfg.checkpoint_out:
         from ..utils.checkpoint import save_state

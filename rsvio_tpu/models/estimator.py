@@ -157,8 +157,6 @@ def make_estimator_step(cfg: EstimatorConfig):
     levels = cfg.frontend.klt.levels
 
     def step(state: EstimatorState, rig: CameraRig, img0, img1):
-        first = state.frame_id == 0
-
         pyr0 = pyramid.build_pyramid(img0, levels)
         pyr1 = pyramid.build_pyramid(img1, levels)
 

@@ -63,16 +63,27 @@ def _chain_preint(a: Preintegrated, b: Preintegrated) -> Preintegrated:
     dv = a.dv + a.dR @ b.dv
     dp = a.dp + a.dv * b.dt + a.dR @ b.dp
     dR_dbg = b.dR.T @ a.dR_dbg + b.dR_dbg
-    dv_dbg = a.dv_dbg + a.dR @ b.dv_dbg  # + d(aR)/dbg b.dv (2nd order, dropped)
+    # First-order bias sensitivity of a.dR propagates into the composed
+    # dv/dp through the rotated b-terms: d(a.dR b.x)/dbg = -a.dR [b.x]x a.dR_dbg.
+    hat_bdv = lie.so3_hat(b.dv)
+    hat_bdp = lie.so3_hat(b.dp)
+    dv_dbg = a.dv_dbg + a.dR @ b.dv_dbg - a.dR @ hat_bdv @ a.dR_dbg
     dv_dba = a.dv_dba + a.dR @ b.dv_dba
-    dp_dbg = a.dp_dbg + a.dv_dbg * b.dt + a.dR @ b.dp_dbg
+    dp_dbg = (a.dp_dbg + a.dv_dbg * b.dt + a.dR @ b.dp_dbg
+              - a.dR @ hat_bdp @ a.dR_dbg)
     dp_dba = a.dp_dba + a.dv_dba * b.dt + a.dR @ b.dp_dba
-    # Covariance: rotate a's into b's end frame and add (first order).
+    # Covariance: a's [theta, v, p] errors propagate through the composition;
+    # a's rotation error couples into the composed dv/dp via the rotated
+    # b-deltas (same structure as the per-sample propagation in
+    # imu.preintegrate).
+    I3 = jnp.eye(3, dtype=a.cov.dtype)
     A = jnp.zeros((9, 9), dtype=a.cov.dtype)
     A = A.at[0:3, 0:3].set(b.dR.T)
-    A = A.at[3:6, 3:6].set(jnp.eye(3, dtype=a.cov.dtype))
-    A = A.at[6:9, 3:6].set(jnp.eye(3, dtype=a.cov.dtype) * b.dt)
-    A = A.at[6:9, 6:9].set(jnp.eye(3, dtype=a.cov.dtype))
+    A = A.at[3:6, 0:3].set(-a.dR @ hat_bdv)
+    A = A.at[3:6, 3:6].set(I3)
+    A = A.at[6:9, 0:3].set(-a.dR @ hat_bdp)
+    A = A.at[6:9, 3:6].set(I3 * b.dt)
+    A = A.at[6:9, 6:9].set(I3)
     cov = A @ a.cov @ A.T + b.cov
     return Preintegrated(dR=dR, dv=dv, dp=dp, dt=a.dt + b.dt,
                          dR_dbg=dR_dbg, dv_dbg=dv_dbg, dv_dba=dv_dba,

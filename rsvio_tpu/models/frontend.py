@@ -63,44 +63,66 @@ def init_table(capacity: int, dtype=jnp.float32) -> FeatureTable:
     )
 
 
+def birth_slots(alive, cand_ok):
+    """Assign accepted candidates to free table slots.
+
+    Returns (slot (C,), ok (C,), rank (C,)): `slot` is the target row for
+    each candidate (N, i.e. out of range, when rejected or the table is
+    full), `ok` marks candidates that actually land, `rank` numbers accepted
+    candidates 0..n_born-1 (for id assignment). Fully static shapes
+    (nonzero-with-size + cumsum). Shared by the stereo frontend and the mono
+    tracker.
+    """
+    N = alive.shape[0]
+    C = cand_ok.shape[0]
+    free_slots = jnp.nonzero(~alive, size=C, fill_value=N)[0]  # (C,)
+    rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1           # (C,)
+    slot = jnp.where(cand_ok, free_slots[jnp.clip(rank, 0, C - 1)], N)
+    ok = cand_ok & (slot < N)
+    return slot, ok, rank
+
+
+def masked_row_scatter(arr, slot, ok, upd):
+    """arr[slot[i]] <- upd[i] where ok[i]; rejected rows land on a dummy
+    padding row instead of a clipped real index.
+
+    (Scattering rejected candidates' stale values at a CLIPPED index would
+    duplicate-write the last real row, and JAX leaves duplicate-index
+    .at[].set ordering unspecified — a birth into slot N-1 could be silently
+    reverted. The dummy row absorbs all rejected writes.)
+    """
+    N = arr.shape[0]
+    idx = jnp.where(ok, slot, N)
+    padded = jnp.concatenate([arr, arr[-1:]], axis=0)
+    return padded.at[idx].set(upd)[:N]
+
+
 def _insert_births(table: FeatureTable, cand0, cand1, cand_A1, cand_ok):
     """Compact accepted candidates into free table slots.
 
     cand0/cand1: (C,2) candidate positions in cam0/cam1; cand_ok: (C,) bool.
-    Uses nonzero-with-static-size for free slots and a cumsum rank for
-    candidates — fully static shapes.
     """
-    N = table.alive.shape[0]
+    slot, ok, rank = birth_slots(table.alive, cand_ok)
     C = cand_ok.shape[0]
-    free_slots = jnp.nonzero(~table.alive, size=C, fill_value=N)[0]  # (C,)
-    rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1                 # (C,)
-    slot = jnp.where(cand_ok, free_slots[jnp.clip(rank, 0, C - 1)], N)
-    ok = cand_ok & (slot < N)
-    slot_c = jnp.clip(slot, 0, N - 1)
-
     new_ids = table.next_id + rank
     eye = jnp.eye(2, dtype=table.A0.dtype)
-
-    def scatter(arr, upd):
-        return arr.at[slot_c].set(jnp.where(ok[:, None] if arr.ndim == 2
-                                            else (ok[:, None, None] if arr.ndim == 3
-                                                  else ok),
-                                            upd, arr[slot_c]))
-
-    pos0 = scatter(table.pos0, cand0)
-    pos1 = scatter(table.pos1, cand1)
-    A0 = scatter(table.A0, jnp.broadcast_to(eye, (C, 2, 2)))
-    A1 = scatter(table.A1, cand_A1)
-    fid = table.fid.at[slot_c].set(jnp.where(ok, new_ids, table.fid[slot_c]))
-    alive = table.alive.at[slot_c].set(jnp.where(ok, True, table.alive[slot_c]))
-    age = table.age.at[slot_c].set(jnp.where(ok, 0, table.age[slot_c]))
+    pos0 = masked_row_scatter(table.pos0, slot, ok, cand0)
+    pos1 = masked_row_scatter(table.pos1, slot, ok, cand1)
+    A0 = masked_row_scatter(table.A0, slot, ok,
+                            jnp.broadcast_to(eye, (C, 2, 2)))
+    A1 = masked_row_scatter(table.A1, slot, ok, cand_A1)
+    fid = masked_row_scatter(table.fid, slot, ok, new_ids)
+    alive = masked_row_scatter(table.alive, slot, ok,
+                               jnp.ones((C,), dtype=bool))
+    age = masked_row_scatter(table.age, slot, ok,
+                             jnp.zeros((C,), jnp.int32))
     n_born = jnp.sum(ok.astype(jnp.int32))
     return table._replace(pos0=pos0, pos1=pos1, A0=A0, A1=A1, fid=fid,
                           alive=alive, age=age,
                           next_id=table.next_id + n_born)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "first_frame"))
 def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
                   cfg: FrontendConfig, first_frame: bool = False):
     """One frame of stereo feature tracking.

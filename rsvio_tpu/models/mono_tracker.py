@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import detect, klt
+from .frontend import birth_slots, masked_row_scatter
 
 
 class MonoTrackerConfig(NamedTuple):
@@ -69,27 +70,20 @@ def mono_tracker_step(table: MonoTable, pyr_prev, pyr_cur,
         score, table.pos, table.alive, cfg.cell_size,
         margin=cfg.detect_margin, min_score=cfg.min_score)
 
-    # compact births into free slots
-    N = table.alive.shape[0]
+    # compact births into free slots (shared machinery with the stereo
+    # frontend — dummy-row scatter avoids duplicate-index hazards)
     C = cand_ok.shape[0]
-    free = jnp.nonzero(~table.alive, size=C, fill_value=N)[0]
-    rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1
-    slot = jnp.where(cand_ok, free[jnp.clip(rank, 0, C - 1)], N)
-    ok = cand_ok & (slot < N)
-    slot_c = jnp.clip(slot, 0, N - 1)
+    slot, ok, rank = birth_slots(table.alive, cand_ok)
     eye = jnp.eye(2, dtype=table.A.dtype)
-    pos = table.pos.at[slot_c].set(
-        jnp.where(ok[:, None], cand_xy, table.pos[slot_c]))
-    A = table.A.at[slot_c].set(
-        jnp.where(ok[:, None, None], jnp.broadcast_to(eye, (C, 2, 2)),
-                  table.A[slot_c]))
-    fid = table.fid.at[slot_c].set(
-        jnp.where(ok, table.next_id + rank, table.fid[slot_c]))
-    alive = table.alive.at[slot_c].set(
-        jnp.where(ok, True, table.alive[slot_c]))
-    age = table.age.at[slot_c].set(jnp.where(ok, 0, table.age[slot_c]))
     table = table._replace(
-        pos=pos, A=A, fid=fid, alive=alive, age=age,
+        pos=masked_row_scatter(table.pos, slot, ok, cand_xy),
+        A=masked_row_scatter(table.A, slot, ok,
+                             jnp.broadcast_to(eye, (C, 2, 2))),
+        fid=masked_row_scatter(table.fid, slot, ok, table.next_id + rank),
+        alive=masked_row_scatter(table.alive, slot, ok,
+                                 jnp.ones((C,), dtype=bool)),
+        age=masked_row_scatter(table.age, slot, ok,
+                               jnp.zeros((C,), jnp.int32)),
         next_id=table.next_id + jnp.sum(ok.astype(jnp.int32)))
     stats = {"tracked": jnp.sum(survived.astype(jnp.int32)),
              "alive": jnp.sum(table.alive.astype(jnp.int32))}

@@ -104,10 +104,15 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         T, H, g, cost, lam, it, done, status, metrics = state
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         delta = -jnp.linalg.solve(H + lam * D, g)
+        # A non-finite step is treated as a rejected iteration (damping gets
+        # boosted and we retry) rather than a hard failure — the same
+        # recovery the BA solver uses in place of the reference's
+        # Schur -> Cholesky fallback.
         ok_step = jnp.all(jnp.isfinite(delta))
-        T_new = lie.se3_retract_split(T, jnp.where(ok_step, delta, 0.0))
+        delta = jnp.where(ok_step, delta, 0.0)
+        T_new = lie.se3_retract_split(T, delta)
         new_cost = _total_cost(T_new, T_C_B, landmarks, obs, mask, cfg.huber_delta)
-        accept = ok_step & (new_cost < cost)
+        accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         # Convergence checks on the accepted step
         cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         param_conv = accept & (jnp.linalg.norm(delta) <= cfg.param_tol)
@@ -115,7 +120,7 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         metrics = metrics.at[it].set(jnp.stack(
             [new_cost, lam, jnp.linalg.norm(delta), accept.astype(dtype)]))
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 3.0)
-        hard_fail = (~ok_step) | (lam > cfg.lambda_max)
+        hard_fail = lam > cfg.lambda_max
         H_new, g_new, cost_new = linearize(T)
         H = jnp.where(accept, H_new, H)
         g = jnp.where(accept, g_new, g)

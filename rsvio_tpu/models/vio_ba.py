@@ -153,8 +153,12 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
     lm_active = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
     mask = obs_mask & lm_active[None, None, :]
     n_blocks = jnp.sum(mask) + jnp.sum(preint_valid)
-    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
-    attempt = n_blocks >= cfg.min_residual_blocks
+    # Under-constrained refusal (ref sliding_window.rs:309-319): residual
+    # rows (2 per visual block, 15 per IMU interval) must cover the free
+    # variables (15 per state minus the fixed first pose, 3 per landmark).
+    n_rows = 2 * jnp.sum(mask) + 15 * jnp.sum(preint_valid)
+    n_vars = W * D - 6 + 3 * jnp.sum(lm_active)
+    attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
 
     def total_cost(st: VIOState, lms):
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)

@@ -168,7 +168,6 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     A = A0
     ok = jnp.asarray(True)
     for lvl in reversed(range(levels)):
-        scale = dtype.type(2.0**lvl) if hasattr(dtype, "type") else 2.0**lvl
         scale = jnp.asarray(2.0**lvl, dtype=dtype)
         patch = build_patch(pyr_src[lvl], pos_src / scale)
         M0 = jnp.eye(3, dtype=dtype)

@@ -141,3 +141,43 @@ def test_split_samples_by_keyframes():
     assert mask[2].sum() == 35
     # samples land in the right interval
     assert imu_ts[idx[1, 0]] == 300
+
+
+class TestChaining:
+    def test_chain_matches_single_preintegration(self):
+        """Splitting a sample stream and chaining the halves must match
+        preintegrating the whole stream (deltas, bias Jacobians, covariance
+        to first order)."""
+        import jax
+        from rsvio_tpu.models.estimator_vio import _chain_preint
+        (gyro, accel, dts), _ = simulate(
+            n=120, accel_w=np.array([0.3, -0.1, 0.2]),
+            omega=np.array([0.2, 0.4, -0.3]))
+        zb = jnp.zeros(3)
+        m = jnp.ones(120, bool)
+        whole = imu.preintegrate(jnp.asarray(gyro), jnp.asarray(accel),
+                                 jnp.asarray(dts), m, zb, zb)
+        h1 = imu.preintegrate(jnp.asarray(gyro[:60]), jnp.asarray(accel[:60]),
+                              jnp.asarray(dts[:60]), m[:60], zb, zb)
+        h2 = imu.preintegrate(jnp.asarray(gyro[60:]), jnp.asarray(accel[60:]),
+                              jnp.asarray(dts[60:]), m[60:], zb, zb)
+        chained = _chain_preint(h1, h2)
+        np.testing.assert_allclose(chained.dR, whole.dR, atol=1e-5)
+        np.testing.assert_allclose(chained.dv, whole.dv, atol=1e-4)
+        np.testing.assert_allclose(chained.dp, whole.dp, atol=1e-4)
+        assert abs(float(chained.dt) - float(whole.dt)) < 1e-6
+        np.testing.assert_allclose(chained.dR_dbg, whole.dR_dbg,
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(chained.dv_dbg, whole.dv_dbg,
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(chained.dp_dbg, whole.dp_dbg,
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(chained.dv_dba, whole.dv_dba,
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(chained.dp_dba, whole.dp_dba,
+                                   rtol=0.05, atol=5e-3)
+        # Covariances agree to first order (relative Frobenius)
+        ca = np.asarray(chained.cov, np.float64)
+        cw = np.asarray(whole.cov, np.float64)
+        denom = max(np.linalg.norm(cw), 1e-12)
+        assert np.linalg.norm(ca - cw) / denom < 0.1
