@@ -83,20 +83,30 @@ def _retract_state(st: VIOState, delta):
     )
 
 
-def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig):
-    """Whitened 15-dim IMU residual between state tuples
-    (T_W_B, v, bg, ba)."""
-    r = imu_residual(pre, st_i[0], st_i[1], st_i[2], st_i[3],
-                     st_j[0], st_j[1], st_j[2], st_j[3])
-    # sqrt information of [dR, dv, dp] from the preintegration covariance
-    dtype = r.dtype
+def _imu_sqrt_info(pre: Preintegrated, cfg: VIOBAConfig):
+    """Scaled sqrt-information (9,9) of the [dR, dv, dp] residual block.
+
+    Computed once per interval OUTSIDE the autodiff'd residual (a Cholesky +
+    inverse inside jacfwd would be differentiated 30 times for nothing).
+    """
+    dtype = pre.cov.dtype
     cov = pre.cov + jnp.eye(9, dtype=dtype) * 1e-10
     Linfo = jnp.linalg.cholesky(jnp.linalg.inv(cov))
     # Uniform rescale (NOT elementwise clip — that would distort the
     # whitening direction) so the largest sqrt-info entry is <= the cap.
     scale = jnp.minimum(1.0, cfg.imu_weight_cap / jnp.maximum(
         jnp.max(jnp.abs(Linfo)), 1e-12))
-    r9 = (Linfo.T * scale) @ r[:9]
+    return jax.lax.stop_gradient(Linfo.T * scale)
+
+
+def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig,
+                           sqrt_info=None):
+    """Whitened 15-dim IMU residual between state tuples (T_W_B, v, bg, ba)."""
+    r = imu_residual(pre, st_i[0], st_i[1], st_i[2], st_i[3],
+                     st_j[0], st_j[1], st_j[2], st_j[3])
+    if sqrt_info is None:
+        sqrt_info = _imu_sqrt_info(pre, cfg)
+    r9 = sqrt_info @ r[:9]
     r_bg = r[9:12] * cfg.bias_gyro_weight
     r_ba = r[12:15] * cfg.bias_accel_weight
     return jnp.concatenate([r9, r_bg, r_ba])
@@ -115,12 +125,14 @@ def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig):
     bgi, bgj = st.bg[i], st.bg[i + 1]
     bai, baj = st.ba[i], st.ba[i + 1]
 
+    sqrt_info = _imu_sqrt_info(pre, cfg)
+
     def res(di, dj):
         T_B_Wi = lie.se3_retract_split(lie.se3_inverse(Ti), di[:6])
         T_B_Wj = lie.se3_retract_split(lie.se3_inverse(Tj), dj[:6])
         si = (lie.se3_inverse(T_B_Wi), vi + di[6:9], bgi + di[9:12], bai + di[12:15])
         sj = (lie.se3_inverse(T_B_Wj), vj + dj[6:9], bgj + dj[9:12], baj + dj[12:15])
-        return _imu_whitened_residual(pre, si, sj, cfg)
+        return _imu_whitened_residual(pre, si, sj, cfg, sqrt_info)
 
     z = jnp.zeros(D, dtype=Ti.dtype)
     r = res(z, z)

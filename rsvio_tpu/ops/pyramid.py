@@ -54,6 +54,39 @@ def build_pyramid(img, levels: int):
     return tuple(out)
 
 
+def gaussian_blur3(img):
+    """Separable [1,2,1]/4 blur (the optional pre-blur of the reference's
+    experimental pyramid, ref feature_tracker/src/image_operations.rs:47-78)."""
+    left = jnp.pad(img[:, :-1], ((0, 0), (1, 0)), mode="edge")
+    right = jnp.pad(img[:, 1:], ((0, 0), (0, 1)), mode="edge")
+    h = (left + 2.0 * img + right) * 0.25
+    up = jnp.pad(h[:-1, :], ((1, 0), (0, 0)), mode="edge")
+    down = jnp.pad(h[1:, :], ((0, 1), (0, 0)), mode="edge")
+    return (up + 2.0 * h + down) * 0.25
+
+
+def build_pyramid_ratio(img, levels: int, ratio: float, blur: bool = False):
+    """Arbitrary-ratio pyramid (capability of the reference's experimental
+    crate, ref feature_tracker/src/image_operations.rs:47-78: configurable
+    downscale ratio with optional pre-blur).
+
+    Level i has shape floor(shape * ratio^i); resampling via
+    jax.image.resize (linear), which XLA fuses well. ratio=0.5 without blur
+    reproduces the main build_pyramid semantics (use that for the hot path —
+    its pad+add form is cheaper than a general resize).
+    """
+    import jax
+
+    out = [img]
+    H, W = img.shape
+    for i in range(1, levels):
+        h = max(int(H * ratio**i), 1)
+        w = max(int(W * ratio**i), 1)
+        src = gaussian_blur3(out[-1]) if blur else out[-1]
+        out.append(jax.image.resize(src, (h, w), method="linear"))
+    return tuple(out)
+
+
 def pyramid_shapes(shape, levels: int) -> Sequence[tuple]:
     """Static level shapes for a given base shape (for preallocating tables)."""
     H, W = shape

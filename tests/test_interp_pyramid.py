@@ -108,3 +108,35 @@ class TestPyramid:
         img = jnp.asarray(((x + y) % 2 * 200.0).astype(np.float32))
         d = pyramid.downsample2(img)
         assert float(jnp.std(d[2:-2, 2:-2])) < float(jnp.std(img)) * 0.5
+
+
+class TestPyramidRatio:
+    def test_arbitrary_ratio_shapes(self):
+        img = smooth_image(90, 120)
+        pyr = pyramid.build_pyramid_ratio(img, 4, 0.7)
+        assert len(pyr) == 4
+        for i, lvl in enumerate(pyr):
+            assert lvl.shape == (max(int(90 * 0.7**i), 1),
+                                 max(int(120 * 0.7**i), 1))
+
+    def test_half_ratio_close_to_builtin(self):
+        img = smooth_image(64, 64)
+        a = pyramid.build_pyramid(img, 3)
+        b = pyramid.build_pyramid_ratio(img, 3, 0.5)
+        for x, y in zip(a, b):
+            assert x.shape == y.shape
+            # Different filters AND sampling phase (triangle decimation at
+            # even pixels vs resize's half-pixel centers), so compare
+            # structure, not values: same scale content -> high correlation.
+            xv = np.asarray(x).ravel() - float(jnp.mean(x))
+            yv = np.asarray(y).ravel() - float(jnp.mean(y))
+            corr = float(np.dot(xv, yv)
+                         / max(np.linalg.norm(xv) * np.linalg.norm(yv), 1e-9))
+            assert corr > 0.9, corr
+
+    def test_blur_smooths(self):
+        img = smooth_image(64, 64)
+        sharp = pyramid.build_pyramid_ratio(img, 2, 0.6, blur=False)[1]
+        soft = pyramid.build_pyramid_ratio(img, 2, 0.6, blur=True)[1]
+        assert float(jnp.std(jnp.diff(soft, axis=1))) <= \
+            float(jnp.std(jnp.diff(sharp, axis=1)))
