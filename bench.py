@@ -20,6 +20,8 @@ MEASURE = 30
 
 
 def main():
+    from rsvio_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     import jax

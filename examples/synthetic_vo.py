@@ -26,6 +26,8 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", args.platform)
+    from rsvio_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -38,6 +38,7 @@ class PlayerConfig:
     use_vio: bool = False       # visual-inertial mode (IMU preintegration)
     checkpoint_out: Optional[str] = None
     checkpoint_in: Optional[str] = None
+    profile_dir: Optional[str] = None   # jax.profiler trace output directory
 
 
 @dataclass
@@ -92,6 +93,9 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
     from ..viewers import create_viewer
     from .. import profiling
 
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = load_config(config_path)
     ecfg, rig = make_estimator_config(cfg)
 
@@ -144,6 +148,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         frame_iter = prefetch_frames(player, 0, n_frames)
     else:
         log.info("using native C++ frame loader")
+    profile_ctx = None
+    if pcfg.profile_dir:
+        from .. import profiling as _prof
+        profile_ctx = _prof.jax_trace(pcfg.profile_dir)
+        profile_ctx.__enter__()
+        log.info("jax.profiler trace -> %s", pcfg.profile_dir)
+
     frame_it = iter(frame_iter)
     k = -1
     while True:
@@ -235,6 +246,9 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         if pcfg.step_mode:
             input("press enter for next frame...")
 
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
     times = result.frame_processing_times_ms
     if times:
         result.avg_processing_time_ms = float(np.mean(times))
@@ -297,6 +311,8 @@ def make_cli(player_cls, name: str):
                         help="visual-inertial mode (IMU preintegration)")
         ap.add_argument("--checkpoint-out", default=None)
         ap.add_argument("--checkpoint-in", default=None)
+        ap.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace here")
         ap.add_argument("--quiet", action="store_true")
         args = ap.parse_args(argv)
         setup_logging(verbose=not args.quiet)
@@ -307,7 +323,8 @@ def make_cli(player_cls, name: str):
             max_frames=args.max_frames, enable_viewer=args.viewer,
             trajectory_out=args.trajectory_out, use_vio=args.vio,
             checkpoint_out=args.checkpoint_out,
-            checkpoint_in=args.checkpoint_in)
+            checkpoint_in=args.checkpoint_in,
+            profile_dir=args.profile_dir)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

@@ -34,6 +34,7 @@ class FrontendConfig(NamedTuple):
     cell_size: int = 50           # ref config feature_detection.grid_size
     detect_margin: int = 19       # ref EDGE_THRESHOLD image_utilities.rs:118
     min_score: float = 10.0       # floor of ref threshold cascade 40->10
+    max_per_cell: int = 1         # ref config max_features_per_grid
     klt: klt.KLTConfig = klt.KLTConfig()
 
 
@@ -156,7 +157,8 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
     score = detect.fast_score(pyr0[0])
     cand_xy, cand_ok = detect.select_grid_features(
         score, table.pos0, table.alive, cfg.cell_size,
-        margin=cfg.detect_margin, min_score=cfg.min_score)
+        margin=cfg.detect_margin, min_score=cfg.min_score,
+        max_per_cell=cfg.max_per_cell)
 
     # (d) stereo-match candidates cam0 -> cam1 (bidirectional KLT).
     cand_pos1, cand_A1, stereo_ok = klt.track_points_bidirectional(

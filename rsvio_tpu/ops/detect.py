@@ -105,14 +105,16 @@ def shi_tomasi_score(img):
     return 0.5 * (tr - disc)
 
 
-@partial(jax.jit, static_argnames=("cell_size", "margin"))
+@partial(jax.jit, static_argnames=("cell_size", "margin", "max_per_cell"))
 def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
-                         margin: int = 19, min_score: float = 10.0):
-    """Pick the best-scoring pixel in each unoccupied grid cell.
+                         margin: int = 19, min_score: float = 10.0,
+                         max_per_cell: int = 1):
+    """Pick the top-k scoring pixels in each unoccupied grid cell.
 
     Capability of ref src/feature_tracker/image_utilities.rs:108-175: cells
     already containing a tracked feature are skipped; a border margin excludes
-    edge pixels; at most one new corner per cell.
+    edge pixels; at most max_per_cell new corners per cell (ref config
+    feature_detection.max_features_per_grid).
 
     Args:
       score: (H, W) corner score map.
@@ -121,10 +123,11 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
       cell_size: grid cell edge in px (ref config feature_detection.grid_size).
       margin: border exclusion in px (ref EDGE_THRESHOLD = 19).
       min_score: minimum corner score (floor of the reference's 40->10 cascade).
+      max_per_cell: corners per cell (static).
 
     Returns:
-      cand_xy: (C, 2) float candidate positions (cell winners), C = num cells.
-      cand_ok: (C,) bool — cell had an unoccupied, above-threshold winner.
+      cand_xy: (C * max_per_cell, 2) float candidate positions.
+      cand_ok: (C * max_per_cell,) bool validity.
     """
     H, W = score.shape
     gh, gw = H // cell_size, W // cell_size
@@ -137,15 +140,6 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
     s = s[: gh * cell_size, : gw * cell_size]
     cells = s.reshape(gh, cell_size, gw, cell_size).transpose(0, 2, 1, 3)
     cells = cells.reshape(gh * gw, cell_size * cell_size)
-    best = jnp.argmax(cells, axis=1)
-    best_score = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
-    cy = best // cell_size
-    cx = best % cell_size
-    cell_row = jnp.arange(gh * gw, dtype=jnp.int32) // gw
-    cell_col = jnp.arange(gh * gw, dtype=jnp.int32) % gw
-    cand_y = cell_row * cell_size + cy
-    cand_x = cell_col * cell_size + cx
-    cand_xy = jnp.stack([cand_x, cand_y], axis=1).astype(score.dtype)
 
     # Occupancy: scatter existing features into the cell grid.
     occ_col = jnp.clip((occupied_xy[:, 0] // cell_size).astype(jnp.int32), 0, gw - 1)
@@ -153,5 +147,19 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
     occ_idx = occ_row * gw + occ_col
     occ = jnp.zeros((gh * gw,), dtype=bool).at[occ_idx].max(occupied_mask)
 
-    cand_ok = (best_score > min_score) & (~occ)
-    return cand_xy, cand_ok
+    cell_row = jnp.arange(gh * gw, dtype=jnp.int32) // gw
+    cell_col = jnp.arange(gh * gw, dtype=jnp.int32) % gw
+    xy_all, ok_all = [], []
+    for _k in range(max_per_cell):
+        best = jnp.argmax(cells, axis=1)
+        best_score = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+        cy = best // cell_size
+        cx = best % cell_size
+        cand_y = cell_row * cell_size + cy
+        cand_x = cell_col * cell_size + cx
+        xy_all.append(jnp.stack([cand_x, cand_y], axis=1).astype(score.dtype))
+        ok_all.append((best_score > min_score) & (~occ))
+        if max_per_cell > 1:
+            # Suppress the winner before picking the next one.
+            cells = cells.at[jnp.arange(gh * gw), best].set(-jnp.inf)
+    return jnp.concatenate(xy_all, axis=0), jnp.concatenate(ok_all, axis=0)

@@ -150,6 +150,7 @@ def make_estimator_config(cfg: Config):
         cell_size=cfg.feature_detection.grid_size,
         detect_margin=cfg.tracker.detect_margin,
         min_score=cfg.tracker.min_corner_score,
+        max_per_cell=cfg.feature_detection.max_features_per_grid,
         klt=klt_cfg,
     )
     ecfg = est.EstimatorConfig(
