@@ -76,6 +76,16 @@ class BAResult(NamedTuple):
     metrics: jnp.ndarray = None  # (max_iterations, 4)
 
 
+def lm_status(cost_conv, param_conv, hard_fail):
+    """Shared LM convergence-status selection (same taxonomy in every
+    solver: PnP, BA, marginalized BA, VIO BA, distributed BA)."""
+    return jnp.where(
+        cost_conv, STATUS_COST_TOL,
+        jnp.where(param_conv, STATUS_PARAM_TOL,
+                  jnp.where(hard_fail, STATUS_FAILED,
+                            STATUS_MAX_ITERATIONS))).astype(jnp.int32)
+
+
 def stereo_observability_mask(obs_mask, lm_valid):
     """Landmark eligibility: valid slot AND observed >=1 time in BOTH cameras
     across the window (ref sliding_window.rs:243-246).
@@ -257,12 +267,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
-        status = jnp.where(
-            cost_conv, STATUS_COST_TOL,
-            jnp.where(param_conv, STATUS_PARAM_TOL,
-                      jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
-        return (T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32),
-                metrics)
+        status = lm_status(cost_conv, param_conv, hard_fail)
+        return (T_B_W, lms, cost, lam, it + 1, done, status, metrics)
 
     init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
@@ -401,12 +407,8 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
-        status = jnp.where(
-            cost_conv, STATUS_COST_TOL,
-            jnp.where(param_conv, STATUS_PARAM_TOL,
-                      jnp.where(hard_fail, STATUS_FAILED,
-                                STATUS_MAX_ITERATIONS)))
-        return T_B_W, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+        status = lm_status(cost_conv, param_conv, hard_fail)
+        return T_B_W, lms, cost, lam, it + 1, done, status
 
     init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,

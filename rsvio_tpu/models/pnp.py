@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import lie
 from ..ops.projection import linearize_projection, projection_cost
+from .ba import lm_status as ba_lm_status
 
 # Convergence-status taxonomy (parity with the reference's success statuses,
 # ref sliding_window.rs:383-462: any of Converged/CostTol/ParamTol/... counts
@@ -126,11 +127,8 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         g = jnp.where(accept, g_new, g)
         cost = jnp.where(accept, cost_new, cost)
         done = cost_conv | param_conv | hard_fail
-        status = jnp.where(
-            cost_conv, STATUS_COST_TOL,
-            jnp.where(param_conv, STATUS_PARAM_TOL,
-                      jnp.where(hard_fail, STATUS_FAILED, STATUS_MAX_ITERATIONS)))
-        return T, H, g, cost, lam, it + 1, done, status.astype(jnp.int32), metrics
+        status = ba_lm_status(cost_conv, param_conv, hard_fail)
+        return T, H, g, cost, lam, it + 1, done, status, metrics
 
     init = (T_B_W0, H0, g0, cost0,
             jnp.asarray(cfg.lambda_init, dtype), jnp.asarray(0, jnp.int32),

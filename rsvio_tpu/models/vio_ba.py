@@ -275,12 +275,8 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
-        status = jnp.where(
-            cost_conv, ba_mod.STATUS_COST_TOL,
-            jnp.where(param_conv, ba_mod.STATUS_PARAM_TOL,
-                      jnp.where(hard_fail, ba_mod.STATUS_FAILED,
-                                ba_mod.STATUS_MAX_ITERATIONS)))
-        return st, lms, cost, lam, it + 1, done, status.astype(jnp.int32)
+        status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
+        return st, lms, cost, lam, it + 1, done, status
 
     init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,

@@ -29,6 +29,10 @@ def load_state(path: str, template):
     (a freshly initialized state of the same configuration)."""
     data = np.load(path)
     leaves_t, treedef = jax.tree.flatten(template)
+    stored_td = bytes(data["__treedef__"]).decode()
+    if json.loads(stored_td) != str(treedef):
+        raise ValueError("checkpoint tree structure differs from template "
+                         "— config mismatch")
     leaves = []
     for i, t in enumerate(leaves_t):
         arr = data[f"leaf_{i}"]
