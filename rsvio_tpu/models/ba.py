@@ -59,6 +59,10 @@ class BAConfig(NamedTuple):
     lambda_init: float = 1e-4
     lambda_max: float = 1e8
     min_residual_blocks: int = 6  # ref :309-319
+    # Freeze keyframe rotations and update translations only — the
+    # development variant the reference ships as
+    # BundleAdjustmentFactorTranslationOnly (ref factors.rs:147-271).
+    translation_only: bool = False
 
 
 class BAResult(NamedTuple):
@@ -249,6 +253,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         H_pp, H_ll, H_pl, g_p, g_l = lin_and_blocks(T_B_W, lms)
         delta_p, delta_l, ok_step = schur_solve(
             H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first)
+        if cfg.translation_only:
+            delta_p = delta_p.at[:, 3:].set(0.0)
         delta_p = jnp.where(ok_step, delta_p, 0.0)
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)

@@ -169,3 +169,20 @@ class TestSchur:
                                    rtol=2e-2, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dl).ravel(), delta[W*6:],
                                    rtol=2e-2, atol=2e-4)
+
+
+class TestTranslationOnly:
+    def test_rotations_frozen(self):
+        """translation_only must recover translations while leaving every
+        keyframe rotation at its initial value (analog of ref
+        test_bundle_adjustment_factor_translation_only)."""
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=31, pose_noise=0.05, lm_noise=0.1, rot_noise=0.0)
+        cfg = ba.BAConfig(translation_only=True)
+        res = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid, cfg)
+        assert bool(res.success)
+        np.testing.assert_allclose(res.T_W_B[:, :3, :3], T_init[:, :3, :3],
+                                   atol=1e-6)
+        t_err = np.abs(np.asarray(res.T_W_B[:, :3, 3])
+                       - np.asarray(T_gt[:, :3, 3])).max()
+        assert t_err < 1e-2, t_err
