@@ -1,0 +1,194 @@
+"""Distributed visual-inertial BA: landmark-sharded Schur reduction with
+replicated IMU factors over a device mesh.
+
+Extends parallel.dist_ba to the 15-dim VIO states of models.vio_ba
+(BASELINE.json config 5 at VIO scale): visual observations are sharded over
+landmarks exactly as in the VO case; IMU preintegration factors touch only
+the (replicated) keyframe states, so every device linearizes them
+identically — no communication. Per LM iteration the only collectives are
+the psum of the visual contribution to the (W·15)^2 reduced state system and
+of scalar bookkeeping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models import ba as ba_mod
+from ..models import vio_ba
+from ..models.vio_ba import D, VIOBAConfig, VIOState
+from ..ops import lie
+from .mesh import LANDMARK_AXIS
+
+
+def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
+                             obs_mask, lm_valid, preint, preint_valid,
+                             cfg: VIOBAConfig = VIOBAConfig(),
+                             fix_first: bool = True):
+    """Landmark-sharded solve_vio_ba over `mesh` (1-D, axis LANDMARK_AXIS).
+
+    Same contract as models.vio_ba.solve_vio_ba; the landmark count must
+    divide the mesh size. Returns a vio_ba.VIOBAResult.
+    """
+    axis = LANDMARK_AXIS
+    W = state.T_W_B.shape[0]
+    dtype = state.T_W_B.dtype
+    state_spec = VIOState(T_W_B=P(), vel=P(), bg=P(), ba=P())
+    pre_spec = jax.tree.map(lambda _: P(), preint)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
+                  P(None, None, axis), P(axis), pre_spec, P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid):
+        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask = mask_in & lm_active[None, None, :]
+        n_vis = jax.lax.psum(jnp.sum(mask), axis)
+        n_lm_act = jax.lax.psum(jnp.sum(lm_active), axis)
+        n_blocks = n_vis + jnp.sum(preint_valid)
+        n_rows = 2 * n_vis + 15 * jnp.sum(preint_valid)
+        n_vars = W * D - 6 + 3 * n_lm_act
+        attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
+
+        def total_cost(st: VIOState, lms):
+            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+            vis = jax.lax.psum(
+                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
+                                   cfg.huber_delta), axis)
+
+            def imu_cost(i):
+                si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
+                sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
+                      st.ba[i + 1])
+                pre_i = jax.tree.map(lambda x: x[i], preint)
+                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg)
+                return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
+
+            return vis + jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
+
+        cost0 = total_cost(st0, lms)
+
+        def build_system(st: VIOState, lms, lam):
+            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+            lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
+                                        cfg.huber_delta)
+            H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
+            # Visual pose blocks are partial sums over the landmark shards.
+            H_pp6 = jax.lax.psum(H_pp6, axis)
+            g_p6 = jax.lax.psum(g_p6, axis)
+
+            H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
+            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
+            g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
+            H_sl = jnp.zeros((W, lms.shape[0], D, 3), dtype=dtype)
+            H_sl = H_sl.at[:, :, :6, :].add(H_pl6)
+
+            # IMU factors: replicated states -> identical on every device.
+            def imu_blocks(i):
+                r, J_i, J_j = vio_ba._imu_linearize_one(
+                    jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                w = preint_valid[i].astype(dtype)
+                return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
+                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))
+
+            Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+            idx = jnp.arange(W - 1)
+            H_ss = H_ss.at[idx, idx].add(Hii)
+            H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
+            H_ss = H_ss.at[idx, idx + 1].add(Hij)
+            H_ss = H_ss.at[idx + 1, idx].add(jnp.swapaxes(Hij, -1, -2))
+            g_s = g_s.at[idx].add(gi)
+            g_s = g_s.at[idx + 1].add(gj)
+
+            diag_ss = jnp.maximum(
+                jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
+            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+                lam * jax.vmap(jnp.diag)(diag_ss))
+            dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+            H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+            eye3 = jnp.eye(3, dtype=dtype)
+            H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_sl_m = jnp.where(lm_active[None, :, None, None], H_sl, 0.0)
+            return H_ss, H_ll_d, H_sl_m, g_s, g_l_m
+
+        def schur_step(H_ss, H_ll_d, H_sl, g_s, g_l):
+            H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
+            A = jnp.einsum("wlij,ljk->wlik", H_sl, H_ll_inv)
+            # Local landmark-elimination contribution, one psum -> global.
+            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_sl)
+            b_local = jnp.einsum("wlik,lk->wi", A, g_l)
+            S_blocks = H_ss + jax.lax.psum(S_local, axis)
+            b_red = jax.lax.psum(b_local, axis) - g_s
+            S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
+            b = b_red.reshape(W * D)
+            if fix_first:
+                m = jnp.ones(W * D, dtype=dtype).at[:6].set(0.0)
+                S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+                b = b * m
+            cho = jax.scipy.linalg.cho_factor(S, lower=True)
+            delta_s = jax.scipy.linalg.cho_solve(cho, b).reshape(W, D)
+            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_sl, delta_s)
+            delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+            delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+            local_ok = (jnp.all(jnp.isfinite(delta_l))
+                        & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
+            n_bad = jax.lax.psum(1 - local_ok, axis)
+            ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
+            return delta_s, delta_l, ok
+
+        def cond(c):
+            return (~c[-2]) & (c[4] < cfg.max_iterations)
+
+        def body(c):
+            st, lms, cost, lam, it, done, status = c
+            H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
+            delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl,
+                                                   g_s, g_l_m)
+            delta_s = jnp.where(ok_step, delta_s, 0.0)
+            delta_l = jnp.where(ok_step, delta_l, 0.0)
+            st_new = vio_ba._retract_state(st, delta_s)
+            lms_new = lms + delta_l
+            new_cost = total_cost(st_new, lms_new)
+            accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+            cost_conv = accept & (jnp.abs(cost - new_cost)
+                                  <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+            step_sq = jnp.sum(delta_s ** 2) + jax.lax.psum(
+                jnp.sum(delta_l ** 2), axis)
+            param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
+            lms = jnp.where(accept, lms_new, lms)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+            hard_fail = lam > cfg.lambda_max
+            done = cost_conv | param_conv | hard_fail
+            status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
+            return st, lms, cost, lam, it + 1, done, status
+
+        init = (st0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+                jnp.asarray(0, jnp.int32), ~attempt,
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
+        st, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+            cond, body, init)
+
+        status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
+        success = attempt & (status != ba_mod.STATUS_FAILED)
+        st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
+        lms_final = jnp.where(success, lms_out, lms)
+        return st_out, lms_final, success, status, cost0, cost, it
+
+    st_out, lms_out, success, status, cost0, cost, it = jax.jit(_solve)(
+        state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
+        preint_valid)
+    return vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
+                              success=success, status=status,
+                              initial_cost=cost0, final_cost=cost,
+                              iterations=it)

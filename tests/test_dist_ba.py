@@ -54,3 +54,25 @@ class TestDistributedBA:
             mesh8, T_init, T_C_B, lms, obs, mask, lm_valid)
         assert not bool(res.success)
         np.testing.assert_allclose(res.T_W_B, T_init)
+
+
+class TestDistributedVIOBA:
+    def test_matches_single_device(self, mesh8):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_vio_ba import make_vio_problem
+        from rsvio_tpu.models import vio_ba
+        from rsvio_tpu.parallel import dist_vio_ba
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         T_gt, v_gt, p_gt) = make_vio_problem(seed=41)
+        res_local = vio_ba.solve_vio_ba(st0, T_C_B, lms, obs, mask, lm_valid,
+                                        pre, pre_valid)
+        res_dist = dist_vio_ba.solve_vio_ba_distributed(
+            mesh8, st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid)
+        assert bool(res_local.success) and bool(res_dist.success)
+        np.testing.assert_allclose(res_dist.state.T_W_B, res_local.state.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_dist.state.vel, res_local.state.vel,
+                                   rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(res_dist.landmarks, res_local.landmarks,
+                                   rtol=1e-3, atol=1e-4)
