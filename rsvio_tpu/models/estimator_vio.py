@@ -39,6 +39,10 @@ from .imu import ImuParams, Preintegrated
 class VIOEstimatorConfig(NamedTuple):
     base: EstimatorConfig = EstimatorConfig()
     imu_buf: int = 64                    # max IMU samples per frame
+    # Samples buffered per keyframe interval; at KF time the whole interval
+    # is re-preintegrated at the CURRENT bias estimate (exact, no first-order
+    # chaining error). 512 covers >2.5 s at 200 Hz.
+    interval_buf: int = 512
     imu_params: ImuParams = ImuParams()
     vio: vio_ba.VIOBAConfig = vio_ba.VIOBAConfig()
 
@@ -107,9 +111,12 @@ class VIOEstimatorState(NamedTuple):
     # IMU preintegration per window interval (W-1 leading dim) + validity
     kf_preint: Preintegrated
     kf_preint_valid: jnp.ndarray  # (W-1,)
-    # running preintegration since last keyframe
-    run_preint: Preintegrated
-    run_valid: jnp.ndarray    # () bool — any samples integrated
+    # raw IMU samples buffered since the last keyframe (re-preintegrated at
+    # the current bias when the interval closes)
+    buf_gyro: jnp.ndarray     # (B,3)
+    buf_accel: jnp.ndarray    # (B,3)
+    buf_dts: jnp.ndarray      # (B,)
+    buf_count: jnp.ndarray    # () int32
     # landmarks
     lm: jnp.ndarray
     lm_fid: jnp.ndarray
@@ -144,8 +151,10 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
         obs_fid=jnp.full((W, N), -1, jnp.int32),
         kf_preint=kf_pre,
         kf_preint_valid=jnp.zeros((W - 1,), dtype=bool),
-        run_preint=empty,
-        run_valid=jnp.asarray(False),
+        buf_gyro=jnp.zeros((cfg.interval_buf, 3), dtype=dtype),
+        buf_accel=jnp.zeros((cfg.interval_buf, 3), dtype=dtype),
+        buf_dts=jnp.zeros((cfg.interval_buf,), dtype=dtype),
+        buf_count=jnp.asarray(0, jnp.int32),
         lm=jnp.zeros((N, 3), dtype=dtype),
         lm_fid=jnp.full((N,), -1, jnp.int32),
         T_W_B=eye, vel=jnp.zeros(3, dtype=dtype),
@@ -180,17 +189,25 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
         pyr0 = pyramid.build_pyramid(img0, b.frontend.klt.levels)
         pyr1 = pyramid.build_pyramid(img1, b.frontend.klt.levels)
 
-        # ---- preintegrate this frame's IMU samples and chain ----
+        # ---- this frame's IMU samples: preintegrate for motion prediction
+        # and append to the keyframe-interval sample buffer ----
         frame_pre = imu_mod.preintegrate(gyro, accel, dts, imu_mask,
                                          state.bg, state.ba, cfg.imu_params)
         have_samples = jnp.any(imu_mask)
-        run_pre = jax.tree.map(
-            lambda a, c: jnp.where(state.run_valid, c, a),
-            frame_pre, _chain_preint(state.run_preint, frame_pre))
-        run_pre = jax.tree.map(
-            lambda new, old: jnp.where(have_samples, new, old),
-            run_pre, state.run_preint)
-        run_valid = state.run_valid | have_samples
+        n_new = jnp.sum(imu_mask.astype(jnp.int32))
+        B_cap = cfg.interval_buf
+        # Scatter the frame's masked samples at buf_count.. (static-shape
+        # scatter via target indices; overflow clamps to the last slot and is
+        # flagged by buf_count saturating).
+        tgt = state.buf_count + jnp.cumsum(imu_mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(imu_mask, jnp.clip(tgt, 0, B_cap - 1), B_cap)
+        def buf_scatter(buf, vals):
+            padded = jnp.concatenate([buf, buf[-1:]], axis=0)
+            return padded.at[tgt].set(vals)[:B_cap]
+        buf_gyro = buf_scatter(state.buf_gyro, gyro)
+        buf_accel = buf_scatter(state.buf_accel, accel)
+        buf_dts = buf_scatter(state.buf_dts, dts)
+        buf_count = jnp.minimum(state.buf_count + n_new, B_cap)
 
         # ---- frontend ----
         table_in = state.table._replace(
@@ -242,8 +259,16 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
             obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
             obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
-            # interval i joins KF i and i+1: the running preintegration lands
-            # at slot ins-1 (valid only when there is a previous KF)
+            # interval i joins KF i and i+1: re-preintegrate the buffered
+            # samples at the CURRENT bias estimate (exact — avoids the
+            # first-order error of chaining per-frame preintegrations) and
+            # land the result at slot ins-1 (valid only when a previous KF
+            # exists and the buffer did not overflow).
+            buf_mask = jnp.arange(B_cap) < buf_count
+            run_pre = imu_mod.preintegrate(
+                buf_gyro, buf_accel, buf_dts, buf_mask,
+                state.bg, state.ba, cfg.imu_params)
+            run_valid = (buf_count > 0) & (buf_count < B_cap)
             pre_roll = jax.tree.map(
                 lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
                 state.kf_preint)
@@ -302,22 +327,16 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, v_pred, state.lm, state.lm_fid))
 
-        empty = _empty_preint(T_out.dtype)
-        # On keyframes the running preintegration restarts at the new bias
-        # linearization point.
-        run_pre_out = jax.tree.map(
-            lambda e, r: jnp.where(reset_run, e, r), empty, run_pre)
-        run_pre_out = run_pre_out._replace(
-            bias_gyro=jnp.where(reset_run, bg_out, run_pre_out.bias_gyro),
-            bias_accel=jnp.where(reset_run, ba_out, run_pre_out.bias_accel))
-        run_valid_out = jnp.where(reset_run, False, run_valid)
+        # On keyframes the interval sample buffer restarts.
+        buf_count_out = jnp.where(reset_run, 0, buf_count)
 
         new_state = VIOEstimatorState(
             table=table, pyr0=pyr0, pyr1=pyr1,
             kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
             kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
             kf_preint=kf_pre, kf_preint_valid=kf_pv,
-            run_preint=run_pre_out, run_valid=run_valid_out,
+            buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
+            buf_count=buf_count_out,
             lm=lm, lm_fid=lm_fid,
             T_W_B=T_out, vel=v_out, bg=bg_out, ba=ba_out,
             last_kf_T_W_B=last_kf,
