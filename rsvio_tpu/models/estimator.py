@@ -50,6 +50,11 @@ class EstimatorConfig(NamedTuple):
     # dropping their constraints (the accuracy upgrade the reference defers,
     # ref README.md:79). Off by default for reference-parity comparisons.
     use_marginalization: bool = False
+    # Track and optimize BEFORE the window fills (the reference holds the
+    # pose at identity until then, ref sliding_window.rs:137-157 — frame 0
+    # anchors the world frame either way, so early tracking is strictly
+    # better; disable for behavior-parity comparisons).
+    track_before_full: bool = True
 
 
 class CameraRig(NamedTuple):
@@ -172,8 +177,12 @@ def make_estimator_step(cfg: EstimatorConfig):
         obs_cur, obs_cur_mask = _undistort_table(cfg, rig, table)
 
         window_full = state.kf_count >= W
+        # PnP engages once any landmarks exist (frame 0 anchors the gauge);
+        # with track_before_full=False it waits for a full window like the
+        # reference.
+        pnp_ready = window_full if not cfg.track_before_full else (
+            state.kf_count >= 1)
 
-        # --- PnP motion tracking (only meaningful once the window is full)
         lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
         pnp_mask = obs_cur_mask & lm_ok[None, :]
 
@@ -185,7 +194,7 @@ def make_estimator_step(cfg: EstimatorConfig):
         def skip_pnp(_):
             return state.T_W_B, jnp.asarray(False)
 
-        T_pnp, pnp_success = jax.lax.cond(window_full, run_pnp, skip_pnp, None)
+        T_pnp, pnp_success = jax.lax.cond(pnp_ready, run_pnp, skip_pnp, None)
         T_cur = jnp.where(pnp_success, T_pnp, state.T_W_B)
 
         # --- keyframe policy (ref estimator.rs:203-225)
@@ -220,8 +229,10 @@ def make_estimator_step(cfg: EstimatorConfig):
             obs_f = obs_f.at[ins].set(table.fid)
             kf_count = jnp.minimum(state.kf_count + 1, W)
 
-            # BA only when the window is full (ref sliding_window.rs:137-157).
-            full_now = kf_count >= W
+            # BA once >= 2 keyframes exist (or, for reference parity, only
+            # when the window is full — ref sliding_window.rs:137-157).
+            full_now = (kf_count >= W if not cfg.track_before_full
+                        else kf_count >= 2)
             # Observation valid only if slot not recycled since that KF.
             eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
             # Zero out rows for not-yet-filled KF slots.

@@ -217,6 +217,8 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
         obs_cur, obs_cur_mask = _undistort_table(b, rig, table)
 
         window_full = state.kf_count >= W
+        pnp_ready = window_full if not b.track_before_full else (
+            state.kf_count >= 1)
 
         # ---- IMU motion prediction, PnP refinement ----
         T_pred, v_pred = _imu_predict(state.T_W_B, state.vel, frame_pre)
@@ -233,7 +235,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             return res.T_W_B, res.success
 
         T_pnp, pnp_success = jax.lax.cond(
-            window_full, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
+            pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
         T_cur = jnp.where(pnp_success, T_pnp, T_pred)
 
         # ---- keyframe policy ----
@@ -283,7 +285,8 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                 jnp.where(ins > 0, run_valid, pv_roll[slot]))
             kf_count = jnp.minimum(state.kf_count + 1, W)
 
-            full_now = kf_count >= W
+            full_now = (kf_count >= W if not b.track_before_full
+                        else kf_count >= 2)
             eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
             kf_valid = jnp.arange(W) < kf_count
             eff_mask = eff_mask & kf_valid[:, None, None]
