@@ -49,13 +49,14 @@ class PlayerResult:
     avg_processing_time_ms: float = 0.0
 
 
-def _imu_buffer_for_frame(imu_data, prev_ts, cur_ts, buf: int = 64):
+def _imu_buffer_for_frame(imu_data, prev_ts, cur_ts, buf: int = 64,
+                          np_dtype=np.float32):
     """Fixed-capacity masked IMU buffer for the interval (prev_ts, cur_ts]."""
     import jax.numpy as jnp
 
-    gyro = np.zeros((buf, 3), np.float32)
-    accel = np.zeros((buf, 3), np.float32)
-    dts = np.zeros((buf,), np.float32)
+    gyro = np.zeros((buf, 3), np_dtype)
+    accel = np.zeros((buf, 3), np_dtype)
+    dts = np.zeros((buf,), np_dtype)
     mask = np.zeros((buf,), bool)
     if prev_ts is not None:
         ts = imu_data["ts"]
@@ -66,7 +67,7 @@ def _imu_buffer_for_frame(imu_data, prev_ts, cur_ts, buf: int = 64):
             accel[:n] = imu_data["accel"][sel]
             t = ts[sel].astype(np.float64)
             prev = np.concatenate([[prev_ts], t[:-1]])
-            dts[:n] = ((t - prev) * 1e-9).astype(np.float32)
+            dts[:n] = ((t - prev) * 1e-9).astype(np_dtype)
             mask[:n] = True
     return (jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts),
             jnp.asarray(mask))
@@ -97,6 +98,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
     enable_compilation_cache()
 
     cfg = load_config(config_path)
+    if cfg.precision == "f64":
+        # Runtime analog of the reference's `use_f32` feature flag (ref
+        # src/types.rs:17-23, default f64 there). Must precede array
+        # creation below so the rig/state come out in double.
+        jax.config.update("jax_enable_x64", True)
+        log.info("precision: f64 (jax x64 enabled)")
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
     ecfg, rig = make_estimator_config(cfg)
 
     imu_data = None
@@ -111,13 +119,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             }
             vcfg = ev.VIOEstimatorConfig(base=ecfg)
             step = ev.make_vio_estimator_step(vcfg)
-            state = ev.init_vio_state(vcfg)
+            state = ev.init_vio_state(vcfg, dtype=dtype)
             log.info("VIO mode: %d IMU samples loaded", len(samples))
         else:
             log.warning("VIO requested but no IMU data found; running VO")
     if imu_data is None:
         step = est.make_estimator_step(ecfg)
-        state = est.init_state(ecfg)
+        state = est.init_state(ecfg, dtype=dtype)
 
     if pcfg.checkpoint_in:
         from ..utils.checkpoint import load_state
@@ -173,12 +181,14 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         t_start = time.time()
         try:
             with profiling.span("frame_creation"):
-                img_l = jnp.asarray(frame.left)
-                img_r = jnp.asarray(frame.right)
+                img_l = jnp.asarray(frame.left, dtype)
+                img_r = jnp.asarray(frame.right, dtype)
             with profiling.span("process_frame"):
                 if imu_data is not None:
                     gy, ac, dt_s, msk = _imu_buffer_for_frame(
-                        imu_data, prev_ts, frame.timestamp_ns, buf=64)
+                        imu_data, prev_ts, frame.timestamp_ns, buf=64,
+                        np_dtype=np.float64 if cfg.precision == "f64"
+                        else np.float32)
                     state, out = step(state, rig, img_l, img_r,
                                       gy, ac, dt_s, msk)
                 else:

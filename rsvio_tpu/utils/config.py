@@ -79,6 +79,12 @@ class SolverConfig:
 
 @dataclasses.dataclass
 class Config:
+    # Runtime analog of the reference's compile-time `use_f32` cargo feature
+    # (ref src/types.rs:17-23). The reference defaults to f64 on CPU; on TPU
+    # f32 is the native register width so it is the default here — set
+    # `precision: f64` in the YAML to run the whole pipeline in double
+    # (enables jax x64 at startup).
+    precision: str = "f32"
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     keyframe_management: KeyframeManagementConfig = dataclasses.field(
         default_factory=KeyframeManagementConfig)
@@ -106,7 +112,11 @@ def load_config(path: str) -> Config:
         lines = [ln for ln in f.read().splitlines()
                  if not ln.strip().startswith("%YAML")]
     data = yaml.safe_load("\n".join(lines)) or {}
+    precision = str(data.get("precision", "f32")).lower()
+    if precision not in ("f32", "f64"):
+        raise ValueError(f"precision must be f32 or f64, got {precision!r}")
     return Config(
+        precision=precision,
         camera=_fill(CameraConfig, data.get("camera")),
         keyframe_management=_fill(KeyframeManagementConfig,
                                   data.get("keyframe_management")),
@@ -129,15 +139,16 @@ def make_estimator_config(cfg: Config):
     from ..ops import cameras
     from ..ops.klt import KLTConfig
 
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
     kind_l = cfg.camera.left_model or "pinhole-radtan"
     kind_r = cfg.camera.right_model or "pinhole-radtan"
     params_l = cameras.pack_params(kind_l, cfg.camera.left_intrinsics,
-                                   cfg.camera.left_distortion)
+                                   cfg.camera.left_distortion, dtype=dtype)
     params_r = cameras.pack_params(kind_r, cfg.camera.right_intrinsics,
-                                   cfg.camera.right_distortion)
+                                   cfg.camera.right_distortion, dtype=dtype)
     rig = est.make_rig(params_l, params_r,
-                       jnp.asarray(cfg.camera.T_B_Cl_matrix(), dtype=jnp.float32),
-                       jnp.asarray(cfg.camera.T_B_Cr_matrix(), dtype=jnp.float32))
+                       jnp.asarray(cfg.camera.T_B_Cl_matrix(), dtype=dtype),
+                       jnp.asarray(cfg.camera.T_B_Cr_matrix(), dtype=dtype))
 
     klt_cfg = KLTConfig(
         max_iterations=cfg.feature_detection.optical_flow_max_iterations,

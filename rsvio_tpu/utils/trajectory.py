@@ -123,6 +123,50 @@ def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray, with_scale: bool = False):
     return float(np.sqrt((err ** 2).mean())), aligned
 
 
+def load_gnss_poses(path: str):
+    """Parse a 4Seasons `GNSSPoses.txt` ground-truth file.
+
+    Format (comma-separated, `#` comments): per line
+    `frame_ts_ns, tx, ty, tz, qx, qy, qz, qw[, scale_gnss_to_metric, ...]`.
+    The optional 9th column is the GNSS-to-metric scale; trailing flag
+    columns are ignored. The reference never parses this file (its
+    trajectory path is a stub, ref src/datasets/euroc_player.rs:316-323);
+    this enables the ATE north-star metric on 4Seasons (SURVEY.md §6).
+
+    Returns (timestamps_ns (N,) int64, positions (N,3), quats xyzw (N,4)),
+    positions already multiplied by the per-line scale when present.
+    """
+    ts, pos, quat = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = line.replace(",", " ").split()
+            if len(vals) < 8:
+                continue
+            nums = [float(v) for v in vals[:9]] if len(vals) >= 9 else \
+                [float(v) for v in vals[:8]] + [1.0]
+            scale = nums[8] if nums[8] > 0 else 1.0
+            ts.append(int(float(vals[0])))
+            pos.append([nums[1] * scale, nums[2] * scale, nums[3] * scale])
+            quat.append(nums[4:8])
+    return (np.asarray(ts, dtype=np.int64), np.asarray(pos),
+            np.asarray(quat))
+
+
+def gnss_to_tum(src: str, dst: str):
+    """Convert 4Seasons GNSSPoses.txt to a TUM-format trajectory file
+    (`t[s] x y z qx qy qz qw`), usable directly with evaluate_ate()."""
+    ts, pos, quat = load_gnss_poses(src)
+    with open(dst, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for t, p, q in zip(ts, pos, quat):
+            f.write(f"{t * 1e-9:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+    return len(ts)
+
+
 def evaluate_ate(est_file: str, gt_file: str, max_dt: float = 0.02,
                  with_scale: bool = False):
     """ATE between a TUM-format estimate and ground truth file."""

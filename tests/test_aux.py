@@ -107,3 +107,50 @@ class TestTartanAirPlayer:
         f = p.load_frame(2)
         assert f.left.shape == (24, 32)
         assert float(f.left[0, 0]) == 20.0
+
+
+class TestGnssToTum:
+    """4Seasons GNSSPoses.txt -> TUM ground-truth conversion (SURVEY.md §6:
+    needed for the ATE metric; neither trajectory export nor evaluation
+    exists in the reference)."""
+
+    GNSS = (
+        "# frame_ts_ns, tx, ty, tz, qx, qy, qz, qw, scale, flag\n"
+        "1000000000,1.0,2.0,3.0,0.0,0.0,0.0,1.0,2.0,1\n"
+        "2000000000, 4.0, 5.0, 6.0, 0.0, 0.0, 0.0, 1.0, 2.0, 1\n"
+        "3000000000,7.0,8.0,9.0,0.0,0.0,0.0,1.0\n"   # no scale column
+        "bad line that should be skipped\n"
+    )
+
+    def test_parse_applies_scale(self, tmp_path):
+        from rsvio_tpu.utils.trajectory import load_gnss_poses
+        src = tmp_path / "GNSSPoses.txt"
+        src.write_text(self.GNSS)
+        ts, pos, quat = load_gnss_poses(str(src))
+        assert list(ts) == [1000000000, 2000000000, 3000000000]
+        np.testing.assert_allclose(pos[0], [2.0, 4.0, 6.0])   # scaled x2
+        np.testing.assert_allclose(pos[2], [7.0, 8.0, 9.0])   # no scale
+        np.testing.assert_allclose(quat[1], [0, 0, 0, 1])
+
+    def test_convert_roundtrips_through_tum_loader(self, tmp_path):
+        from rsvio_tpu.utils.trajectory import gnss_to_tum, load_tum
+        src = tmp_path / "GNSSPoses.txt"
+        src.write_text(self.GNSS)
+        dst = tmp_path / "gt.tum"
+        n = gnss_to_tum(str(src), str(dst))
+        assert n == 3
+        ts, pos, quat = load_tum(str(dst))
+        np.testing.assert_allclose(ts, [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(pos[1], [8.0, 10.0, 12.0])
+
+    def test_cli_tool(self, tmp_path):
+        import subprocess, sys
+        src = tmp_path / "GNSSPoses.txt"
+        src.write_text(self.GNSS)
+        dst = tmp_path / "out.tum"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        res = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "gnss_to_tum.py"),
+             str(src), str(dst)], capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        assert dst.exists()
