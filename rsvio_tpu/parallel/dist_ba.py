@@ -161,3 +161,171 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
     return ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
                            status=status, initial_cost=cost0, final_cost=cost,
                            iterations=it)
+
+
+def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
+                                      obs_mask, lm_valid,
+                                      prior, will_evict,
+                                      cfg: ba_mod.BAConfig = ba_mod.BAConfig()):
+    """Landmark-sharded, prior-augmented BA over `mesh` + next-prior rollout.
+
+    Distributed counterpart of models.ba.solve_ba_marginalized (same contract,
+    returns (BAResult, new MargPrior)). The marginalization prior lives purely
+    on the pose states, which are replicated across the mesh, so it adds no
+    communication: each device injects the identical (W·6)² prior into its
+    copy of the reduced camera system after the per-iteration psum. The final
+    linearized system used to produce the next prior is itself the psum-ed
+    reduced system, so the marginalization (a (6,6) block elimination) runs
+    replicated outside the shard_map.
+    """
+    from ..models.marginalization import marginalize_oldest, prior_terms
+
+    axis = LANDMARK_AXIS
+    W = T_W_B.shape[0]
+    dtype = T_W_B.dtype
+    no_extra = jnp.zeros((W, 0), dtype=dtype)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(None, None, axis, None),
+                  P(None, None, axis), P(axis), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior):
+        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask = mask_in & lm_active[None, None, :]
+        n_blocks = jax.lax.psum(jnp.sum(mask), axis)
+        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active), axis)
+        attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
+        fix_first = ~prior.valid
+
+        T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
+
+        def full_cost(T_B_W, lms):
+            vis = jax.lax.psum(
+                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
+                                   cfg.huber_delta), axis)
+            T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
+            _, _, pcost = prior_terms(prior, T_W_B_cur, no_extra)
+            return vis + pcost  # prior term is replicated, added once per copy
+
+        def reduced_system(T_B_W, lms, lam):
+            """Damped, prior-augmented reduced system (replicated) + the
+            local landmark-shard pieces for back-substitution. Mirrors
+            ba.solve_ba_marginalized.reduced_system with psum reductions."""
+            lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
+                                        cfg.huber_delta)
+            H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
+            H_pp = jax.lax.psum(H_pp, axis)
+            g_p = jax.lax.psum(g_p, axis)
+            T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
+            H_add, g_add, _ = prior_terms(prior, T_W_B_cur, no_extra)
+
+            dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
+            H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
+            dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+            H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+            eye3 = jnp.eye(3, dtype=dtype)
+            H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+
+            H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
+            A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
+            S_blocks = jax.lax.psum(
+                -jnp.einsum("wlik,vljk->wvij", A, H_pl_m), axis)
+            S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
+            S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6) + H_add
+            b_sub = jax.lax.psum(jnp.einsum("wlik,lk->wi", A, g_l_m), axis)
+            b = (-(g_p - b_sub)).reshape(W * 6) - g_add
+            return S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok
+
+        def solve_from_system(S, b):
+            def fixed(args):
+                S_, b_ = args
+                m = jnp.concatenate([jnp.zeros(6, dtype=dtype),
+                                     jnp.ones((W - 1) * 6, dtype=dtype)])
+                return S_ * m[:, None] * m[None, :] + jnp.diag(1.0 - m), b_ * m
+
+            S2, b2 = jax.lax.cond(fix_first, fixed, lambda a: a, (S, b))
+            cho = jax.scipy.linalg.cho_factor(S2, lower=True)
+            return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
+
+        cost0 = full_cost(T_B_W0, lms)
+
+        def cond(state):
+            return (~state[5]) & (state[4] < cfg.max_iterations)
+
+        def body(state):
+            T_B_W, lms, cost, lam, it, done, status = state
+            S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = reduced_system(
+                T_B_W, lms, lam)
+            delta_p = solve_from_system(S, b)
+            rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
+            delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+            delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+            local_ok = (jnp.all(jnp.isfinite(delta_l))
+                        & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
+            n_bad = jax.lax.psum(1 - local_ok, axis)
+            ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
+            delta_p = jnp.where(ok_step, delta_p, 0.0)
+            delta_l = jnp.where(ok_step, delta_l, 0.0)
+            T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
+            lms_new = lms + delta_l
+            new_cost = full_cost(T_new, lms_new)
+            accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+            cost_conv = accept & (jnp.abs(cost - new_cost)
+                                  <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+            step_sq = jnp.sum(delta_p ** 2) + jax.lax.psum(
+                jnp.sum(delta_l ** 2), axis)
+            param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            T_B_W = jnp.where(accept, T_new, T_B_W)
+            lms = jnp.where(accept, lms_new, lms)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+            hard_fail = lam > cfg.lambda_max
+            done = cost_conv | param_conv | hard_fail
+            status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
+            return (T_B_W, lms, cost, lam, it + 1, done, status)
+
+        init = (T_B_W0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+                jnp.asarray(0, jnp.int32), ~attempt,
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
+        T_B_W, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+            cond, body, init)
+
+        status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
+        success = attempt & (status != ba_mod.STATUS_FAILED)
+        T_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
+        lms_final = jnp.where(success, lms_out, lms)
+
+        # Final linearized (prior-augmented, landmark-eliminated) system at
+        # the accepted state — the input to next-prior marginalization.
+        S_f, b_f, *_ = reduced_system(
+            jax.vmap(lie.se3_inverse)(T_out), lms_final,
+            jnp.asarray(1e-5, dtype))
+        return (T_out, lms_final, success, status, cost0, cost, it, S_f, b_f)
+
+    @partial(jax.jit)
+    def _run(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
+             will_evict):
+        (T_out, lms_out, success, status, cost0, cost, it,
+         S_f, b_f) = _solve(T_W_B, T_C_B, landmarks, obs, obs_mask,
+                            lm_valid, prior)
+        # reduced_system returns b = -(gradient); marginalize expects +grad.
+        new_prior = marginalize_oldest(S_f, -b_f, T_out, no_extra, prior, 6)
+        do_new = will_evict & success
+        out_prior = jax.tree.map(
+            lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
+        out_prior = out_prior._replace(
+            valid=jnp.where(do_new, True, prior.valid))
+        return (T_out, lms_out, success, status, cost0, cost, it, out_prior)
+
+    (T_out, lms_out, success, status, cost0, cost, it, out_prior) = _run(
+        T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
+        jnp.asarray(will_evict))
+    result = ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
+                             status=status, initial_cost=cost0,
+                             final_cost=cost, iterations=it)
+    return result, out_prior

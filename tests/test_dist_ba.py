@@ -76,3 +76,69 @@ class TestDistributedVIOBA:
                                    rtol=1e-2, atol=1e-3)
         np.testing.assert_allclose(res_dist.landmarks, res_local.landmarks,
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestDistributedMarginalizedBA:
+    """Landmark-sharded prior-augmented BA must agree with the single-device
+    marginalized solver, both in the solution and in the produced prior."""
+
+    def test_matches_single_device_and_prior(self, mesh8):
+        from rsvio_tpu.models.marginalization import empty_prior
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=21, n_lm=32)
+        W = T_init.shape[0]
+        prior0 = empty_prior(W, 6)
+        res_l, prior_l = ba.solve_ba_marginalized(
+            T_init, T_C_B, lms, obs, mask, lm_valid, prior0,
+            jnp.asarray(True))
+        res_d, prior_d = dist_ba.solve_ba_marginalized_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid, prior0,
+            jnp.asarray(True))
+        assert bool(res_l.success) and bool(res_d.success)
+        np.testing.assert_allclose(res_d.T_W_B, res_l.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_d.landmarks, res_l.landmarks,
+                                   rtol=1e-3, atol=1e-4)
+        assert bool(prior_d.valid) and bool(prior_l.valid)
+        # Same linearization point and prior information (up to f32 psum
+        # reduction-order noise in the Schur products).
+        np.testing.assert_allclose(prior_d.T0, prior_l.T0,
+                                   rtol=1e-3, atol=1e-4)
+        scale = max(1.0, float(np.abs(np.asarray(prior_l.H)).max()))
+        np.testing.assert_allclose(np.asarray(prior_d.H) / scale,
+                                   np.asarray(prior_l.H) / scale,
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_prior_round_trip_anchors_gauge(self, mesh8):
+        """Second solve consuming the produced prior must run with the gauge
+        anchored by the prior (no first-pose fixing) and still converge."""
+        from rsvio_tpu.models.marginalization import empty_prior
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=22, n_lm=32)
+        W = T_init.shape[0]
+        _, prior = dist_ba.solve_ba_marginalized_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid,
+            empty_prior(W, 6), jnp.asarray(True))
+        # Roll the window the way the estimator would: drop pose 0, append a
+        # copy of the last pose; keep the same observations as a stand-in.
+        T_roll = jnp.concatenate([T_init[1:], T_init[-1:]], axis=0)
+        res2, prior2 = dist_ba.solve_ba_marginalized_distributed(
+            mesh8, T_roll, T_C_B, lms, obs, mask, lm_valid, prior,
+            jnp.asarray(False))
+        assert bool(res2.success)
+        assert bool(prior2.valid)
+        # The prior passes through unchanged when will_evict=False.
+        np.testing.assert_allclose(prior2.H, prior.H)
+
+    def test_under_constrained_skip_keeps_prior(self, mesh8):
+        from rsvio_tpu.models.marginalization import empty_prior
+        (T_init, T_C_B, lms, obs, mask, lm_valid, _, _) = make_problem(
+            seed=23, n_lm=32)
+        W = T_init.shape[0]
+        res, prior = dist_ba.solve_ba_marginalized_distributed(
+            mesh8, T_init, T_C_B, lms, jnp.zeros((W, 2, 32, 2)),
+            jnp.zeros((W, 2, 32), bool), lm_valid,
+            empty_prior(W, 6), jnp.asarray(True))
+        assert not bool(res.success)
+        assert not bool(prior.valid)
+        np.testing.assert_allclose(res.T_W_B, T_init)
