@@ -242,9 +242,14 @@ def make_estimator_step(cfg: EstimatorConfig):
 
             def run_ba(_):
                 if cfg.use_marginalization:
+                    # will_evict: the NEXT keyframe insert rolls the window
+                    # only once it is at capacity — producing a rolled prior
+                    # any earlier (e.g. at full_now with track_before_full)
+                    # would misalign the prior slots with the un-rolled
+                    # window.
                     res, new_prior = ba_mod.solve_ba_marginalized(
                         kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        state.marg_prior, full_now, cfg.ba)
+                        state.marg_prior, kf_count >= W, cfg.ba)
                 else:
                     res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w,
                                           eff_mask, lm_valid, cfg.ba)

@@ -34,6 +34,7 @@ from .estimator import (CameraRig, EstimatorConfig, FrameOutput,
                         _triangulate_new, _undistort_table)
 from .frontend import frontend_step, init_table
 from .imu import ImuParams, Preintegrated
+from .marginalization import MargPrior, empty_prior
 
 
 class VIOEstimatorConfig(NamedTuple):
@@ -120,6 +121,9 @@ class VIOEstimatorState(NamedTuple):
     # landmarks
     lm: jnp.ndarray
     lm_fid: jnp.ndarray
+    # Marginalization prior over the 15-dim window states (pose + velocity
+    # + biases), live when base.use_marginalization is set
+    marg_prior: MargPrior
     # current state
     T_W_B: jnp.ndarray
     vel: jnp.ndarray          # (3,)
@@ -157,6 +161,7 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
         buf_count=jnp.asarray(0, jnp.int32),
         lm=jnp.zeros((N, 3), dtype=dtype),
         lm_fid=jnp.full((N,), -1, jnp.int32),
+        marg_prior=empty_prior(W, 15, dtype),
         T_W_B=eye, vel=jnp.zeros(3, dtype=dtype),
         bg=jnp.zeros(3, dtype=dtype), ba=jnp.zeros(3, dtype=dtype),
         last_kf_T_W_B=eye,
@@ -294,24 +299,34 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
 
             def run_ba(_):
                 st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg, ba=kf_ba_)
-                res = vio_ba.solve_vio_ba(
-                    st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                    kf_pre, kf_pv, cfg.vio)
+                if b.use_marginalization:
+                    # will_evict only when the NEXT insert actually rolls the
+                    # window (at capacity) so prior slots stay aligned.
+                    res, new_prior = vio_ba.solve_vio_ba_marginalized(
+                        st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
+                        kf_pre, kf_pv, state.marg_prior, kf_count >= W,
+                        cfg.vio)
+                else:
+                    res = vio_ba.solve_vio_ba(
+                        st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
+                        kf_pre, kf_pv, cfg.vio)
+                    new_prior = state.marg_prior
                 return (res.state.T_W_B, res.state.vel, res.state.bg,
                         res.state.ba, res.landmarks, res.success,
-                        res.iterations, res.final_cost)
+                        res.iterations, res.final_cost, new_prior)
 
             def skip_ba(_):
                 return (kf_T, kf_v, kf_bg, kf_ba_, lm, jnp.asarray(False),
-                        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, kf_T.dtype))
+                        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, kf_T.dtype),
+                        state.marg_prior)
 
-            (kf_T, kf_v, kf_bg, kf_ba_, lm, ba_ok, ba_it, ba_cost) = \
-                jax.lax.cond(full_now, run_ba, skip_ba, None)
+            (kf_T, kf_v, kf_bg, kf_ba_, lm, ba_ok, ba_it, ba_cost,
+             new_prior) = jax.lax.cond(full_now, run_ba, skip_ba, None)
             newest = jnp.minimum(kf_count, W) - 1
             return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
                     kf_pre, kf_pv, lm, lm_fid,
                     kf_T[newest], kf_v[newest], kf_bg[newest], kf_ba_[newest],
-                    kf_T[newest], ba_ok, ba_it, ba_cost,
+                    kf_T[newest], ba_ok, ba_it, ba_cost, new_prior,
                     jnp.asarray(True))  # reset running preint
 
         def no_kf_branch(operand):
@@ -322,11 +337,11 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     T_cur, v_cur, state.bg, state.ba,
                     state.last_kf_T_W_B, jnp.asarray(False),
                     jnp.asarray(0, jnp.int32), jnp.asarray(0.0, T_cur.dtype),
-                    jnp.asarray(False))
+                    state.marg_prior, jnp.asarray(False))
 
         (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, kf_pre,
          kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
-         ba_ok, ba_it, ba_cost, reset_run) = jax.lax.cond(
+         ba_ok, ba_it, ba_cost, marg_prior, reset_run) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, v_pred, state.lm, state.lm_fid))
 
@@ -340,7 +355,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             kf_preint=kf_pre, kf_preint_valid=kf_pv,
             buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
             buf_count=buf_count_out,
-            lm=lm, lm_fid=lm_fid,
+            lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, vel=v_out, bg=bg_out, ba=ba_out,
             last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,

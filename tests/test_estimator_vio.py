@@ -47,7 +47,7 @@ def sequence():
     return frames
 
 
-def make_step():
+def make_step(use_marg: bool = False):
     params = cameras.pack_params(cameras.PINHOLE_RADTAN,
                                  [FX, FY, CX, CY], [0, 0, 0, 0])
     rig = est.make_rig(params, params,
@@ -62,7 +62,8 @@ def make_step():
             window_size=4,
             translation_threshold=0.012,
             rotation_threshold=0.05,
-            image_shape=(H, W)),
+            image_shape=(H, W),
+            use_marginalization=use_marg),
         imu_buf=16,
         vio=ev.vio_ba.VIOBAConfig(max_iterations=10),
     )
@@ -112,3 +113,22 @@ class TestVIOEstimator:
                               gyro, accel, dts, mask)
         assert bool(jnp.all(jnp.isfinite(state.T_W_B)))
         assert int(out.n_tracked) > 10
+
+    def test_marginalization_mode_tracks_motion(self, sequence):
+        """use_marginalization carries a 15-dim state prior across window
+        rolls; the trajectory must stay accurate and the prior must go live
+        once evictions begin."""
+        step, state, rig, cfg = make_step(use_marg=True)
+        gyro, accel, dts, mask = imu_buffer(int(FRAME_DT * IMU_HZ))
+        xs = []
+        for k, (l, r) in enumerate(sequence):
+            state, out = step(state, rig, jnp.asarray(l), jnp.asarray(r),
+                              gyro, accel, dts, mask)
+            xs.append(float(out.T_W_B[0, 3]))
+        assert np.all(np.isfinite(xs))
+        half = len(sequence) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = VEL[0] * FRAME_DT * (len(sequence) - 1 - half)
+        assert abs(d_est - d_gt) < 0.35 * abs(d_gt), (
+            f"displacement {d_est:.3f} vs gt {d_gt:.3f}; xs={np.round(xs,3)}")
+        assert bool(state.marg_prior.valid)

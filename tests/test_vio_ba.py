@@ -131,3 +131,86 @@ class TestVIOBA:
                                   pre, pre_valid)
         assert bool(res.success)
         np.testing.assert_allclose(res.state.T_W_B[0], st0.T_W_B[0], atol=1e-5)
+
+
+class TestVIOBAMarginalized:
+    """Prior-augmented 15-dim window solve (solve_vio_ba_marginalized)."""
+
+    def test_matches_plain_without_prior(self):
+        from rsvio_tpu.models.marginalization import empty_prior
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         T_gt, v_gt, p_gt) = make_vio_problem(seed=61)
+        W = st0.T_W_B.shape[0]
+        res_plain = vio_ba.solve_vio_ba(st0, T_C_B, lms, obs, mask, lm_valid,
+                                        pre, pre_valid)
+        res_marg, prior = vio_ba.solve_vio_ba_marginalized(
+            st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            empty_prior(W, 15), jnp.asarray(False))
+        assert bool(res_plain.success) and bool(res_marg.success)
+        np.testing.assert_allclose(res_marg.state.T_W_B, res_plain.state.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_marg.state.vel, res_plain.state.vel,
+                                   rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(res_marg.landmarks, res_plain.landmarks,
+                                   rtol=1e-3, atol=1e-4)
+        assert not bool(prior.valid)   # will_evict=False: passes through
+
+    def test_prior_produced_on_evict_spans_full_state(self):
+        from rsvio_tpu.models.marginalization import empty_prior
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         T_gt, v_gt, p_gt) = make_vio_problem(seed=62)
+        W = st0.T_W_B.shape[0]
+        res, prior = vio_ba.solve_vio_ba_marginalized(
+            st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            empty_prior(W, 15), jnp.asarray(True))
+        assert bool(res.success) and bool(prior.valid)
+        H = np.asarray(prior.H)
+        # Information lives on the remaining W-1 states only.
+        assert np.abs(H[: (W - 1) * 15, : (W - 1) * 15]).max() > 0
+        assert np.abs(H[(W - 1) * 15:, :]).max() == 0
+        # The IMU factor between evicted KF0 and KF1 must leave information
+        # on KF1's velocity/bias rows (velocity block is rows 6:9 of state 0
+        # after the roll).
+        assert np.abs(H[6:9, :]).max() > 0
+        # Linearization point was rolled.
+        np.testing.assert_allclose(prior.T0[0], res.state.T_W_B[1],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(prior.x0_extra[0, :3], res.state.vel[1],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_prior_anchors_gauge_after_roll(self):
+        """With a valid prior the first pose is NOT gauge-fixed, yet the
+        solve stays well-posed and near the prior's linearization point."""
+        from rsvio_tpu.models.marginalization import empty_prior
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         T_gt, v_gt, p_gt) = make_vio_problem(seed=63)
+        W = st0.T_W_B.shape[0]
+        res1, prior = vio_ba.solve_vio_ba_marginalized(
+            st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            empty_prior(W, 15), jnp.asarray(True))
+        assert bool(prior.valid)
+        # Roll the window the way the estimator would (drop KF0, duplicate
+        # the last slot) and re-solve consuming the prior.
+        st_roll = vio_ba.VIOState(
+            T_W_B=jnp.concatenate([res1.state.T_W_B[1:],
+                                   res1.state.T_W_B[-1:]]),
+            vel=jnp.concatenate([res1.state.vel[1:], res1.state.vel[-1:]]),
+            bg=jnp.concatenate([res1.state.bg[1:], res1.state.bg[-1:]]),
+            ba=jnp.concatenate([res1.state.ba[1:], res1.state.ba[-1:]]))
+        obs_roll = jnp.concatenate([obs[1:], obs[-1:]])
+        mask_roll = jnp.concatenate([mask[1:], mask[-1:]])
+        # Drop the duplicated last frame's observations to avoid a double
+        # constraint; keep intervals 1..W-2 (the rolled IMU chain).
+        mask_roll = mask_roll.at[-1].set(False)
+        pre_roll = jax.tree.map(lambda x: jnp.concatenate([x[1:], x[-1:]]), pre)
+        pv_roll = jnp.concatenate([pre_valid[1:],
+                                   jnp.zeros((1,), bool)])
+        res2, prior2 = vio_ba.solve_vio_ba_marginalized(
+            st_roll, T_C_B, res1.landmarks, obs_roll, mask_roll, lm_valid,
+            pre_roll, pv_roll, prior, jnp.asarray(False))
+        assert bool(res2.success)
+        # Anchored by the prior: the first pose should not drift far from
+        # its linearization point even though it is unfixed.
+        d = np.abs(np.asarray(res2.state.T_W_B[0][:3, 3])
+                   - np.asarray(prior.T0[0][:3, 3])).max()
+        assert d < 0.05, d
