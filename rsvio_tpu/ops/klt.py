@@ -56,9 +56,13 @@ class KLTConfig(NamedTuple):
     bidir_threshold_sq: float = 0.4   # px^2, ref feature_tracker.rs:280
     bounds_margin: float = 2.0        # ref feature_tracker.rs:389
     # Backend: "auto" = Pallas kernel on TPU, XLA elsewhere;
-    # "pallas" = translation-only TPU kernel (interpret mode off-TPU);
-    # "xla" = SE2 gather-based path (supports patch rotation, any backend).
+    # "pallas" = TPU kernel (interpret mode off-TPU);
+    # "xla" = SE2 gather-based path (arbitrary-angle rotation, any backend).
     backend: str = "auto"
+    # Pallas-path warp model: False = 2-dof translation (cheapest), True =
+    # 3-dof SE2 with a first-order in-plane-rotation warp (tracks patch
+    # rotation up to ~20 deg/frame; the XLA path always tracks full SE2).
+    track_rotation: bool = False
 
 
 class PatchData(NamedTuple):
@@ -183,26 +187,36 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     return pos, A, ok
 
 
-def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, alive,
+def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
                          cfg: KLTConfig):
-    """Coarse-to-fine translation-only tracking via the Pallas level kernel
-    (one pallas_call per level; see ops.pallas.klt_kernel)."""
-    from .pallas.klt_kernel import track_level_translation
+    """Coarse-to-fine tracking via the Pallas level kernel (one pallas_call
+    per level; see ops.pallas.klt_kernel). Translation-only or SE2 with
+    small-angle rotation per cfg.track_rotation; the in-plane angle is
+    carried across levels (scale-free) and returned as a rotation matrix."""
+    from .pallas.klt_kernel import track_level
 
     interpret = jax.default_backend() != "tpu"
     levels = len(pyr_src)
     pos = pos_dst0
     ok = alive
+    if cfg.track_rotation:
+        theta = jnp.arctan2(A0[:, 1, 0], A0[:, 0, 0])
+    else:
+        theta = jnp.zeros(pos_src.shape[0], pos_src.dtype)
     for lvl in reversed(range(levels)):
         scale = jnp.asarray(2.0**lvl, dtype=pos_src.dtype)
-        pos_lvl, lvl_ok = track_level_translation(
+        pos_lvl, theta_lvl, lvl_ok = track_level(
             pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
-            alive, cfg.max_iterations,
-            cfg.convergence_threshold**2, interpret)
+            theta, alive, cfg.max_iterations,
+            cfg.convergence_threshold**2, cfg.track_rotation, interpret)
         pos = jnp.where(lvl_ok[:, None], pos_lvl * scale, pos)
+        theta = jnp.where(lvl_ok, theta_lvl, theta)
         ok = ok & lvl_ok
     pos = jnp.where(ok[:, None], pos, pos_src)
-    return pos, ok
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    A = jnp.stack([jnp.stack([c, -s], axis=-1),
+                   jnp.stack([s, c], axis=-1)], axis=-2)
+    return pos, A, ok
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -221,9 +235,8 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
-        pos, ok = _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
-                                       alive, cfg)
-        return pos, A0, ok
+        return _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
+                                    A0, alive, cfg)
     f = jax.vmap(_track_one_point, in_axes=(None, None, 0, 0, 0, None))
     pos, A, ok = f(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg)
     ok = ok & alive
@@ -243,10 +256,12 @@ def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig)
     eye = jnp.broadcast_to(jnp.eye(2, dtype=pos_src.dtype), (N, 2, 2))
     pos_fwd, A_fwd, ok_fwd = track_points(
         pyr_src, pyr_dst, pos_src, pos_src, eye, alive, cfg)
-    # Backward: start from the forward result, warp initialized at identity
-    # rotation, aiming back at the source position.
+    # Backward: start from the forward result aiming back at the source,
+    # warp initialized at the INVERSE of the forward rotation (transpose —
+    # the forward warps are rotation-only by construction).
+    A_inv = jnp.swapaxes(A_fwd, -1, -2)
     pos_back, _, ok_back = track_points(
-        pyr_dst, pyr_src, pos_fwd, pos_src, eye, ok_fwd, cfg)
+        pyr_dst, pyr_src, pos_fwd, pos_src, A_inv, ok_fwd, cfg)
     dist_sq = jnp.sum((pos_back - pos_src) ** 2, axis=1)
     ok = ok_fwd & ok_back & (dist_sq < cfg.bidir_threshold_sq)
     return pos_fwd, A_fwd, ok

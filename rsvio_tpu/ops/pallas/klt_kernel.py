@@ -38,9 +38,14 @@ Measured on a v5e chip inside the fully-jitted estimator step: the whole
 frame (3 bidirectional tracking passes + detection + PnP + BA) executes in
 ~0.25 ms of device time (~4000 fps) vs 458 ms with the XLA gather path.
 
-The kernel is translation-only (2-dof); the SE2 (rotation) path stays in
-ops.klt for callers that need it. For 20 Hz VIO the inter-frame patch
-rotation is sub-degree and translation-only tracking is the standard choice.
+The kernel tracks translation (2-dof) or translation + in-plane rotation
+(3-dof SE2) selected by a static flag. Rotation uses a first-order warp of
+the sampled window — I(p + R(th)u) ~ I(p+u) + th * grad I . perp(u) — which
+needs NO extra DMA or gathers: the rotation term reuses the bilinear-tap
+gradients already available from the window views. First-order in th is
+accurate in the frame-to-frame regime (templates are rebuilt every frame, so
+|th| stays within a few degrees; the validity gate caps it). The full
+arbitrary-angle SE2 path stays in ops.klt (backend="xla").
 """
 
 from __future__ import annotations
@@ -147,12 +152,21 @@ def _extract_windows(img_ref, pos_ref, win_ref, slab_ref, sem):
     jax.lax.fori_loop(0, B, body, 0)
 
 
+_MAX_THETA_SQ = 0.12  # |theta| cap ~20 deg: beyond this the first-order
+                      # rotation warp is unreliable -> step rejected
+
+
 def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
-                      true_h: int, true_w: int,
+                      true_h: int, true_w: int, with_rotation: bool,
                       img_src_ref, img_dst_ref, pos_src_ref, pos_dst_ref,
-                      alive_ref, out_pos_ref, out_ok_ref,
+                      theta0_ref, alive_ref,
+                      out_pos_ref, out_theta_ref, out_ok_ref,
                       win_ref, slab_ref, posbuf_ref, sem):
     """One feature block: build templates, then GN-iterate all features.
+
+    with_rotation (static): False -> 2-dof translation GN (unchanged math);
+    True -> 3-dof SE2 GN with a first-order rotation warp of the sampled
+    window (see module docstring).
 
     Scratch:
       win_ref: (BLOCK, WIN, WIN) — window buffer (source, then per-iter dst)
@@ -162,6 +176,12 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     eps = 1e-12
     B = BLOCK
     P3 = (B, PATCH, PATCH)
+    if with_rotation:
+        # Pattern offsets relative to the rotation center (the tracked
+        # point): window index k samples continuous offset k-8 (+frac).
+        # Mosaic's tpu.iota only produces integers — cast to float after.
+        xc = jax.lax.broadcasted_iota(jnp.int32, P3, 2).astype(jnp.float32) - 8.0
+        yc = jax.lax.broadcasted_iota(jnp.int32, P3, 1).astype(jnp.float32) - 8.0
 
     # ---- template construction (source image) ----
     _extract_windows(img_src_ref, pos_src_ref, win_ref, slab_ref, sem)
@@ -197,12 +217,37 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     hxx = _sum12(jx * jx)
     hxy = _sum12(jx * jy)
     hyy = _sum12(jy * jy)
-    det = hxx * hyy - hxy * hxy
     energy = hxx + hyy
-    det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
-    hjx = _b3(hyy / det_s, P3) * jx + _b3(-hxy / det_s, P3) * jy
-    hjy = _b3(-hxy / det_s, P3) * jx + _b3(hxx / det_s, P3) * jy
     tmpl = data
+    if with_rotation:
+        # Rotation Jacobian row: grad I . perp(u), perp(u) = (-u_y, u_x),
+        # mean-normalization-corrected like jx/jy.
+        gt = gy * xc - gx * yc
+        mgt = _b3(_sum12(gt) / npts, P3)
+        jt = (gt - data * mgt) / mean3
+        hxt = _sum12(jx * jt)
+        hyt = _sum12(jy * jt)
+        htt = _sum12(jt * jt)
+        # Adjugate 3x3 inverse of H = [[hxx,hxy,hxt],[hxy,hyy,hyt],[hxt,hyt,htt]]
+        c00 = hyy * htt - hyt * hyt
+        c01 = hxt * hyt - hxy * htt
+        c02 = hxy * hyt - hxt * hyy
+        c11 = hxx * htt - hxt * hxt
+        c12 = hxy * hxt - hxx * hyt
+        c22 = hxx * hyy - hxy * hxy
+        det = hxx * c00 + hxy * c01 + hxt * c02
+        det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
+        hjx = (_b3(c00 / det_s, P3) * jx + _b3(c01 / det_s, P3) * jy
+               + _b3(c02 / det_s, P3) * jt)
+        hjy = (_b3(c01 / det_s, P3) * jx + _b3(c11 / det_s, P3) * jy
+               + _b3(c12 / det_s, P3) * jt)
+        hjt = (_b3(c02 / det_s, P3) * jx + _b3(c12 / det_s, P3) * jy
+               + _b3(c22 / det_s, P3) * jt)
+    else:
+        det = hxx * hyy - hxy * hxy
+        det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
+        hjx = _b3(hyy / det_s, P3) * jx + _b3(-hxy / det_s, P3) * jy
+        hjy = _b3(-hxy / det_s, P3) * jx + _b3(hxx / det_s, P3) * jy
 
     patch_ok = (src_ok & (mean > _MIN_MEAN)
                 & (energy > _MIN_GRAD_ENERGY) & (jnp.abs(det) > eps))
@@ -218,9 +263,10 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     # change nothing (do=false), giving early-exit economics.
     alive0 = ((alive_ref[:, 0] != 0) & patch_ok).astype(jnp.float32)
     okf0 = patch_ok.astype(jnp.float32)
+    th0 = theta0_ref[:, 0]
 
     def gn_body(_i, carry):
-        active, okf = carry
+        active, okf, th = carry
         _extract_windows(img_dst_ref, posbuf_ref, win_ref, slab_ref, sem)
         p = posbuf_ref[:]
         in_img = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
@@ -230,23 +276,42 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
         fy = _b3(p[:, 1] - jnp.floor(p[:, 1]), P3)
         v00, v01, v10, v11 = _views(win_ref[:])
         val = _lerp(v00, v01, v10, v11, fx, fy)
+        if with_rotation:
+            # First-order rotated sample: I(p + R(th)u) ~ I(p+u) + th*(gradI.perp(u))
+            gtx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
+            gty = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
+            val = val + _b3(th, P3) * (gty * xc - gtx * yc)
         mean = jnp.maximum(_sum12(val) / npts, _MIN_MEAN)
         r = val / _b3(mean, P3) - tmpl
         inc_x = -_sum12(hjx * r)
         inc_y = -_sum12(hjy * r)
-        inc_sq = inc_x * inc_x + inc_y * inc_y
+        if with_rotation:
+            inc_t = -_sum12(hjt * r)
+            th_new = th + inc_t
+            # Compose W <- W o dW^-1: translation increment rotated into the
+            # current warp frame (small-angle rotation).
+            ix = inc_x - th_new * inc_y
+            iy = inc_y + th_new * inc_x
+            inc_sq = inc_x * inc_x + inc_y * inc_y + inc_t * inc_t
+            th_ok = th_new * th_new < _MAX_THETA_SQ
+        else:
+            th_new = th
+            ix, iy = inc_x, inc_y
+            inc_sq = inc_x * inc_x + inc_y * inc_y
+            th_ok = jnp.full(th.shape, True)
         finite = jnp.isfinite(inc_sq) & (inc_sq < 1e12)
-        step_ok = (in_img & finite).astype(jnp.float32)
+        step_ok = (in_img & finite & th_ok).astype(jnp.float32)
         do = (active * step_ok) > 0
-        posbuf_ref[:, 0] = jnp.where(do, p[:, 0] + inc_x, p[:, 0])
-        posbuf_ref[:, 1] = jnp.where(do, p[:, 1] + inc_y, p[:, 1])
+        posbuf_ref[:, 0] = jnp.where(do, p[:, 0] + ix, p[:, 0])
+        posbuf_ref[:, 1] = jnp.where(do, p[:, 1] + iy, p[:, 1])
+        th = jnp.where(do, th_new, th)
         not_conv = (inc_sq >= conv_thresh_sq).astype(jnp.float32)
         okf = okf * jnp.where(active > 0, step_ok, 1.0)
         active = active * step_ok * not_conv
-        return active, okf
+        return active, okf, th
 
-    active, okf = jax.lax.fori_loop(
-        0, max_iterations, gn_body, (alive0, okf0))
+    active, okf, th = jax.lax.fori_loop(
+        0, max_iterations, gn_body, (alive0, okf0, th0))
 
     p = posbuf_ref[:]
     in_final = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
@@ -254,6 +319,7 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
                 & (p[:, 1] <= true_h - 1 - MARGIN))
     ok = (okf > 0) & in_final & (alive_ref[:, 0] != 0)
     out_pos_ref[:] = p
+    out_theta_ref[:, 0] = th
     out_ok_ref[:, 0] = ok.astype(jnp.int32)
 
 
@@ -271,19 +337,23 @@ def _pad_image(img):
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
-                                   "interpret"))
-def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
-                            max_iterations: int = 20,
-                            conv_thresh_sq: float = 1e-4,
-                            interpret: bool = False):
-    """Track all features at one pyramid level (translation-only IC-KLT).
+                                   "with_rotation", "interpret"))
+def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
+                max_iterations: int = 20,
+                conv_thresh_sq: float = 1e-4,
+                with_rotation: bool = False,
+                interpret: bool = False):
+    """Track all features at one pyramid level (IC-KLT, 2- or 3-dof).
 
     Args:
       img_src, img_dst: (H, W) f32 level images.
       pos_src: (N, 2) template centers in LEVEL coordinates (x, y).
       pos_dst0: (N, 2) initial target positions (level coords).
+      theta0: (N,) initial in-plane rotation (rad; ignored unless
+        with_rotation — angles are scale-free so the same value is valid at
+        every level).
       alive: (N,) bool.
-    Returns (pos_dst (N,2) f32, ok (N,) bool).
+    Returns (pos_dst (N,2) f32, theta (N,) f32, ok (N,) bool).
     """
     N = pos_src.shape[0]
     true_h, true_w = img_src.shape
@@ -295,12 +365,13 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
         x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1), constant_values=v)
     pos_src_p = pad(pos_src)
     pos_dst_p = pad(pos_dst0)
+    theta_p = pad(theta0)[:, None]
     alive_p = pad(alive.astype(jnp.int32))[:, None]
     n_blocks = (N + n_pad) // BLOCK
 
     kernel = partial(_klt_level_kernel, max_iterations, conv_thresh_sq,
-                     true_h, true_w)
-    pos_out, ok_out = pl.pallas_call(
+                     true_h, true_w, with_rotation)
+    pos_out, theta_out, ok_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -309,13 +380,16 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N + n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((N + n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((N + n_pad, 1), jnp.int32),
         ],
         scratch_shapes=[
@@ -325,5 +399,18 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, alive_p)
-    return pos_out[:N], ok_out[:N, 0] != 0
+    )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, theta_p, alive_p)
+    return pos_out[:N], theta_out[:N, 0], ok_out[:N, 0] != 0
+
+
+def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
+                            max_iterations: int = 20,
+                            conv_thresh_sq: float = 1e-4,
+                            interpret: bool = False):
+    """Translation-only wrapper of track_level (2-dof, original contract).
+    Returns (pos_dst (N,2) f32, ok (N,) bool)."""
+    pos, _, ok = track_level(
+        img_src, img_dst, pos_src, pos_dst0,
+        jnp.zeros(pos_src.shape[0], pos_src.dtype), alive,
+        max_iterations, conv_thresh_sq, False, interpret)
+    return pos, ok

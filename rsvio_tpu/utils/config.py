@@ -68,6 +68,10 @@ class TrackerConfig:
     detect_margin: int = 19          # ref image_utilities.rs EDGE_THRESHOLD
     min_corner_score: float = 10.0   # floor of ref threshold cascade 40->10
     feature_capacity: int = 256
+    # Track in-plane patch rotation in the Pallas KLT kernel (3-dof SE2,
+    # first-order warp; the XLA backend always tracks full SE2 like the
+    # reference's Affine2 track states, ref feature_tracker.rs:91-100).
+    track_rotation: bool = False
 
 
 @dataclasses.dataclass
@@ -155,6 +159,7 @@ def make_estimator_config(cfg: Config):
         convergence_threshold=cfg.feature_detection.optical_flow_convergence_threshold,
         levels=cfg.tracker.pyramid_levels,
         bidir_threshold_sq=cfg.tracker.bidir_threshold_sq,
+        track_rotation=cfg.tracker.track_rotation,
     )
     fe_cfg = FrontendConfig(
         capacity=cfg.tracker.feature_capacity,

@@ -99,3 +99,72 @@ class TestKernel:
         pts = RNG.uniform([20, 20], [120, 70], size=(6, 2)).astype(np.float32)
         _, ok = track(img, img, pts)
         assert not np.asarray(ok).any()
+
+
+def rotate(img, deg, center):
+    import cv2
+    M = cv2.getRotationMatrix2D(center, deg, 1.0)
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+def track_se2(img_src, img_dst, pts, theta0=None, iters=25):
+    n = pts.shape[0]
+    alive = jnp.ones(n, dtype=bool)
+    th0 = jnp.zeros(n, jnp.float32) if theta0 is None else jnp.asarray(theta0)
+    return K.track_level(
+        jnp.asarray(img_src), jnp.asarray(img_dst), jnp.asarray(pts),
+        jnp.asarray(pts), th0, alive, iters, 1e-6, True, True)
+
+
+class TestKernelRotation:
+    """3-dof SE2 mode: first-order in-plane rotation warp."""
+
+    def test_identity_keeps_theta_zero(self):
+        img = textured(seed=3)
+        pts = RNG.uniform([20, 20], [124, 76], size=(8, 2)).astype(np.float32)
+        pos, th, ok = track_se2(img, img, pts)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 7
+        assert np.abs(np.asarray(th)[ok]).max() < 5e-3
+        assert np.abs(np.asarray(pos)[ok] - pts[ok]).max() < 1e-2
+
+    def test_recovers_known_rotation(self):
+        """Image rotated 5 deg about its center: each feature must recover
+        theta ~ -5 deg (image rotation by +a rotates patch content by -a in
+        the warp convention) and land on its rotated position."""
+        img = textured(H=128, W=192, seed=4)
+        deg = 5.0
+        cx, cy = 96.0, 64.0
+        img2 = rotate(img, deg, (cx, cy))
+        pts = RNG.uniform([55, 35], [137, 93], size=(16, 2)).astype(np.float32)
+        # GT positions: cv2 rotates CONTENT by +deg ccw in image coords
+        a = np.deg2rad(deg)
+        R = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]],
+                     np.float32)
+        gt = (pts - [cx, cy]) @ R.T + [cx, cy]
+        pos, th, ok = track_se2(img, img2, pts)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 12, ok.sum()
+        perr = np.linalg.norm(np.asarray(pos)[ok] - gt[ok], axis=1)
+        assert np.median(perr) < 0.3, perr
+        th_ok = np.asarray(th)[ok]
+        # All features see the same patch rotation: theta ~ -5 deg (the warp
+        # angle is the template->target patch rotation, opposite in sign to
+        # cv2's ccw content rotation in y-down image coordinates).
+        assert np.abs(np.median(th_ok) + a) < np.deg2rad(1.5), (
+            np.rad2deg(th_ok))
+
+    def test_translation_mode_unaffected(self):
+        """with_rotation=False must reproduce track_level_translation."""
+        img = textured(seed=5)
+        img2 = shift(img, 0.9, 1.3)
+        pts = RNG.uniform([20, 20], [124, 76], size=(8, 2)).astype(np.float32)
+        pos_a, ok_a = track(img, img2, pts)
+        pos_b, th_b, ok_b = K.track_level(
+            jnp.asarray(img), jnp.asarray(img2), jnp.asarray(pts),
+            jnp.asarray(pts), jnp.zeros(8, jnp.float32),
+            jnp.ones(8, bool), 15, 1e-5, False, True)
+        np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+        np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_b))
+        assert np.all(np.asarray(th_b) == 0)
