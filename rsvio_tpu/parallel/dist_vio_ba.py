@@ -192,3 +192,219 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                               success=success, status=status,
                               initial_cost=cost0, final_cost=cost,
                               iterations=it)
+
+
+def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
+                                          landmarks, obs, obs_mask, lm_valid,
+                                          preint, preint_valid,
+                                          prior, will_evict,
+                                          cfg: VIOBAConfig = VIOBAConfig()):
+    """Landmark-sharded, prior-augmented VIO BA + next-prior rollout.
+
+    Distributed counterpart of models.vio_ba.solve_vio_ba_marginalized (same
+    contract, returns (VIOBAResult, new MargPrior)). The 15-dim-state prior
+    lives on the replicated keyframe states, so — like the IMU factors — it
+    adds no communication; per LM iteration the only collective remains the
+    psum of the visual contribution to the reduced state system. The final
+    linearized system is replicated after its psum, so the marginalization
+    (one (15,15) block elimination) runs outside the shard_map.
+    """
+    from ..models.marginalization import marginalize_oldest, prior_terms
+
+    axis = LANDMARK_AXIS
+    W = state.T_W_B.shape[0]
+    dtype = state.T_W_B.dtype
+    state_spec = VIOState(T_W_B=P(), vel=P(), bg=P(), ba=P())
+    pre_spec = jax.tree.map(lambda _: P(), preint)
+
+    def _extra(st: VIOState):
+        return jnp.concatenate([st.vel, st.bg, st.ba], axis=1)  # (W,9)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
+                  P(None, None, axis), P(axis), pre_spec, P(), P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
+               prior):
+        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask = mask_in & lm_active[None, None, :]
+        n_vis = jax.lax.psum(jnp.sum(mask), axis)
+        n_lm_act = jax.lax.psum(jnp.sum(lm_active), axis)
+        n_blocks = n_vis + jnp.sum(preint_valid)
+        n_rows = 2 * n_vis + 15 * jnp.sum(preint_valid)
+        n_vars = W * D - 6 + 3 * n_lm_act
+        attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
+        fix_first = ~prior.valid
+
+        def total_cost(st: VIOState, lms):
+            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+            vis = jax.lax.psum(
+                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
+                                   cfg.huber_delta), axis)
+
+            def imu_cost(i):
+                si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
+                sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
+                      st.ba[i + 1])
+                pre_i = jax.tree.map(lambda x: x[i], preint)
+                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg)
+                return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
+
+            imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
+            _, _, pcost = prior_terms(prior, st.T_W_B, _extra(st))
+            return vis + imu + pcost  # prior is replicated: added once/copy
+
+        cost0 = total_cost(st0, lms)
+
+        def build_system(st: VIOState, lms, lam):
+            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
+            lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
+                                        cfg.huber_delta)
+            H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
+            H_pp6 = jax.lax.psum(H_pp6, axis)
+            g_p6 = jax.lax.psum(g_p6, axis)
+
+            H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
+            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
+            g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
+            H_sl = jnp.zeros((W, lms.shape[0], D, 3), dtype=dtype)
+            H_sl = H_sl.at[:, :, :6, :].add(H_pl6)
+
+            def imu_blocks(i):
+                r, J_i, J_j = vio_ba._imu_linearize_one(
+                    jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                w = preint_valid[i].astype(dtype)
+                return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
+                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))
+
+            Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+            idx = jnp.arange(W - 1)
+            H_ss = H_ss.at[idx, idx].add(Hii)
+            H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
+            H_ss = H_ss.at[idx, idx + 1].add(Hij)
+            H_ss = H_ss.at[idx + 1, idx].add(jnp.swapaxes(Hij, -1, -2))
+            g_s = g_s.at[idx].add(gi)
+            g_s = g_s.at[idx + 1].add(gj)
+
+            # Prior over the flattened (W·15) state vector (replicated).
+            H_add, g_add, _ = prior_terms(prior, st.T_W_B, _extra(st))
+            H_ss = (H_ss.transpose(0, 2, 1, 3).reshape(W * D, W * D) + H_add) \
+                .reshape(W, D, W, D).transpose(0, 2, 1, 3)
+            g_s = (g_s.reshape(W * D) + g_add).reshape(W, D)
+
+            diag_ss = jnp.maximum(
+                jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
+            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+                lam * jax.vmap(jnp.diag)(diag_ss))
+            dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+            H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
+            eye3 = jnp.eye(3, dtype=dtype)
+            H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_sl_m = jnp.where(lm_active[None, :, None, None], H_sl, 0.0)
+            return H_ss, H_ll_d, H_sl_m, g_s, g_l_m
+
+        def reduced(H_ss, H_ll_d, H_sl, g_s, g_l):
+            """Global reduced system (replicated after psum) + local pieces."""
+            H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
+            A = jnp.einsum("wlij,ljk->wlik", H_sl, H_ll_inv)
+            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_sl)
+            b_local = jnp.einsum("wlik,lk->wi", A, g_l)
+            S_blocks = H_ss + jax.lax.psum(S_local, axis)
+            g_red = g_s - jax.lax.psum(b_local, axis)
+            S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
+            return S, g_red.reshape(W * D), H_ll_inv, inv_ok
+
+        def schur_step(H_ss, H_ll_d, H_sl, g_s, g_l):
+            S, g_red, H_ll_inv, inv_ok = reduced(H_ss, H_ll_d, H_sl, g_s, g_l)
+            b = -g_red
+
+            def fixed(args):
+                S_, b_ = args
+                m = jnp.ones(W * D, dtype=dtype).at[:6].set(0.0)
+                return (S_ * m[:, None] * m[None, :] + jnp.diag(1.0 - m),
+                        b_ * m)
+
+            S2, b2 = jax.lax.cond(fix_first, fixed, lambda a: a, (S, b))
+            cho = jax.scipy.linalg.cho_factor(S2, lower=True)
+            delta_s = jax.scipy.linalg.cho_solve(cho, b2).reshape(W, D)
+            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_sl, delta_s)
+            delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
+            delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
+            local_ok = (jnp.all(jnp.isfinite(delta_l))
+                        & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
+            n_bad = jax.lax.psum(1 - local_ok, axis)
+            ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
+            return delta_s, delta_l, ok
+
+        def cond(c):
+            return (~c[-2]) & (c[4] < cfg.max_iterations)
+
+        def body(c):
+            st, lms, cost, lam, it, done, status = c
+            H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
+            delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl,
+                                                   g_s, g_l_m)
+            delta_s = jnp.where(ok_step, delta_s, 0.0)
+            delta_l = jnp.where(ok_step, delta_l, 0.0)
+            st_new = vio_ba._retract_state(st, delta_s)
+            lms_new = lms + delta_l
+            new_cost = total_cost(st_new, lms_new)
+            accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+            cost_conv = accept & (jnp.abs(cost - new_cost)
+                                  <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
+            step_sq = jnp.sum(delta_s ** 2) + jax.lax.psum(
+                jnp.sum(delta_l ** 2), axis)
+            param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
+            lms = jnp.where(accept, lms_new, lms)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
+            hard_fail = lam > cfg.lambda_max
+            done = cost_conv | param_conv | hard_fail
+            status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
+            return st, lms, cost, lam, it + 1, done, status
+
+        init = (st0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+                jnp.asarray(0, jnp.int32), ~attempt,
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
+        st, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+            cond, body, init)
+
+        status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
+        success = attempt & (status != ba_mod.STATUS_FAILED)
+        st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
+        lms_final = jnp.where(success, lms_out, lms)
+
+        # Final linearized, landmark-eliminated system for the next prior.
+        H_ss_f, H_ll_f, H_sl_f, g_s_f, g_l_f = build_system(
+            st_out, lms_final, jnp.asarray(1e-5, dtype))
+        S_f, g_f, _, _ = reduced(H_ss_f, H_ll_f, H_sl_f, g_s_f, g_l_f)
+        return (st_out, lms_final, success, status, cost0, cost, it, S_f, g_f)
+
+    @partial(jax.jit)
+    def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
+             preint_valid, prior, will_evict):
+        (st_out, lms_out, success, status, cost0, cost, it,
+         S_f, g_f) = _solve(state, T_C_B, landmarks, obs, obs_mask, lm_valid,
+                            preint, preint_valid, prior)
+        new_prior = marginalize_oldest(S_f, g_f, st_out.T_W_B,
+                                       _extra(st_out), prior, D)
+        do_new = will_evict & success
+        out_prior = jax.tree.map(
+            lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
+        out_prior = out_prior._replace(
+            valid=jnp.where(do_new, True, prior.valid))
+        return (st_out, lms_out, success, status, cost0, cost, it, out_prior)
+
+    (st_out, lms_out, success, status, cost0, cost, it, out_prior) = _run(
+        state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
+        preint_valid, prior, jnp.asarray(will_evict))
+    result = vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
+                                success=success, status=status,
+                                initial_cost=cost0, final_cost=cost,
+                                iterations=it)
+    return result, out_prior

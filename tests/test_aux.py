@@ -154,3 +154,37 @@ class TestGnssToTum:
              str(src), str(dst)], capture_output=True, text=True)
         assert res.returncode == 0, res.stderr
         assert dst.exists()
+
+
+class TestEvaluateATETool:
+    def test_cli_computes_rmse(self, tmp_path):
+        import subprocess, sys
+        from rsvio_tpu.utils.trajectory import save_tum
+        rng = np.random.default_rng(0)
+        n = 40
+        ts = (np.arange(n) * 5e7 + 1e18).astype(np.int64)
+        pos = np.cumsum(rng.normal(0, 0.1, (n, 3)), axis=0)
+        poses = []
+        for p in pos:
+            T = np.eye(4)
+            T[:3, 3] = p
+            poses.append(T)
+        gt = tmp_path / "gt.tum"
+        est = tmp_path / "est.tum"
+        save_tum(str(gt), ts, poses)
+        # estimate = GT under a rigid transform + small noise -> tiny ATE
+        R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        poses_e = []
+        for p in pos:
+            T = np.eye(4)
+            T[:3, 3] = R @ p + [5, -2, 1] + rng.normal(0, 1e-3, 3)
+            poses_e.append(T)
+        save_tum(str(est), ts, poses_e)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        res = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "evaluate_ate.py"),
+             str(est), str(gt)], capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        rmse = float([ln for ln in res.stdout.splitlines()
+                      if ln.startswith("ate_rmse_m")][0].split()[-1])
+        assert rmse < 0.01, res.stdout

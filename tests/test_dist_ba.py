@@ -142,3 +142,67 @@ class TestDistributedMarginalizedBA:
         assert not bool(res.success)
         assert not bool(prior.valid)
         np.testing.assert_allclose(res.T_W_B, T_init)
+
+
+class TestDistributedMarginalizedVIOBA:
+    """Landmark-sharded, prior-augmented 15-dim VIO solve must agree with
+    the single-device marginalized VIO solver."""
+
+    def test_matches_single_device_and_prior(self, mesh8):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_vio_ba import make_vio_problem
+        from rsvio_tpu.models import vio_ba
+        from rsvio_tpu.models.marginalization import empty_prior
+        from rsvio_tpu.parallel import dist_vio_ba
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         T_gt, v_gt, p_gt) = make_vio_problem(seed=71)
+        W = st0.T_W_B.shape[0]
+        prior0 = empty_prior(W, 15)
+        res_l, prior_l = vio_ba.solve_vio_ba_marginalized(
+            st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            prior0, jnp.asarray(True))
+        res_d, prior_d = dist_vio_ba.solve_vio_ba_marginalized_distributed(
+            mesh8, st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            prior0, jnp.asarray(True))
+        assert bool(res_l.success) and bool(res_d.success)
+        np.testing.assert_allclose(res_d.state.T_W_B, res_l.state.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_d.state.vel, res_l.state.vel,
+                                   rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(res_d.landmarks, res_l.landmarks,
+                                   rtol=1e-3, atol=1e-4)
+        assert bool(prior_d.valid) and bool(prior_l.valid)
+        np.testing.assert_allclose(prior_d.T0, prior_l.T0,
+                                   rtol=1e-3, atol=1e-4)
+        scale = max(1.0, float(np.abs(np.asarray(prior_l.H)).max()))
+        np.testing.assert_allclose(np.asarray(prior_d.H) / scale,
+                                   np.asarray(prior_l.H) / scale,
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_prior_consumed_without_gauge_fix(self, mesh8):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_vio_ba import make_vio_problem
+        from rsvio_tpu.models.marginalization import empty_prior
+        from rsvio_tpu.parallel import dist_vio_ba
+        import jax
+        (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+         *_rest) = make_vio_problem(seed=72)
+        W = st0.T_W_B.shape[0]
+        _, prior = dist_vio_ba.solve_vio_ba_marginalized_distributed(
+            mesh8, st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+            empty_prior(W, 15), jnp.asarray(True))
+        assert bool(prior.valid)
+        roll = lambda x: jnp.concatenate([x[1:], x[-1:]])  # noqa: E731
+        st_roll = jax.tree.map(roll, st0)
+        res2, prior2 = dist_vio_ba.solve_vio_ba_marginalized_distributed(
+            mesh8, st_roll, T_C_B, lms,
+            jnp.concatenate([obs[1:], obs[-1:]]),
+            jnp.concatenate([mask[1:], mask[-1:]]).at[-1].set(False),
+            lm_valid,
+            jax.tree.map(roll, pre),
+            jnp.concatenate([pre_valid[1:], jnp.zeros((1,), bool)]),
+            prior, jnp.asarray(False))
+        assert bool(res2.success)
+        np.testing.assert_allclose(prior2.H, prior.H)  # pass-through
