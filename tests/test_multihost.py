@@ -1,0 +1,106 @@
+"""True multi-process distributed test: two jax.distributed processes (4
+virtual CPU devices each) form one 8-device landmark mesh and run the
+sharded BA with per-process data feeding — the multi-host recipe of
+parallel.multihost end-to-end (SURVEY.md §4: the reference has no
+distributed anything; multi-host tests must be built via jax multi-process
+simulation)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, %(repo)r)
+    sys.path.insert(0, %(tests)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    from rsvio_tpu.parallel import multihost
+    multihost.initialize_distributed(%(coord)r, 2, pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rsvio_tpu.models import ba
+    from rsvio_tpu.parallel import dist_ba
+    from rsvio_tpu.parallel.mesh import LANDMARK_AXIS
+    from test_ba import make_problem
+
+    # Same seed on both processes -> identical global problem.
+    (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+        seed=33, n_lm=32)
+    mesh = multihost.global_mesh()
+
+    def feed(x, axis):
+        # Per-process data feeding: each host supplies only its local shard.
+        spec = [None] * x.ndim
+        if axis is not None:
+            spec[axis] = LANDMARK_AXIS
+        sh = NamedSharding(mesh, P(*spec))
+        lo, hi = multihost.host_local_slice(x.shape[axis]) \
+            if axis is not None else (None, None)
+        local = np.asarray(x) if axis is None else \
+            np.take(np.asarray(x), np.arange(lo, hi), axis=axis)
+        return jax.make_array_from_process_local_data(sh, local)
+
+    obs_g = feed(obs, 2)
+    mask_g = feed(mask, 2)
+    lms_g = feed(lms, 0)
+    lmv_g = feed(lm_valid, 0)
+    T_init_g = feed(T_init, None)
+    T_C_B_g = feed(T_C_B, None)
+
+    res = dist_ba.solve_ba_distributed(
+        mesh, T_init_g, T_C_B_g, lms_g, obs_g, mask_g, lmv_g)
+    # Poses are replicated -> directly addressable on every process.
+    assert bool(np.asarray(res.success)), int(np.asarray(res.status))
+    T_dist = np.asarray(res.T_W_B)
+
+    # Local single-process reference on this host's own devices.
+    res_ref = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid)
+    T_ref = np.asarray(res_ref.T_W_B)
+    err = np.abs(T_dist - T_ref).max()
+    assert err < 1e-3, err
+    print(f"proc {pid}: OK maxerr={err:.2e}")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ba(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    prog = WORKER % {"repo": REPO, "tests": os.path.join(REPO, "tests"),
+                     "coord": coord}
+    script = tmp_path / "worker.py"
+    script.write_text(prog)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process run timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"stdout:\n{out}\nstderr:\n{err}"
+        assert "OK maxerr=" in out
