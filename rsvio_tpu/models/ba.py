@@ -387,7 +387,7 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         return (~state[5]) & (state[4] < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, cost, lam, it, done, status = state
+        T_B_W, lms, cost, lam, it, done, status, metrics = state
         S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = reduced_system(
             T_B_W, lms, lam)
         delta_p = solve_from_system(S, b)
@@ -407,6 +407,8 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
+        metrics = metrics.at[it].set(jnp.stack(
+            [new_cost, lam, step_norm, accept.astype(dtype)]))
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
         cost = jnp.where(accept, new_cost, cost)
@@ -414,12 +416,14 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = lm_status(cost_conv, param_conv, hard_fail)
-        return T_B_W, lms, cost, lam, it + 1, done, status
+        return T_B_W, lms, cost, lam, it + 1, done, status, metrics
 
     init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
-            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32))
-    T_B_W, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
+            jnp.zeros((cfg.max_iterations, 4), dtype))
+    (T_B_W, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
     success = attempt & (status != STATUS_FAILED)
@@ -441,6 +445,5 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
 
     result = BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
                       status=status, initial_cost=cost0, final_cost=cost,
-                      iterations=it,
-                      metrics=jnp.zeros((cfg.max_iterations, 4), dtype))
+                      iterations=it, metrics=metrics)
     return result, out_prior

@@ -68,6 +68,9 @@ class VIOBAResult(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     iterations: jnp.ndarray
+    # Per-iteration [cost, lambda, step_norm, accepted] (TerminalObserver
+    # parity, ref src/optimization/observer.rs; utils.observer renders it).
+    metrics: jnp.ndarray = None  # (max_iterations, 4)
 
 
 def _retract_state(st: VIOState, delta):
@@ -253,10 +256,10 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         return delta_s, delta_l, ok
 
     def cond(c):
-        return (~c[-2]) & (c[4] < cfg.max_iterations)
+        return (~c[5]) & (c[4] < cfg.max_iterations)
 
     def body(c):
-        st, lms, cost, lam, it, done, status = c
+        st, lms, cost, lam, it, done, status, metrics = c
         H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
         delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl, g_s, g_l_m)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
@@ -269,6 +272,8 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
+        metrics = metrics.at[it].set(jnp.stack(
+            [new_cost, lam, step_norm, accept.astype(dtype)]))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
         cost = jnp.where(accept, new_cost, cost)
@@ -276,12 +281,14 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, cost, lam, it + 1, done, status
+        return st, lms, cost, lam, it + 1, done, status, metrics
 
     init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
-            jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-    st, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+            jnp.zeros((cfg.max_iterations, 4), dtype))
+    (st, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
     success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -289,7 +296,8 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
     lms_out = jnp.where(success, lms, landmarks)
     return VIOBAResult(state=st_out, landmarks=lms_out, success=success,
                        status=status, initial_cost=cost0, final_cost=cost,
-                       iterations=it)
+                       iterations=it,
+                       metrics=metrics)
 
 # ---------------------------------------------------------------------------
 # Prior-augmented (marginalized) visual-inertial window solve. Greenfield
@@ -426,10 +434,10 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         return delta_s, delta_l, ok
 
     def cond(c):
-        return (~c[-2]) & (c[4] < cfg.max_iterations)
+        return (~c[5]) & (c[4] < cfg.max_iterations)
 
     def body(c):
-        st, lms, cost, lam, it, done, status = c
+        st, lms, cost, lam, it, done, status, metrics = c
         H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
         delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl, g_s, g_l_m)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
@@ -442,6 +450,8 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
+        metrics = metrics.at[it].set(jnp.stack(
+            [new_cost, lam, step_norm, accept.astype(dtype)]))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
         cost = jnp.where(accept, new_cost, cost)
@@ -449,12 +459,14 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, cost, lam, it + 1, done, status
+        return st, lms, cost, lam, it + 1, done, status, metrics
 
     init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
-            jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-    st, lms, cost, lam, it, _, status = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+            jnp.zeros((cfg.max_iterations, 4), dtype))
+    (st, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
     success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -480,5 +492,6 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
 
     result = VIOBAResult(state=st_out, landmarks=lms_out, success=success,
                          status=status, initial_cost=cost0, final_cost=cost,
-                         iterations=it)
+                         iterations=it,
+                         metrics=metrics)
     return result, out_prior

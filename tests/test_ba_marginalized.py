@@ -78,3 +78,24 @@ class TestMarginalizedBA:
             lm_valid, empty_prior(W_KF, 6), jnp.asarray(True))
         assert not bool(res.success)
         assert not bool(prior.valid)  # failed solve must not mint a prior
+
+
+def test_marginalized_metrics_recorded():
+    """TerminalObserver parity: per-iteration metrics rows must be populated
+    for the prior-augmented solver too (ref src/optimization/observer.rs)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rsvio_tpu.models import ba
+    from rsvio_tpu.models.marginalization import empty_prior
+    from rsvio_tpu.utils.observer import format_metrics
+    from test_ba import make_problem, W_KF
+    (T_init, T_C_B, lms, obs, mask, lm_valid, _, _) = make_problem(seed=5)
+    res, _ = ba.solve_ba_marginalized(T_init, T_C_B, lms, obs, mask, lm_valid,
+                                      empty_prior(W_KF, 6), jnp.asarray(True))
+    assert bool(res.success)
+    it = int(res.iterations)
+    m = np.asarray(res.metrics)
+    assert it >= 1
+    assert np.any(m[:it, 0] > 0)      # costs recorded
+    assert np.all(m[it:] == 0)        # tail rows untouched
+    assert "iter" in format_metrics(m, it)

@@ -214,3 +214,20 @@ class TestVIOBAMarginalized:
         d = np.abs(np.asarray(res2.state.T_W_B[0][:3, 3])
                    - np.asarray(prior.T0[0][:3, 3])).max()
         assert d < 0.05, d
+
+
+def test_vio_metrics_recorded():
+    """Per-iteration metrics for the VIO solvers (TerminalObserver parity)."""
+    from rsvio_tpu.models.marginalization import empty_prior
+    (st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+     *_r) = make_vio_problem(seed=81)
+    res = vio_ba.solve_vio_ba(st0, T_C_B, lms, obs, mask, lm_valid,
+                              pre, pre_valid)
+    m = np.asarray(res.metrics)
+    it = int(res.iterations)
+    assert it >= 1 and np.any(m[:it, 0] > 0) and np.all(m[it:] == 0)
+    res2, _ = vio_ba.solve_vio_ba_marginalized(
+        st0, T_C_B, lms, obs, mask, lm_valid, pre, pre_valid,
+        empty_prior(st0.T_W_B.shape[0], 15), jnp.asarray(False))
+    m2 = np.asarray(res2.metrics)
+    assert int(res2.iterations) >= 1 and np.any(m2[:int(res2.iterations), 0] > 0)
