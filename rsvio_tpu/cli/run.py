@@ -38,7 +38,9 @@ class PlayerConfig:
     use_vio: bool = False       # visual-inertial mode (IMU preintegration)
     checkpoint_out: Optional[str] = None
     checkpoint_in: Optional[str] = None
+    checkpoint_every: Optional[int] = None  # periodic snapshot every N frames
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
+    evaluate_ate: bool = False  # compute ATE vs dataset ground truth at end
 
 
 @dataclass
@@ -245,6 +247,14 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 viewer.log_trajectory(
                     "trajectory/path", np.asarray([p[:3, 3] for p in poses]))
 
+        # Periodic crash-safe checkpoint (greenfield; ref has none).
+        if (pcfg.checkpoint_every and pcfg.checkpoint_out
+                and (k + 1) % pcfg.checkpoint_every == 0):
+            from ..utils.checkpoint import save_state
+            save_state(pcfg.checkpoint_out, state)
+            log.debug("periodic checkpoint at frame %d -> %s", k,
+                      pcfg.checkpoint_out)
+
         # Real-time pacing (ref euroc_player.rs:124-133)
         if pcfg.realtime and prev_ts is not None:
             interval = (frame.timestamp_ns - prev_ts) * 1e-9
@@ -282,6 +292,35 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         save_state(pcfg.checkpoint_out, state)
         log.info("state checkpoint -> %s", pcfg.checkpoint_out)
 
+    # ATE against the dataset's ground truth (the north-star metric,
+    # SURVEY.md §6 — entirely absent from the reference).
+    ate = None
+    if pcfg.evaluate_ate and poses:
+        gt = (player.ground_truth_file()
+              if hasattr(player, "ground_truth_file") else None)
+        if gt:
+            from ..utils.trajectory import (associate, ate_rmse,
+                                            load_gnss_poses, load_tum)
+            if os.path.basename(gt).startswith("GNSSPoses"):
+                ts_g_ns, pos_g, _ = load_gnss_poses(gt)
+                ts_g = ts_g_ns.astype(np.float64) * 1e-9
+            else:
+                ts_g, pos_g, _ = load_tum(gt)
+                if len(ts_g) and ts_g.max() > 1e14:   # ns-stamped CSV (EuRoC)
+                    ts_g = ts_g * 1e-9
+            ts_e = np.asarray(timestamps, dtype=np.float64) * 1e-9
+            pos_e = np.asarray([p[:3, 3] for p in poses])
+            ia, ib = associate(ts_e, ts_g)
+            if len(ia) >= 3:
+                ate, _ = ate_rmse(pos_e[ia], pos_g[ib])
+                log.info("ATE RMSE vs ground truth: %.4f m "
+                         "(%d associations)", ate, len(ia))
+            else:
+                log.warning("ATE: only %d timestamp associations; skipped",
+                            len(ia))
+        else:
+            log.warning("ATE requested but the dataset has no ground truth")
+
     # Statistics (ref euroc_player.rs:147-171, :325-346)
     if pcfg.enable_console_statistics and times:
         fps = 1000.0 / result.avg_processing_time_ms
@@ -297,6 +336,8 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 f.write(f"frames_processed: {len(times)}\n")
                 f.write(f"avg_processing_time_ms: {result.avg_processing_time_ms:.3f}\n")
                 f.write(f"fps: {1000.0 / result.avg_processing_time_ms:.3f}\n")
+                if ate is not None:
+                    f.write(f"ate_rmse_m: {ate:.6f}\n")
             log.info("statistics -> %s", stats_path)
         except OSError as e:
             log.warning("could not write statistics: %s", e)
@@ -321,6 +362,11 @@ def make_cli(player_cls, name: str):
                         help="visual-inertial mode (IMU preintegration)")
         ap.add_argument("--checkpoint-out", default=None)
         ap.add_argument("--checkpoint-in", default=None)
+        ap.add_argument("--checkpoint-every", type=int, default=None,
+                        help="periodic snapshot every N frames "
+                             "(needs --checkpoint-out)")
+        ap.add_argument("--eval-ate", action="store_true",
+                        help="compute ATE vs the dataset ground truth")
         ap.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
         ap.add_argument("--quiet", action="store_true")
@@ -334,7 +380,9 @@ def make_cli(player_cls, name: str):
             trajectory_out=args.trajectory_out, use_vio=args.vio,
             checkpoint_out=args.checkpoint_out,
             checkpoint_in=args.checkpoint_in,
-            profile_dir=args.profile_dir)
+            checkpoint_every=args.checkpoint_every,
+            profile_dir=args.profile_dir,
+            evaluate_ate=args.eval_ate)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

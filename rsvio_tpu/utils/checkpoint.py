@@ -16,12 +16,21 @@ import numpy as np
 
 
 def save_state(path: str, state) -> None:
-    """Serialize an estimator-state pytree (NamedTuples of arrays) to .npz."""
+    """Serialize an estimator-state pytree (NamedTuples of arrays) to `path`.
+
+    Writes exactly `path` (np.savez would silently append .npz otherwise)
+    and atomically (temp file + rename), so a crash mid-write during
+    periodic checkpointing never corrupts the previous snapshot.
+    """
+    import os
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(str(treedef)).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load_state(path: str, template):

@@ -174,3 +174,31 @@ class TestTrajectoryUtils:
         ia, ib = trajectory.associate(a, b, max_dt=0.02)
         assert list(ia) == [0, 1]
         assert list(ib) == [0, 1]
+
+
+class TestCLIEvalAndCheckpointing:
+    def test_eval_ate_and_periodic_checkpoint(self, mini_euroc, tmp_path):
+        """--eval-ate associates against mav0 ground truth and records the
+        RMSE in statistics.txt; --checkpoint-every writes snapshots."""
+        root, cfg_path = mini_euroc
+        gt_dir = os.path.join(root, "mav0", "state_groundtruth_estimate0")
+        os.makedirs(gt_dir, exist_ok=True)
+        # GT stamps in seconds (the loader auto-detects epoch-scale ns as in
+        # real EuRoC files; the fixture's toy stamps are too small for that).
+        rows = ["#timestamp, px, py, pz, qw, qx, qy, qz"]
+        for k in range(8):
+            rows.append(f"{1.0 + k * 0.05:.3f},{0.02 * k},0.0,0.0,1,0,0,0")
+        with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+        ckpt = str(tmp_path / "state.ckpt")
+        from rsvio_tpu.cli.run_euroc import main
+        rc = main([cfg_path, root, "--max-frames", "8", "--quiet",
+                   "--eval-ate", "--checkpoint-out", ckpt,
+                   "--checkpoint-every", "3"])
+        assert rc == 0
+        assert os.path.exists(ckpt)
+        stats = open(os.path.join(root, "statistics.txt")).read()
+        assert "ate_rmse_m:" in stats, stats
+        rmse = float([ln for ln in stats.splitlines()
+                      if ln.startswith("ate_rmse_m")][0].split()[-1])
+        assert np.isfinite(rmse)
