@@ -34,6 +34,7 @@ class PlayerConfig:
     realtime: bool = False
     max_frames: Optional[int] = None
     enable_viewer: bool = False
+    viewer_dir: Optional[str] = None    # write visualization artifacts here
     trajectory_out: Optional[str] = None
     use_vio: bool = False       # visual-inertial mode (IMU preintegration)
     checkpoint_out: Optional[str] = None
@@ -134,7 +135,8 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         state = load_state(pcfg.checkpoint_in, state)
         log.info("resumed state from %s", pcfg.checkpoint_in)
 
-    viewer = create_viewer(pcfg.enable_viewer)
+    viewer = create_viewer(pcfg.enable_viewer, pcfg.viewer_dir)
+    viewer_on = pcfg.enable_viewer or bool(pcfg.viewer_dir)
 
     n_frames = len(player)
     if pcfg.max_frames:
@@ -216,7 +218,7 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             int(out.pnp_success), int(out.ba_success), int(out.ba_iterations),
             int(out.n_tracked), int(out.n_landmarks), profiling.report())
 
-        if pcfg.enable_viewer:
+        if viewer_on:
             # Entity schema parity with ref estimator.rs:272-364:
             # stereo/{left,right} images with colored tracked features,
             # pose_current, pose_<i> keyframe frustums, map/points,
@@ -357,6 +359,9 @@ def make_cli(player_cls, name: str):
         ap.add_argument("--realtime", action="store_true")
         ap.add_argument("--step-mode", action="store_true")
         ap.add_argument("--viewer", action="store_true")
+        ap.add_argument("--viewer-dir", default=None,
+                        help="write visualization artifacts (PNG overlays, "
+                             "PLY map, SVG trajectory) to this directory")
         ap.add_argument("--trajectory-out", default=None)
         ap.add_argument("--vio", action="store_true",
                         help="visual-inertial mode (IMU preintegration)")
@@ -377,6 +382,7 @@ def make_cli(player_cls, name: str):
         pcfg = PlayerConfig(
             step_mode=args.step_mode, realtime=args.realtime,
             max_frames=args.max_frames, enable_viewer=args.viewer,
+            viewer_dir=args.viewer_dir,
             trajectory_out=args.trajectory_out, use_vio=args.vio,
             checkpoint_out=args.checkpoint_out,
             checkpoint_in=args.checkpoint_in,

@@ -65,9 +65,12 @@ class NullViewer(Viewer):
     way the reference handles viewer connection loss, ref rerun.rs:186-190)."""
 
 
-def create_viewer(enabled: bool = True) -> Viewer:
-    """Factory (ref rerun.rs:448): rerun-backed viewer when the SDK exists,
-    NullViewer otherwise."""
+def create_viewer(enabled: bool = True, artifact_dir: str = None) -> Viewer:
+    """Factory (ref rerun.rs:448): artifact-writing viewer when a directory
+    is given, rerun-backed viewer when the SDK exists, NullViewer otherwise."""
+    if artifact_dir:
+        from .artifacts import ArtifactViewer
+        return ArtifactViewer(artifact_dir)
     if not enabled:
         return NullViewer()
     try:

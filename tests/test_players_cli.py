@@ -202,3 +202,24 @@ class TestCLIEvalAndCheckpointing:
         rmse = float([ln for ln in stats.splitlines()
                       if ln.startswith("ate_rmse_m")][0].split()[-1])
         assert np.isfinite(rmse)
+
+
+class TestArtifactViewer:
+    def test_viewer_dir_writes_artifacts(self, mini_euroc, tmp_path):
+        """--viewer-dir produces PNG overlays, a PLY map, a trajectory
+        polyline + SVG, and a poses.json without any viewer SDK."""
+        root, cfg_path = mini_euroc
+        vdir = str(tmp_path / "viz")
+        from rsvio_tpu.cli.run_euroc import main
+        rc = main([cfg_path, root, "--max-frames", "8", "--quiet",
+                   "--viewer-dir", vdir])
+        assert rc == 0
+        frames = os.listdir(os.path.join(vdir, "frames"))
+        assert any(f.startswith("stereo_left") for f in frames), frames
+        assert os.path.exists(os.path.join(vdir, "trajectory.txt"))
+        assert os.path.exists(os.path.join(vdir, "trajectory.svg"))
+        assert os.path.exists(os.path.join(vdir, "poses.json"))
+        ply = os.path.join(vdir, "map_points.ply")
+        if os.path.exists(ply):   # present once landmarks exist
+            head = open(ply).read(100)
+            assert head.startswith("ply")
