@@ -115,12 +115,14 @@ def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig,
     return jnp.concatenate([r9, r_bg, r_ba])
 
 
-def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig):
+def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig,
+                       sqrt_info=None):
     """Residual + Jacobians of the IMU factor between KF i and i+1.
 
     Returns (r (15,), J_i (15,15), J_j (15,15)) where the Jacobians are taken
     w.r.t. the same [pose(6 on T_B_W), v, bg, ba] increments used by
-    _retract_state.
+    _retract_state. sqrt_info: optional precomputed (9,9) whitening (it only
+    depends on the fixed preintegration, so callers hoist it per solve).
     """
     Ti = st.T_W_B[i]
     Tj = st.T_W_B[i + 1]
@@ -128,7 +130,8 @@ def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig):
     bgi, bgj = st.bg[i], st.bg[i + 1]
     bai, baj = st.ba[i], st.ba[i + 1]
 
-    sqrt_info = _imu_sqrt_info(pre, cfg)
+    if sqrt_info is None:
+        sqrt_info = _imu_sqrt_info(pre, cfg)
 
     def res(di, dj):
         T_B_Wi = lie.se3_retract_split(lie.se3_inverse(Ti), di[:6])
@@ -175,6 +178,12 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
     n_vars = W * D - 6 + 3 * jnp.sum(lm_active)
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
 
+    # Whitening of each IMU interval depends only on the (fixed)
+    # preintegration — compute once per solve, not per LM iteration.
+    sqrt_infos = jax.vmap(
+        lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
+        jnp.arange(W - 1))
+
     def total_cost(st: VIOState, lms):
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         vis = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
@@ -183,7 +192,7 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
             si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
             sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1], st.ba[i + 1])
             pre_i = jax.tree.map(lambda x: x[i], preint)
-            r = _imu_whitened_residual(pre_i, si, sj, cfg)
+            r = _imu_whitened_residual(pre_i, si, sj, cfg, sqrt_infos[i])
             return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
 
         imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
@@ -207,7 +216,8 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         # IMU factors.
         def imu_blocks(i):
             r, J_i, J_j = _imu_linearize_one(
-                jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                jax.tree.map(lambda x: x[i], preint), st, i, cfg,
+                sqrt_infos[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
                     w * (J_i.T @ r), w * (J_j.T @ r))
@@ -344,6 +354,12 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     def _extra(st: VIOState):
         return jnp.concatenate([st.vel, st.bg, st.ba], axis=1)  # (W,9)
 
+    # Whitening of each IMU interval depends only on the (fixed)
+    # preintegration — compute once per solve, not per LM iteration.
+    sqrt_infos = jax.vmap(
+        lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
+        jnp.arange(W - 1))
+
     def total_cost(st: VIOState, lms):
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         vis = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
@@ -352,7 +368,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
             si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
             sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1], st.ba[i + 1])
             pre_i = jax.tree.map(lambda x: x[i], preint)
-            r = _imu_whitened_residual(pre_i, si, sj, cfg)
+            r = _imu_whitened_residual(pre_i, si, sj, cfg, sqrt_infos[i])
             return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
 
         imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
@@ -378,7 +394,8 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
 
         def imu_blocks(i):
             r, J_i, J_j = _imu_linearize_one(
-                jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                jax.tree.map(lambda x: x[i], preint), st, i, cfg,
+                sqrt_infos[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
                     w * (J_i.T @ r), w * (J_j.T @ r))

@@ -58,6 +58,11 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
         n_vars = W * D - 6 + 3 * n_lm_act
         attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
 
+        # Hoisted per-interval whitening (fixed during the solve).
+        sqrt_infos = jax.vmap(
+            lambda i: vio_ba._imu_sqrt_info(
+                jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
+
         def total_cost(st: VIOState, lms):
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             vis = jax.lax.psum(
@@ -69,7 +74,8 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                 sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
                       st.ba[i + 1])
                 pre_i = jax.tree.map(lambda x: x[i], preint)
-                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg)
+                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg,
+                                                  sqrt_infos[i])
                 return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
 
             return vis + jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
@@ -94,7 +100,8 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             # IMU factors: replicated states -> identical on every device.
             def imu_blocks(i):
                 r, J_i, J_j = vio_ba._imu_linearize_one(
-                    jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                    jax.tree.map(lambda x: x[i], preint), st, i, cfg,
+                    sqrt_infos[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
                         w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))
@@ -239,6 +246,11 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
         fix_first = ~prior.valid
 
+        # Hoisted per-interval whitening (fixed during the solve).
+        sqrt_infos = jax.vmap(
+            lambda i: vio_ba._imu_sqrt_info(
+                jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
+
         def total_cost(st: VIOState, lms):
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             vis = jax.lax.psum(
@@ -250,7 +262,8 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
                 sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
                       st.ba[i + 1])
                 pre_i = jax.tree.map(lambda x: x[i], preint)
-                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg)
+                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg,
+                                                  sqrt_infos[i])
                 return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
 
             imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
@@ -275,7 +288,8 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
 
             def imu_blocks(i):
                 r, J_i, J_j = vio_ba._imu_linearize_one(
-                    jax.tree.map(lambda x: x[i], preint), st, i, cfg)
+                    jax.tree.map(lambda x: x[i], preint), st, i, cfg,
+                    sqrt_infos[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
                         w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))

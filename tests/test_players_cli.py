@@ -223,3 +223,25 @@ class TestArtifactViewer:
         if os.path.exists(ply):   # present once landmarks exist
             head = open(ply).read(100)
             assert head.startswith("ply")
+
+
+class TestTartanAirCLI:
+    def test_run_tartanair_end_to_end(self, tmp_path):
+        """Mono tracking CLI over a generated image_left sequence
+        (parity with ref feature_tracker play_tartanair bin)."""
+        import cv2
+        seq = tmp_path / "seq"
+        (seq / "image_left").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        base = cv2.resize(rng.uniform(0, 255, (40, 50)).astype(np.float32),
+                          (320, 240), interpolation=cv2.INTER_CUBIC)
+        for k in range(5):
+            cv2.imwrite(str(seq / "image_left" / f"{k:06d}_left.png"),
+                        base[k:k + 120, k * 2:k * 2 + 160].astype(np.uint8))
+        vdir = str(tmp_path / "viz")
+        from rsvio_tpu.cli.run_tartanair import main
+        rc = main([str(seq), "--max-frames", "5", "--levels", "3",
+                   "--capacity", "64", "--quiet", "--viewer-dir", vdir])
+        assert rc == 0
+        assert any(f.startswith("tartanair_left")
+                   for f in os.listdir(os.path.join(vdir, "frames")))
