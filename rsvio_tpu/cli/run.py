@@ -120,7 +120,9 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 "gyro": np.asarray([s.gyro for s in samples], np.float32),
                 "accel": np.asarray([s.accel for s in samples], np.float32),
             }
-            vcfg = ev.VIOEstimatorConfig(base=ecfg)
+            from ..utils.config import make_imu_params
+            vcfg = ev.VIOEstimatorConfig(base=ecfg,
+                                         imu_params=make_imu_params(cfg))
             step = ev.make_vio_estimator_step(vcfg)
             state = ev.init_vio_state(vcfg, dtype=dtype)
             log.info("VIO mode: %d IMU samples loaded", len(samples))

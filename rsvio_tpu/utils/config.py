@@ -75,6 +75,16 @@ class TrackerConfig:
 
 
 @dataclasses.dataclass
+class ImuConfig:
+    """IMU noise model for VIO mode (greenfield — the reference has only
+    IMU placeholders). Defaults are the EuRoC MAV datasheet values."""
+    gyroscope_noise_density: float = 1.7e-4   # rad/s/sqrt(Hz)
+    accelerometer_noise_density: float = 2.0e-3  # m/s^2/sqrt(Hz)
+    gyroscope_random_walk: float = 1.9e-5
+    accelerometer_random_walk: float = 3.0e-3
+
+
+@dataclasses.dataclass
 class SolverConfig:
     huber_delta: float = 2.0         # ref sliding_window.rs:295,540
     cost_tol: float = 1e-6           # ref sliding_window.rs:132
@@ -98,6 +108,7 @@ class Config:
         default_factory=OptimizationConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
 
 
 def _fill(cls, data: Optional[dict]):
@@ -129,6 +140,7 @@ def load_config(path: str) -> Config:
         optimization=_fill(OptimizationConfig, data.get("optimization")),
         tracker=_fill(TrackerConfig, data.get("tracker")),
         solver=_fill(SolverConfig, data.get("solver")),
+        imu=_fill(ImuConfig, data.get("imu")),
     )
 
 
@@ -187,3 +199,14 @@ def make_estimator_config(cfg: Config):
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
     )
     return ecfg, rig
+
+
+def make_imu_params(cfg: Config):
+    """Translate the imu: YAML section into models.imu.ImuParams."""
+    from ..models.imu import ImuParams
+    return ImuParams(
+        gyro_noise=cfg.imu.gyroscope_noise_density,
+        accel_noise=cfg.imu.accelerometer_noise_density,
+        gyro_bias_walk=cfg.imu.gyroscope_random_walk,
+        accel_bias_walk=cfg.imu.accelerometer_random_walk,
+    )

@@ -129,3 +129,24 @@ class TestF64Numerics:
             print("OK ba f64", err)
         """)
         assert "OK ba f64" in out
+
+
+@pytest.mark.slow
+def test_f64_cli_end_to_end(tmp_path):
+    """`precision: f64` in the YAML must run the full CLI pipeline in double
+    (fresh interpreter so jax x64 does not leak into this suite)."""
+    out = _run_x64("""
+        sys.path.insert(0, %r)
+        from test_players_cli import make_mini_euroc
+        root, cfg_path = make_mini_euroc(%r, extra_cfg="precision: f64\\n")
+        from rsvio_tpu.cli.run_euroc import main
+        rc = main([cfg_path, root, "--max-frames", "6", "--quiet",
+                   "--trajectory-out", %r])
+        assert rc == 0, rc
+        from rsvio_tpu.utils.trajectory import load_tum
+        ts, pos, quat = load_tum(%r)
+        assert len(ts) == 6 and np.all(np.isfinite(pos))
+        print("OK f64 cli")
+    """ % (os.path.join(REPO, "tests"), str(tmp_path),
+           str(tmp_path / "traj64.txt"), str(tmp_path / "traj64.txt")))
+    assert "OK f64 cli" in out

@@ -10,12 +10,13 @@ from rsvio_tpu.data import players
 from rsvio_tpu.utils import trajectory
 
 
-@pytest.fixture(scope="module")
-def mini_euroc(tmp_path_factory):
+def make_mini_euroc(root, extra_cfg: str = ""):
     """Generate a minimal EuRoC mav0 tree: 8 stereo frames of a shifting
-    texture + IMU csv + config yaml."""
+    texture + IMU csv + config yaml. Callable outside pytest (the f64 CLI
+    test builds one inside a fresh x64 interpreter)."""
+    import pathlib
     import cv2
-    root = tmp_path_factory.mktemp("euroc") / "MINI_01"
+    root = pathlib.Path(root) / "MINI_01"
     cam0 = root / "mav0" / "cam0"
     cam1 = root / "mav0" / "cam1"
     imu0 = root / "mav0" / "imu0"
@@ -79,8 +80,13 @@ tracker:
   min_corner_score: 5.0
 """
     cfg_path = root / "config.yaml"
-    cfg_path.write_text(cfg)
+    cfg_path.write_text(cfg + extra_cfg)
     return str(root), str(cfg_path)
+
+
+@pytest.fixture(scope="module")
+def mini_euroc(tmp_path_factory):
+    return make_mini_euroc(tmp_path_factory.mktemp("euroc"))
 
 
 class TestPlayers:

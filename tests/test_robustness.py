@@ -1,0 +1,110 @@
+"""Robustness properties of the tracking frontend: brightness invariance
+(the mean-normalized patch model, ref src/feature_tracker/patch.rs:75-123),
+noise tolerance, and in-plane camera roll (SE2 track states,
+ref feature_tracker.rs:91-100)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsvio_tpu.ops import klt, pyramid
+from rsvio_tpu.ops.klt import KLTConfig
+
+
+def textured(H=120, W=160, seed=0):
+    import cv2
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(30, 220, (H // 4, W // 4)).astype(np.float32)
+    img = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    return cv2.GaussianBlur(img, (5, 5), 1.0).astype(np.float32)
+
+
+def shift(img, dx, dy):
+    import cv2
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+CFG = KLTConfig(levels=3, max_iterations=20, backend="xla")
+
+
+def run_bidir(img_a, img_b, pts, cfg=CFG):
+    pa = pyramid.build_pyramid(jnp.asarray(img_a), cfg.levels)
+    pb = pyramid.build_pyramid(jnp.asarray(img_b), cfg.levels)
+    alive = jnp.ones(pts.shape[0], bool)
+    pos, A, ok = klt.track_points_bidirectional(pa, pb, jnp.asarray(pts),
+                                                alive, cfg)
+    return np.asarray(pos), np.asarray(ok)
+
+
+class TestPhotometricInvariance:
+    def test_gain_change_survives(self):
+        """A global exposure (gain) change must not kill tracks — the patch
+        model is mean-normalized (multiplicative invariance by design)."""
+        img = textured(seed=1)
+        img2 = np.clip(shift(img, 1.3, -0.8) * 1.35, 0, 255)
+        pts = np.random.default_rng(0).uniform(
+            [15, 15], [145, 105], (16, 2)).astype(np.float32)
+        pos, ok = run_bidir(img, img2, pts)
+        assert ok.sum() >= 12, ok.sum()
+        flow = pos[ok] - pts[ok]
+        err = np.abs(flow - [1.3, -0.8])
+        assert np.median(err) < 0.25, err
+
+    def test_gain_change_survives_pallas_kernel(self):
+        """Same property through the Pallas kernel path (interpret mode)."""
+        cfg = KLTConfig(levels=3, max_iterations=20, backend="pallas")
+        img = textured(seed=2)
+        img2 = np.clip(shift(img, -0.9, 1.1) * 0.7, 0, 255)
+        pts = np.random.default_rng(1).uniform(
+            [15, 15], [145, 105], (12, 2)).astype(np.float32)
+        pos, ok = run_bidir(img, img2, pts, cfg)
+        assert ok.sum() >= 9, ok.sum()
+        flow = pos[ok] - pts[ok]
+        assert np.median(np.abs(flow - [-0.9, 1.1])) < 0.25
+
+    def test_noise_tolerance(self):
+        """Moderate sensor noise degrades but does not wipe out tracking."""
+        rng = np.random.default_rng(3)
+        img = textured(seed=3)
+        img2 = np.clip(shift(img, 0.7, 0.4)
+                       + rng.normal(0, 4.0, img.shape), 0, 255).astype(np.float32)
+        pts = rng.uniform([15, 15], [145, 105], (16, 2)).astype(np.float32)
+        pos, ok = run_bidir(img, img2, pts)
+        assert ok.sum() >= 8, ok.sum()
+        flow = pos[ok] - pts[ok]
+        assert np.median(np.abs(flow - [0.7, 0.4])) < 0.5
+
+    def test_textureless_tracks_die_not_diverge(self):
+        """Flat input: tracks must be rejected (patch validity / bidir gate),
+        never returned as diverged positions."""
+        img = np.full((120, 160), 128.0, np.float32)
+        pts = np.random.default_rng(4).uniform(
+            [15, 15], [145, 105], (8, 2)).astype(np.float32)
+        pos, ok = run_bidir(img, img, pts)
+        assert not ok.any()
+        # rejected tracks report their source position (no NaN/divergence)
+        np.testing.assert_allclose(pos, pts, atol=1e-4)
+
+
+class TestInPlaneRoll:
+    def test_roll_tracked_by_xla_se2_path(self):
+        """Camera roll between frames: the SE2 path must land features on
+        their rotated positions."""
+        import cv2
+        img = textured(H=160, W=200, seed=5)
+        deg = 4.0
+        c = (100.0, 80.0)
+        img2 = cv2.warpAffine(img, cv2.getRotationMatrix2D(c, deg, 1.0),
+                              (200, 160), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REFLECT)
+        pts = np.random.default_rng(5).uniform(
+            [60, 45], [140, 115], (16, 2)).astype(np.float32)
+        a = np.deg2rad(deg)
+        R = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]],
+                     np.float32)
+        gt = (pts - c) @ R.T + c
+        pos, ok = run_bidir(img, img2, pts)
+        assert ok.sum() >= 10, ok.sum()
+        err = np.linalg.norm(pos[ok] - gt[ok], axis=1)
+        assert np.median(err) < 0.5, err
