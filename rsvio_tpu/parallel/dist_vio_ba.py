@@ -91,11 +91,13 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             H_pp6 = jax.lax.psum(H_pp6, axis)
             g_p6 = jax.lax.psum(g_p6, axis)
 
+            # Visual pose blocks embedded in the 15-dim layout; the landmark
+            # coupling stays 6-dim (visual factors never touch velocity/bias)
+            # so the elimination — and the psum'd Schur correction — live in
+            # the pose subspace (6.25x less compute AND collective payload).
             H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
             H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
             g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
-            H_sl = jnp.zeros((W, lms.shape[0], D, 3), dtype=dtype)
-            H_sl = H_sl.at[:, :, :6, :].add(H_pl6)
 
             # IMU factors: replicated states -> identical on every device.
             def imu_blocks(i):
@@ -124,17 +126,18 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             eye3 = jnp.eye(3, dtype=dtype)
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-            H_sl_m = jnp.where(lm_active[None, :, None, None], H_sl, 0.0)
-            return H_ss, H_ll_d, H_sl_m, g_s, g_l_m
+            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+            return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
 
-        def schur_step(H_ss, H_ll_d, H_sl, g_s, g_l):
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
-            A = jnp.einsum("wlij,ljk->wlik", H_sl, H_ll_inv)
-            # Local landmark-elimination contribution, one psum -> global.
-            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_sl)
-            b_local = jnp.einsum("wlik,lk->wi", A, g_l)
-            S_blocks = H_ss + jax.lax.psum(S_local, axis)
-            b_red = jax.lax.psum(b_local, axis) - g_s
+            A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
+            # Local landmark-elimination contribution (pose subspace), one
+            # psum -> global.
+            S6_local = -jnp.einsum("wlik,vljk->wvij", A6, H_pl6)
+            b6_local = jnp.einsum("wlik,lk->wi", A6, g_l)
+            S_blocks = H_ss.at[:, :, :6, :6].add(jax.lax.psum(S6_local, axis))
+            b_red = (-g_s).at[:, :6].add(jax.lax.psum(b6_local, axis))
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             b = b_red.reshape(W * D)
             if fix_first:
@@ -143,7 +146,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                 b = b * m
             cho = jax.scipy.linalg.cho_factor(S, lower=True)
             delta_s = jax.scipy.linalg.cho_solve(cho, b).reshape(W, D)
-            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_sl, delta_s)
+            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_pl6, delta_s[:, :6])
             delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
@@ -280,11 +283,11 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             H_pp6 = jax.lax.psum(H_pp6, axis)
             g_p6 = jax.lax.psum(g_p6, axis)
 
+            # Visual pose blocks in the 15-dim layout; landmark coupling
+            # stays 6-dim (see solve_vio_ba_distributed.build_system).
             H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
             H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
             g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
-            H_sl = jnp.zeros((W, lms.shape[0], D, 3), dtype=dtype)
-            H_sl = H_sl.at[:, :, :6, :].add(H_pl6)
 
             def imu_blocks(i):
                 r, J_i, J_j = vio_ba._imu_linearize_one(
@@ -318,22 +321,22 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             eye3 = jnp.eye(3, dtype=dtype)
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-            H_sl_m = jnp.where(lm_active[None, :, None, None], H_sl, 0.0)
-            return H_ss, H_ll_d, H_sl_m, g_s, g_l_m
+            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+            return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
 
-        def reduced(H_ss, H_ll_d, H_sl, g_s, g_l):
+        def reduced(H_ss, H_ll_d, H_pl6, g_s, g_l):
             """Global reduced system (replicated after psum) + local pieces."""
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
-            A = jnp.einsum("wlij,ljk->wlik", H_sl, H_ll_inv)
-            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_sl)
-            b_local = jnp.einsum("wlik,lk->wi", A, g_l)
-            S_blocks = H_ss + jax.lax.psum(S_local, axis)
-            g_red = g_s - jax.lax.psum(b_local, axis)
+            A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
+            S6_local = -jnp.einsum("wlik,vljk->wvij", A6, H_pl6)
+            b6_local = jnp.einsum("wlik,lk->wi", A6, g_l)
+            S_blocks = H_ss.at[:, :, :6, :6].add(jax.lax.psum(S6_local, axis))
+            g_red = g_s.at[:, :6].add(-jax.lax.psum(b6_local, axis))
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             return S, g_red.reshape(W * D), H_ll_inv, inv_ok
 
-        def schur_step(H_ss, H_ll_d, H_sl, g_s, g_l):
-            S, g_red, H_ll_inv, inv_ok = reduced(H_ss, H_ll_d, H_sl, g_s, g_l)
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
+            S, g_red, H_ll_inv, inv_ok = reduced(H_ss, H_ll_d, H_pl6, g_s, g_l)
             b = -g_red
 
             def fixed(args):
@@ -345,7 +348,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             S2, b2 = jax.lax.cond(fix_first, fixed, lambda a: a, (S, b))
             cho = jax.scipy.linalg.cho_factor(S2, lower=True)
             delta_s = jax.scipy.linalg.cho_solve(cho, b2).reshape(W, D)
-            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_sl, delta_s)
+            rhs_l = -g_l - jnp.einsum("wlij,wi->lj", H_pl6, delta_s[:, :6])
             delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
