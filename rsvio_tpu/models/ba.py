@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
-from ..ops.projection import linearize_projection, projection_cost
+from ..ops.projection import linearize_projection
 
 STATUS_MAX_ITERATIONS = 0
 STATUS_COST_TOL = 1
@@ -112,14 +112,6 @@ def _linearize_all(T_B_W, T_C_B, landmarks, obs, mask, delta):
             in_axes=(None, 0, None, 0, 0)),
         in_axes=(0, None, None, 0, 0))
     return f(T_B_W, T_C_B, landmarks, obs, mask)
-
-
-def _total_cost(T_B_W, T_C_B, landmarks, obs, mask, delta):
-    f = jax.vmap(jax.vmap(jax.vmap(
-        lambda T, Tcb, p, o, m: projection_cost(Tcb, T, p, o, m, delta),
-        in_axes=(None, None, 0, 0, 0)), in_axes=(None, 0, None, 0, 0)),
-        in_axes=(0, None, None, 0, 0))
-    return jnp.sum(f(T_B_W, T_C_B, landmarks, obs, mask))
 
 
 def build_normal_equations(lin):
@@ -238,19 +230,23 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
 
     T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
-    cost0 = _total_cost(T_B_W0, T_C_B, landmarks, obs, mask, cfg.huber_delta)
 
-    def lin_and_blocks(T_B_W, lms):
+    def lin_sys(T_B_W, lms):
+        """ONE pass over observations: normal-equation blocks AND the robust
+        cost at the same point (the separate cost pass is fused away; the LM
+        loop carries the blocks and relinearizes only at accepted points)."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
-        return build_normal_equations(lin)
+        return build_normal_equations(lin), jnp.sum(lin.cost)
+
+    sys0, cost0 = lin_sys(T_B_W0, landmarks)
 
     def cond(state):
-        _, _, cost, lam, it, done, status, _m = state
+        _, _, _, cost, lam, it, done, status, _m = state
         return (~done) & (it < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, cost, lam, it, done, status, metrics = state
-        H_pp, H_ll, H_pl, g_p, g_l = lin_and_blocks(T_B_W, lms)
+        T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
+        H_pp, H_ll, H_pl, g_p, g_l = sys
         delta_p, delta_l, ok_step = schur_solve(
             H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first)
         if cfg.translation_only:
@@ -259,7 +255,7 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
         lms_new = lms + delta_l
-        new_cost = _total_cost(T_new, T_C_B, lms_new, obs, mask, cfg.huber_delta)
+        sys_new, new_cost = lin_sys(T_new, lms_new)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
@@ -267,6 +263,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         param_conv = accept & (step_norm <= cfg.param_tol)
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
+        sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                           sys_new, sys)
         metrics = metrics.at[it].set(jnp.stack(
             [new_cost, lam, step_norm, accept.astype(dtype)]))
         cost = jnp.where(accept, new_cost, cost)
@@ -274,13 +272,14 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = lm_status(cost_conv, param_conv, hard_fail)
-        return (T_B_W, lms, cost, lam, it + 1, done, status, metrics)
+        return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
 
-    init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+    init = (T_B_W0, landmarks, sys0, cost0,
+            jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
             jnp.zeros((cfg.max_iterations, 4), dtype))
-    (T_B_W, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+    (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
@@ -334,27 +333,30 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
 
     no_extra = jnp.zeros((W, 0), dtype=dtype)
 
-    def full_cost(T_B_W, lms):
-        vis = _total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
-        T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
-        _, _, pcost = prior_terms(prior, T_W_B_cur, no_extra)
-        return vis + pcost
-
-    def reduced_system(T_B_W, lms, lam):
-        """Damped, prior-augmented reduced camera system + landmark pieces."""
+    def lin_sys(T_B_W, lms):
+        """ONE pass over observations per point: masked normal-equation
+        blocks + prior terms AND the total (visual + prior) cost. The LM loop
+        carries this system and re-damps it on rejected steps instead of
+        relinearizing."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
         H_pp, H_ll, H_pl, g_p, g_l = build_normal_equations(lin)
         T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
-        H_add, g_add, _ = prior_terms(prior, T_W_B_cur, no_extra)
+        H_add, g_add, pcost = prior_terms(prior, T_W_B_cur, no_extra)
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+        sys = (H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add)
+        return sys, jnp.sum(lin.cost) + pcost
 
+    def damp_reduce(sys, lam):
+        """Damped, prior-augmented reduced camera system + landmark pieces
+        (cheap relative to lin_sys — safe to redo per lambda retry)."""
+        H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add = sys
         dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
         H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
         dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
         H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
         eye3 = jnp.eye(3, dtype=dtype)
         H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-        H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
 
         H_ll_inv, inv_ok = _inv3x3(H_ll_d)
         A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
@@ -381,15 +383,14 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
 
     T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
-    cost0 = full_cost(T_B_W0, landmarks)
+    sys0, cost0 = lin_sys(T_B_W0, landmarks)
 
     def cond(state):
-        return (~state[5]) & (state[4] < cfg.max_iterations)
+        return (~state[6]) & (state[5] < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, cost, lam, it, done, status, metrics = state
-        S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = reduced_system(
-            T_B_W, lms, lam)
+        T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
+        S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = damp_reduce(sys, lam)
         delta_p = solve_from_system(S, b)
         rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
         delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
@@ -401,7 +402,7 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
         lms_new = lms + delta_l
-        new_cost = full_cost(T_new, lms_new)
+        sys_new, new_cost = lin_sys(T_new, lms_new)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
@@ -411,18 +412,21 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             [new_cost, lam, step_norm, accept.astype(dtype)]))
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
+        sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                           sys_new, sys)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = lm_status(cost_conv, param_conv, hard_fail)
-        return T_B_W, lms, cost, lam, it + 1, done, status, metrics
+        return T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics
 
-    init = (T_B_W0, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+    init = (T_B_W0, landmarks, sys0, cost0,
+            jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
             jnp.zeros((cfg.max_iterations, 4), dtype))
-    (T_B_W, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+    (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
@@ -432,9 +436,8 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
 
     # ---- next prior: marginalize pose 0 of the final linearized system ----
     # (small damping keeps weakly-observed landmark blocks invertible)
-    S_f, b_f, *_ = reduced_system(
-        jax.vmap(lie.se3_inverse)(T_W_B_out), lms_out,
-        jnp.asarray(1e-5, dtype))
+    sys_f, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_W_B_out), lms_out)
+    S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype))
     # reduced_system returns b = -(gradient); marginalize expects +gradient.
     new_prior = marginalize_oldest(S_f, -b_f, T_W_B_out, no_extra, prior, 6)
     do_new = will_evict & success

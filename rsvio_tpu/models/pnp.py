@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
-from ..ops.projection import linearize_projection, projection_cost
+from ..ops.projection import linearize_projection
 from .ba import lm_status as ba_lm_status
 
 # Convergence-status taxonomy (parity with the reference's success statuses,
@@ -54,13 +54,6 @@ class PnPResult(NamedTuple):
     # Per-iteration [cost, lambda, step_norm, accepted] rows (observer parity,
     # ref src/optimization/observer.rs) — see utils.observer.format_metrics.
     metrics: jnp.ndarray = None  # (max_iterations, 4)
-
-
-def _total_cost(T_B_W, T_C_B, landmarks, obs, mask, delta):
-    f = jax.vmap(jax.vmap(
-        lambda Tcb, p, o, m: projection_cost(Tcb, T_B_W, p, o, m, delta),
-        in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
-    return jnp.sum(f(T_C_B, landmarks, obs, mask))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -112,7 +105,10 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         ok_step = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok_step, delta, 0.0)
         T_new = lie.se3_retract_split(T, delta)
-        new_cost = _total_cost(T_new, T_C_B, landmarks, obs, mask, cfg.huber_delta)
+        # ONE pass over observations per iteration: the linearization at the
+        # candidate yields the acceptance cost AND (if accepted) the next
+        # iteration's normal equations; a reject keeps the carried system.
+        H_new, g_new, new_cost = linearize(T_new)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         # Convergence checks on the accepted step
         cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
@@ -122,10 +118,9 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
             [new_cost, lam, jnp.linalg.norm(delta), accept.astype(dtype)]))
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 3.0)
         hard_fail = lam > cfg.lambda_max
-        H_new, g_new, cost_new = linearize(T)
         H = jnp.where(accept, H_new, H)
         g = jnp.where(accept, g_new, g)
-        cost = jnp.where(accept, cost_new, cost)
+        cost = jnp.where(accept, new_cost, cost)
         done = cost_conv | param_conv | hard_fail
         status = ba_lm_status(cost_conv, param_conv, hard_fail)
         return T, H, g, cost, lam, it + 1, done, status, metrics

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
-from ..ops.projection import linearize_projection, projection_cost
 from . import ba as ba_mod
 from .imu import Preintegrated, imu_residual
 
@@ -184,48 +183,37 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
         jnp.arange(W - 1))
 
-    def total_cost(st: VIOState, lms):
-        T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
-        vis = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+    def lin_sys(st: VIOState, lms):
+        """ONE pass over observations + IMU intervals per point: undamped
+        normal-equation blocks AND the total robust cost. The LM loop carries
+        this system and re-damps it on rejected steps.
 
-        def imu_cost(i):
-            si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
-            sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1], st.ba[i + 1])
-            pre_i = jax.tree.map(lambda x: x[i], preint)
-            r = _imu_whitened_residual(pre_i, si, sj, cfg, sqrt_infos[i])
-            return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
-
-        imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
-        return vis + imu
-
-    cost0 = total_cost(state, landmarks)
-
-    def build_system(st: VIOState, lms, lam):
+        Visual factors never touch velocity/bias, so the state-landmark
+        coupling H_pl6 stays in 6-dim pose space: rows 6:15 of the (D,3)
+        coupling blocks are structurally zero and the whole landmark
+        elimination runs in the pose subspace (6.25x fewer MXU FLOPs than
+        materializing (W,L,15,3) blocks)."""
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         lin = _visual_linearize(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
         H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
 
-        # Expand visual pose blocks into the 15-dim state layout. The
-        # state-landmark coupling H_pl6 stays in 6-dim pose space: visual
-        # factors never touch velocity/bias, so rows 6:15 of the (D,3)
-        # coupling blocks are structurally zero and the whole landmark
-        # elimination runs in the pose subspace (6.25x fewer MXU FLOPs than
-        # materializing (W,L,15,3) blocks).
         H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
         H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
         g_s = jnp.zeros((W, D), dtype=dtype)
         g_s = g_s.at[:, :6].add(g_p6)
 
-        # IMU factors.
+        # IMU factors (residual also yields the IMU cost contribution).
         def imu_blocks(i):
             r, J_i, J_j = _imu_linearize_one(
                 jax.tree.map(lambda x: x[i], preint), st, i, cfg,
                 sqrt_infos[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
-                    w * (J_i.T @ r), w * (J_j.T @ r))
+                    w * (J_i.T @ r), w * (J_j.T @ r),
+                    0.5 * w * jnp.dot(r, r))
 
-        Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+        Hii, Hjj, Hij, gi, gj, imu_costs = jax.vmap(imu_blocks)(
+            jnp.arange(W - 1))
         idx = jnp.arange(W - 1)
         H_ss = H_ss.at[idx, idx].add(Hii)
         H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
@@ -234,18 +222,24 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         g_s = g_s.at[idx].add(gi)
         g_s = g_s.at[idx + 1].add(gj)
 
-        # Damping on the diagonal state blocks and landmark blocks.
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+        sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
+        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs)
+
+    def damp(sys, lam):
+        """Marquardt damping on the state/landmark diagonal blocks (cheap —
+        redone per lambda retry without relinearizing)."""
+        H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
         diag_ss = jnp.maximum(
             jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
-        H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+        H_ss_d = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
             lam * jax.vmap(jnp.diag)(diag_ss))
         dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
         H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
         eye3 = jnp.eye(3, dtype=dtype)
         H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-        H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
-        return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
+        return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
     def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
         H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
@@ -269,18 +263,21 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
               & jnp.all(inv_ok | (~lm_active)))
         return delta_s, delta_l, ok
 
+    sys0, cost0 = lin_sys(state, landmarks)
+
     def cond(c):
-        return (~c[5]) & (c[4] < cfg.max_iterations)
+        return (~c[6]) & (c[5] < cfg.max_iterations)
 
     def body(c):
-        st, lms, cost, lam, it, done, status, metrics = c
-        H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
-        delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl, g_s, g_l_m)
+        st, lms, sys, cost, lam, it, done, status, metrics = c
+        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+        delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_pl6, g_s,
+                                               g_l_m)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         st_new = _retract_state(st, delta_s)
         lms_new = lms + delta_l
-        new_cost = total_cost(st_new, lms_new)
+        sys_new, new_cost = lin_sys(st_new, lms_new)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
@@ -290,18 +287,21 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
             [new_cost, lam, step_norm, accept.astype(dtype)]))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
+        sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                           sys_new, sys)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, cost, lam, it + 1, done, status, metrics
+        return st, lms, sys, cost, lam, it + 1, done, status, metrics
 
-    init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+    init = (state, landmarks, sys0, cost0,
+            jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
             jnp.zeros((cfg.max_iterations, 4), dtype))
-    (st, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+    (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -364,33 +364,16 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
         jnp.arange(W - 1))
 
-    def total_cost(st: VIOState, lms):
-        T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
-        vis = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
-
-        def imu_cost(i):
-            si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
-            sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1], st.ba[i + 1])
-            pre_i = jax.tree.map(lambda x: x[i], preint)
-            r = _imu_whitened_residual(pre_i, si, sj, cfg, sqrt_infos[i])
-            return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
-
-        imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
-        _, _, pcost = prior_terms(prior, st.T_W_B, _extra(st))
-        return vis + imu + pcost
-
-    cost0 = total_cost(state, landmarks)
-
-    def build_system(st: VIOState, lms, lam):
-        """Damped, prior-augmented state system + landmark pieces (mirrors
-        solve_vio_ba.build_system with the prior injected on the (W·15)
-        state block)."""
+    def lin_sys(st: VIOState, lms):
+        """ONE pass per point: undamped prior-augmented state system AND the
+        total (visual + IMU + prior) cost (mirrors solve_vio_ba.lin_sys with
+        the prior injected on the (W·15) state block)."""
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         lin = _visual_linearize(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
         H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
 
         # Visual pose blocks embedded in the 15-dim layout; the landmark
-        # coupling stays 6-dim (see solve_vio_ba.build_system).
+        # coupling stays 6-dim (see solve_vio_ba.lin_sys).
         H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
         H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
         g_s = jnp.zeros((W, D), dtype=dtype)
@@ -402,9 +385,11 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
                 sqrt_infos[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
-                    w * (J_i.T @ r), w * (J_j.T @ r))
+                    w * (J_i.T @ r), w * (J_j.T @ r),
+                    0.5 * w * jnp.dot(r, r))
 
-        Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+        Hii, Hjj, Hij, gi, gj, imu_costs = jax.vmap(imu_blocks)(
+            jnp.arange(W - 1))
         idx = jnp.arange(W - 1)
         H_ss = H_ss.at[idx, idx].add(Hii)
         H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
@@ -414,22 +399,27 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         g_s = g_s.at[idx + 1].add(gj)
 
         # Prior over the flattened (W·15) state vector.
-        H_add, g_add, _ = prior_terms(prior, st.T_W_B, _extra(st))
+        H_add, g_add, pcost = prior_terms(prior, st.T_W_B, _extra(st))
         H_ss = (H_ss.transpose(0, 2, 1, 3).reshape(W * D, W * D) + H_add) \
             .reshape(W, D, W, D).transpose(0, 2, 1, 3)
         g_s = (g_s.reshape(W * D) + g_add).reshape(W, D)
 
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+        sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
+        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs) + pcost
+
+    def damp(sys, lam):
+        H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
         diag_ss = jnp.maximum(
             jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
-        H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+        H_ss_d = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
             lam * jax.vmap(jnp.diag)(diag_ss))
         dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
         H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
         eye3 = jnp.eye(3, dtype=dtype)
         H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-        H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
-        return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
+        return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
     def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
         H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
@@ -455,18 +445,21 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
               & jnp.all(inv_ok | (~lm_active)))
         return delta_s, delta_l, ok
 
+    sys0, cost0 = lin_sys(state, landmarks)
+
     def cond(c):
-        return (~c[5]) & (c[4] < cfg.max_iterations)
+        return (~c[6]) & (c[5] < cfg.max_iterations)
 
     def body(c):
-        st, lms, cost, lam, it, done, status, metrics = c
-        H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
-        delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl, g_s, g_l_m)
+        st, lms, sys, cost, lam, it, done, status, metrics = c
+        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+        delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_pl6, g_s,
+                                               g_l_m)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         st_new = _retract_state(st, delta_s)
         lms_new = lms + delta_l
-        new_cost = total_cost(st_new, lms_new)
+        sys_new, new_cost = lin_sys(st_new, lms_new)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
@@ -476,18 +469,21 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
             [new_cost, lam, step_norm, accept.astype(dtype)]))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
+        sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                           sys_new, sys)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, cost, lam, it + 1, done, status, metrics
+        return st, lms, sys, cost, lam, it + 1, done, status, metrics
 
-    init = (state, landmarks, cost0, jnp.asarray(cfg.lambda_init, dtype),
+    init = (state, landmarks, sys0, cost0,
+            jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
             jnp.zeros((cfg.max_iterations, 4), dtype))
-    (st, lms, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
+    (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -498,8 +494,9 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     # ---- next prior: marginalize state 0 of the final linearized,
     # landmark-eliminated system (small damping keeps weakly-observed
     # landmark blocks invertible; mirrors ba.solve_ba_marginalized) ----
-    H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = build_system(
-        st_out, lms_out, jnp.asarray(1e-5, dtype))
+    sys_f, _ = lin_sys(st_out, lms_out)
+    H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = damp(
+        sys_f, jnp.asarray(1e-5, dtype))
     H_ll_inv_f, _ = ba_mod._inv3x3(H_ll_f)
     A_f = jnp.einsum("wlij,ljk->wlik", H_pl6_f, H_ll_inv_f)
     S6_f = jnp.einsum("wlik,vljk->wvij", A_f, H_pl6_f)

@@ -65,25 +65,30 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
 
         T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
 
-        def total_cost(T_B_W, lms):
-            local = ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
-                                       cfg.huber_delta)
-            return jax.lax.psum(local, axis)
-
-        cost0 = total_cost(T_B_W0, lms)
-
-        def cond(state):
-            _, _, cost, lam, it, done, status = state
-            return (~done) & (it < cfg.max_iterations)
-
-        def body(state):
-            T_B_W, lms, cost, lam, it, done, status = state
+        def lin_sys(T_B_W, lms):
+            """ONE pass over the local observation shard per point: global
+            pose blocks + local landmark blocks AND the global robust cost,
+            with the pose-block reduction and the cost packed into a single
+            psum. The LM loop carries this system and re-damps it on rejected
+            steps instead of relinearizing."""
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
             H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
-            # Global pose blocks: reduce partial sums over the landmark shards.
-            H_pp = jax.lax.psum(H_pp, axis)
-            g_p = jax.lax.psum(g_p, axis)
+            H_pp, g_p, cost = jax.lax.psum(
+                (H_pp, g_p, jnp.sum(lin.cost)), axis)
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+            return (H_pp, H_ll, H_pl_m, g_p, g_l_m), cost
+
+        sys0, cost0 = lin_sys(T_B_W0, lms)
+
+        def cond(state):
+            _, _, _, cost, lam, it, done, status = state
+            return (~done) & (it < cfg.max_iterations)
+
+        def body(state):
+            T_B_W, lms, sys, cost, lam, it, done, status = state
+            H_pp, H_ll, H_pl_m, g_p, g_l_m = sys
 
             # Damping (must mirror ba.schur_solve semantics).
             dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
@@ -91,10 +96,7 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
             H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
             eye3 = jnp.eye(3, dtype=dtype)
-            lm_act = lm_active
-            H_ll_d = jnp.where(lm_act[:, None, None], H_ll_d, eye3[None])
-            g_l_m = jnp.where(lm_act[:, None], g_l, 0.0)
-            H_pl_m = jnp.where(lm_act[None, :, None, None], H_pl, 0.0)
+            H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
 
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
             A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
@@ -102,8 +104,8 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             # S dp = -g_p + A g_l  (same algebra as ba.schur_solve)
             S_local = -jnp.einsum("wlik,vljk->wvij", A, H_pl_m)
             b_local = jnp.einsum("wlik,lk->wi", A, g_l_m)
-            S_blocks = jax.lax.psum(S_local, axis)
-            b_red = jax.lax.psum(b_local, axis) - g_p
+            S_blocks, b_sum = jax.lax.psum((S_local, b_local), axis)
+            b_red = b_sum - g_p
             S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
 
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
@@ -118,36 +120,40 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             # Local landmark back-substitution.
             rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
             delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
-            delta_l = jnp.where(lm_act[:, None], delta_l, 0.0)
+            delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
 
             local_ok = (jnp.all(jnp.isfinite(delta_l))
-                        & jnp.all(inv_ok | (~lm_act))).astype(jnp.int32)
-            n_bad = jax.lax.psum(1 - local_ok, axis)
+                        & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
+            # One packed psum: step-validity vote + landmark step norm.
+            n_bad, dl_sq = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
             ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
             delta_p = jnp.where(ok_step, delta_p, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
             lms_new = lms + delta_l
-            new_cost = total_cost(T_new, lms_new)
+            sys_new, new_cost = lin_sys(T_new, lms_new)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
-            step_sq = jnp.sum(delta_p ** 2) + jax.lax.psum(
-                jnp.sum(delta_l ** 2), axis)
+            step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
             T_B_W = jnp.where(accept, T_new, T_B_W)
             lms = jnp.where(accept, lms_new, lms)
+            sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                               sys_new, sys)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, cost, lam, it + 1, done, status)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status)
 
-        init = (T_B_W0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+        init = (T_B_W0, lms, sys0, cost0,
+                jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        T_B_W, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+        T_B_W, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
             cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -202,42 +208,43 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
 
         T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
 
-        def full_cost(T_B_W, lms):
-            vis = jax.lax.psum(
-                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
-                                   cfg.huber_delta), axis)
-            T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
-            _, _, pcost = prior_terms(prior, T_W_B_cur, no_extra)
-            return vis + pcost  # prior term is replicated, added once per copy
-
-        def reduced_system(T_B_W, lms, lam):
-            """Damped, prior-augmented reduced system (replicated) + the
-            local landmark-shard pieces for back-substitution. Mirrors
-            ba.solve_ba_marginalized.reduced_system with psum reductions."""
+        def lin_sys(T_B_W, lms):
+            """ONE pass over the local observation shard per point: global
+            pose blocks + prior terms + local landmark blocks AND the global
+            (visual + prior) cost, with the pose-block reduction and the
+            visual cost packed into a single psum."""
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
             H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
-            H_pp = jax.lax.psum(H_pp, axis)
-            g_p = jax.lax.psum(g_p, axis)
+            H_pp, g_p, vis = jax.lax.psum(
+                (H_pp, g_p, jnp.sum(lin.cost)), axis)
             T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
-            H_add, g_add, _ = prior_terms(prior, T_W_B_cur, no_extra)
+            # Prior terms are replicated (pose states live on every device).
+            H_add, g_add, pcost = prior_terms(prior, T_W_B_cur, no_extra)
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
+            sys = (H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add)
+            return sys, vis + pcost
 
+        def damp_reduce(sys, lam):
+            """Damped, prior-augmented reduced system (replicated) + the
+            local landmark-shard pieces for back-substitution (cheap — safe
+            to redo per lambda retry without relinearizing)."""
+            H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add = sys
             dp = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
             H_pp_d = H_pp + lam * jax.vmap(jnp.diag)(dp)
             dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
             H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
             eye3 = jnp.eye(3, dtype=dtype)
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-            H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
 
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
             A = jnp.einsum("wlij,ljk->wlik", H_pl_m, H_ll_inv)
-            S_blocks = jax.lax.psum(
-                -jnp.einsum("wlik,vljk->wvij", A, H_pl_m), axis)
+            S_local = -jnp.einsum("wlik,vljk->wvij", A, H_pl_m)
+            b_local = jnp.einsum("wlik,lk->wi", A, g_l_m)
+            S_blocks, b_sub = jax.lax.psum((S_local, b_local), axis)
             S_blocks = S_blocks.at[jnp.arange(W), jnp.arange(W)].add(H_pp_d)
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * 6, W * 6) + H_add
-            b_sub = jax.lax.psum(jnp.einsum("wlik,lk->wi", A, g_l_m), axis)
             b = (-(g_p - b_sub)).reshape(W * 6) - g_add
             return S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok
 
@@ -252,47 +259,50 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             cho = jax.scipy.linalg.cho_factor(S2, lower=True)
             return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
 
-        cost0 = full_cost(T_B_W0, lms)
+        sys0, cost0 = lin_sys(T_B_W0, lms)
 
         def cond(state):
-            return (~state[5]) & (state[4] < cfg.max_iterations)
+            return (~state[6]) & (state[5] < cfg.max_iterations)
 
         def body(state):
-            T_B_W, lms, cost, lam, it, done, status = state
-            S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = reduced_system(
-                T_B_W, lms, lam)
+            T_B_W, lms, sys, cost, lam, it, done, status = state
+            S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = damp_reduce(sys, lam)
             delta_p = solve_from_system(S, b)
             rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
             delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            n_bad = jax.lax.psum(1 - local_ok, axis)
+            # One packed psum: step-validity vote + landmark step norm.
+            n_bad, dl_sq = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
             ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
             delta_p = jnp.where(ok_step, delta_p, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
             lms_new = lms + delta_l
-            new_cost = full_cost(T_new, lms_new)
+            sys_new, new_cost = lin_sys(T_new, lms_new)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
-            step_sq = jnp.sum(delta_p ** 2) + jax.lax.psum(
-                jnp.sum(delta_l ** 2), axis)
+            step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
             T_B_W = jnp.where(accept, T_new, T_B_W)
             lms = jnp.where(accept, lms_new, lms)
+            sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                               sys_new, sys)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, cost, lam, it + 1, done, status)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status)
 
-        init = (T_B_W0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+        init = (T_B_W0, lms, sys0, cost0,
+                jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        T_B_W, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+        T_B_W, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
             cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -302,9 +312,8 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
 
         # Final linearized (prior-augmented, landmark-eliminated) system at
         # the accepted state — the input to next-prior marginalization.
-        S_f, b_f, *_ = reduced_system(
-            jax.vmap(lie.se3_inverse)(T_out), lms_final,
-            jnp.asarray(1e-5, dtype))
+        sys_f, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_out), lms_final)
+        S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype))
         return (T_out, lms_final, success, status, cost0, cost, it, S_f, b_f)
 
     @partial(jax.jit)

@@ -63,38 +63,25 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             lambda i: vio_ba._imu_sqrt_info(
                 jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
 
-        def total_cost(st: VIOState, lms):
-            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
-            vis = jax.lax.psum(
-                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
-                                   cfg.huber_delta), axis)
+        def lin_sys(st: VIOState, lms):
+            """ONE pass over the local observation shard + the (replicated)
+            IMU intervals per point: undamped state system AND the global
+            cost, with the visual pose-block reduction and the visual cost
+            packed into a single psum. The LM loop carries this system and
+            re-damps it on rejected steps instead of relinearizing.
 
-            def imu_cost(i):
-                si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
-                sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
-                      st.ba[i + 1])
-                pre_i = jax.tree.map(lambda x: x[i], preint)
-                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg,
-                                                  sqrt_infos[i])
-                return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
-
-            return vis + jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
-
-        cost0 = total_cost(st0, lms)
-
-        def build_system(st: VIOState, lms, lam):
+            Visual pose blocks are embedded in the 15-dim layout; the
+            landmark coupling stays 6-dim (visual factors never touch
+            velocity/bias) so the elimination — and the psum'd Schur
+            correction — live in the pose subspace (6.25x less compute AND
+            collective payload)."""
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
             H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
-            # Visual pose blocks are partial sums over the landmark shards.
-            H_pp6 = jax.lax.psum(H_pp6, axis)
-            g_p6 = jax.lax.psum(g_p6, axis)
+            H_pp6, g_p6, vis = jax.lax.psum(
+                (H_pp6, g_p6, jnp.sum(lin.cost)), axis)
 
-            # Visual pose blocks embedded in the 15-dim layout; the landmark
-            # coupling stays 6-dim (visual factors never touch velocity/bias)
-            # so the elimination — and the psum'd Schur correction — live in
-            # the pose subspace (6.25x less compute AND collective payload).
             H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
             H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
             g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
@@ -106,9 +93,11 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                     sqrt_infos[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
-                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))
+                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r),
+                        0.5 * w * jnp.dot(r, r))
 
-            Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+            Hii, Hjj, Hij, gi, gj, imu_costs = jax.vmap(imu_blocks)(
+                jnp.arange(W - 1))
             idx = jnp.arange(W - 1)
             H_ss = H_ss.at[idx, idx].add(Hii)
             H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
@@ -117,27 +106,33 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             g_s = g_s.at[idx].add(gi)
             g_s = g_s.at[idx + 1].add(gj)
 
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+            sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
+            return sys, vis + jnp.sum(imu_costs)
+
+        def damp(sys, lam):
+            H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
             diag_ss = jnp.maximum(
                 jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
-            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+            H_ss_d = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
                 lam * jax.vmap(jnp.diag)(diag_ss))
             dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
             H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
             eye3 = jnp.eye(3, dtype=dtype)
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
-            return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
+            return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
         def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
             A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
             # Local landmark-elimination contribution (pose subspace), one
-            # psum -> global.
+            # packed psum -> global.
             S6_local = -jnp.einsum("wlik,vljk->wvij", A6, H_pl6)
             b6_local = jnp.einsum("wlik,lk->wi", A6, g_l)
-            S_blocks = H_ss.at[:, :, :6, :6].add(jax.lax.psum(S6_local, axis))
-            b_red = (-g_s).at[:, :6].add(jax.lax.psum(b6_local, axis))
+            S6, b6 = jax.lax.psum((S6_local, b6_local), axis)
+            S_blocks = H_ss.at[:, :, :6, :6].add(S6)
+            b_red = (-g_s).at[:, :6].add(b6)
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             b = b_red.reshape(W * D)
             if fix_first:
@@ -151,42 +146,47 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            n_bad = jax.lax.psum(1 - local_ok, axis)
+            # One packed psum: step-validity vote + landmark step norm.
+            n_bad, dl_sq = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
-            return delta_s, delta_l, ok
+            return delta_s, delta_l, dl_sq, ok
+
+        sys0, cost0 = lin_sys(st0, lms)
 
         def cond(c):
-            return (~c[-2]) & (c[4] < cfg.max_iterations)
+            return (~c[-2]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, cost, lam, it, done, status = c
-            H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
-            delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl,
-                                                   g_s, g_l_m)
+            st, lms, sys, cost, lam, it, done, status = c
+            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+            delta_s, delta_l, dl_sq, ok_step = schur_step(
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
             lms_new = lms + delta_l
-            new_cost = total_cost(st_new, lms_new)
+            sys_new, new_cost = lin_sys(st_new, lms_new)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
-            step_sq = jnp.sum(delta_s ** 2) + jax.lax.psum(
-                jnp.sum(delta_l ** 2), axis)
+            step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lms = jnp.where(accept, lms_new, lms)
+            sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                               sys_new, sys)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, cost, lam, it + 1, done, status
+            return st, lms, sys, cost, lam, it + 1, done, status
 
-        init = (st0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+        init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        st, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+        st, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
             cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -254,37 +254,20 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             lambda i: vio_ba._imu_sqrt_info(
                 jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
 
-        def total_cost(st: VIOState, lms):
-            T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
-            vis = jax.lax.psum(
-                ba_mod._total_cost(T_B_W, T_C_B, lms, obs, mask,
-                                   cfg.huber_delta), axis)
-
-            def imu_cost(i):
-                si = (st.T_W_B[i], st.vel[i], st.bg[i], st.ba[i])
-                sj = (st.T_W_B[i + 1], st.vel[i + 1], st.bg[i + 1],
-                      st.ba[i + 1])
-                pre_i = jax.tree.map(lambda x: x[i], preint)
-                r = vio_ba._imu_whitened_residual(pre_i, si, sj, cfg,
-                                                  sqrt_infos[i])
-                return 0.5 * jnp.dot(r, r) * preint_valid[i].astype(dtype)
-
-            imu = jnp.sum(jax.vmap(imu_cost)(jnp.arange(W - 1)))
-            _, _, pcost = prior_terms(prior, st.T_W_B, _extra(st))
-            return vis + imu + pcost  # prior is replicated: added once/copy
-
-        cost0 = total_cost(st0, lms)
-
-        def build_system(st: VIOState, lms, lam):
+        def lin_sys(st: VIOState, lms):
+            """ONE pass per point: undamped prior-augmented state system AND
+            the global (visual + IMU + prior) cost (see
+            solve_vio_ba_distributed.lin_sys; prior terms ride the replicated
+            states with no communication)."""
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
             H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
-            H_pp6 = jax.lax.psum(H_pp6, axis)
-            g_p6 = jax.lax.psum(g_p6, axis)
+            H_pp6, g_p6, vis = jax.lax.psum(
+                (H_pp6, g_p6, jnp.sum(lin.cost)), axis)
 
             # Visual pose blocks in the 15-dim layout; landmark coupling
-            # stays 6-dim (see solve_vio_ba_distributed.build_system).
+            # stays 6-dim (see solve_vio_ba_distributed.lin_sys).
             H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
             H_ss = H_ss.at[jnp.arange(W), jnp.arange(W), :6, :6].add(H_pp6)
             g_s = jnp.zeros((W, D), dtype=dtype).at[:, :6].add(g_p6)
@@ -295,9 +278,11 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
                     sqrt_infos[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
-                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r))
+                        w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r),
+                        0.5 * w * jnp.dot(r, r))
 
-            Hii, Hjj, Hij, gi, gj = jax.vmap(imu_blocks)(jnp.arange(W - 1))
+            Hii, Hjj, Hij, gi, gj, imu_costs = jax.vmap(imu_blocks)(
+                jnp.arange(W - 1))
             idx = jnp.arange(W - 1)
             H_ss = H_ss.at[idx, idx].add(Hii)
             H_ss = H_ss.at[idx + 1, idx + 1].add(Hjj)
@@ -307,22 +292,27 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             g_s = g_s.at[idx + 1].add(gj)
 
             # Prior over the flattened (W·15) state vector (replicated).
-            H_add, g_add, _ = prior_terms(prior, st.T_W_B, _extra(st))
+            H_add, g_add, pcost = prior_terms(prior, st.T_W_B, _extra(st))
             H_ss = (H_ss.transpose(0, 2, 1, 3).reshape(W * D, W * D) + H_add) \
                 .reshape(W, D, W, D).transpose(0, 2, 1, 3)
             g_s = (g_s.reshape(W * D) + g_add).reshape(W, D)
 
+            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
+            sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
+            return sys, vis + jnp.sum(imu_costs) + pcost
+
+        def damp(sys, lam):
+            H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
             diag_ss = jnp.maximum(
                 jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
-            H_ss = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
+            H_ss_d = H_ss.at[jnp.arange(W), jnp.arange(W)].add(
                 lam * jax.vmap(jnp.diag)(diag_ss))
             dl = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
             H_ll_d = H_ll + lam * jax.vmap(jnp.diag)(dl)
             eye3 = jnp.eye(3, dtype=dtype)
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
-            g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
-            H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
-            return H_ss, H_ll_d, H_pl6_m, g_s, g_l_m
+            return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
         def reduced(H_ss, H_ll_d, H_pl6, g_s, g_l):
             """Global reduced system (replicated after psum) + local pieces."""
@@ -330,8 +320,9 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
             S6_local = -jnp.einsum("wlik,vljk->wvij", A6, H_pl6)
             b6_local = jnp.einsum("wlik,lk->wi", A6, g_l)
-            S_blocks = H_ss.at[:, :, :6, :6].add(jax.lax.psum(S6_local, axis))
-            g_red = g_s.at[:, :6].add(-jax.lax.psum(b6_local, axis))
+            S6, b6 = jax.lax.psum((S6_local, b6_local), axis)
+            S_blocks = H_ss.at[:, :, :6, :6].add(S6)
+            g_red = g_s.at[:, :6].add(-b6)
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             return S, g_red.reshape(W * D), H_ll_inv, inv_ok
 
@@ -353,42 +344,47 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            n_bad = jax.lax.psum(1 - local_ok, axis)
+            # One packed psum: step-validity vote + landmark step norm.
+            n_bad, dl_sq = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
-            return delta_s, delta_l, ok
+            return delta_s, delta_l, dl_sq, ok
+
+        sys0, cost0 = lin_sys(st0, lms)
 
         def cond(c):
-            return (~c[-2]) & (c[4] < cfg.max_iterations)
+            return (~c[-2]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, cost, lam, it, done, status = c
-            H_ss, H_ll_d, H_sl, g_s, g_l_m = build_system(st, lms, lam)
-            delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_sl,
-                                                   g_s, g_l_m)
+            st, lms, sys, cost, lam, it, done, status = c
+            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+            delta_s, delta_l, dl_sq, ok_step = schur_step(
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
             lms_new = lms + delta_l
-            new_cost = total_cost(st_new, lms_new)
+            sys_new, new_cost = lin_sys(st_new, lms_new)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
-            step_sq = jnp.sum(delta_s ** 2) + jax.lax.psum(
-                jnp.sum(delta_l ** 2), axis)
+            step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lms = jnp.where(accept, lms_new, lms)
+            sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                               sys_new, sys)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, cost, lam, it + 1, done, status
+            return st, lms, sys, cost, lam, it + 1, done, status
 
-        init = (st0, lms, cost0, jnp.asarray(cfg.lambda_init, dtype),
+        init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        st, lms_out, cost, lam, it, _, status = jax.lax.while_loop(
+        st, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
             cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
@@ -397,9 +393,10 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         lms_final = jnp.where(success, lms_out, lms)
 
         # Final linearized, landmark-eliminated system for the next prior.
-        H_ss_f, H_ll_f, H_sl_f, g_s_f, g_l_f = build_system(
-            st_out, lms_final, jnp.asarray(1e-5, dtype))
-        S_f, g_f, _, _ = reduced(H_ss_f, H_ll_f, H_sl_f, g_s_f, g_l_f)
+        sys_f, _ = lin_sys(st_out, lms_final)
+        H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = damp(
+            sys_f, jnp.asarray(1e-5, dtype))
+        S_f, g_f, _, _ = reduced(H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f)
         return (st_out, lms_final, success, status, cost0, cost, it, S_f, g_f)
 
     @partial(jax.jit)
