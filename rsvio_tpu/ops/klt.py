@@ -63,6 +63,18 @@ class KLTConfig(NamedTuple):
     # 3-dof SE2 with a first-order in-plane-rotation warp (tracks patch
     # rotation up to ~20 deg/frame; the XLA path always tracks full SE2).
     track_rotation: bool = False
+    # Residual model (XLA path; parity with the reference experimental
+    # crate's Patch SSD / locally-scaled-SSD options, ref
+    # feature_tracker/src/patch.rs:57-105):
+    #   "lssd": mean-normalized intensities (brightness/gain invariant —
+    #           the main tracker's Pattern52 behavior and the default),
+    #   "ssd":  raw intensity difference (plain SSD).
+    residual_mode: str = "lssd"
+    # Fixed Levenberg damping added to the precomputed IC-GN Hessian:
+    # inc = -(J^T J + lm_lambda I)^-1 J^T r (XLA path; parity with the
+    # experimental crate's precomputed (lambda I + J^T J)^-1 LM-KLT,
+    # ref feature_tracker/src/patch.rs:239-255). 0 = pure Gauss-Newton.
+    lm_lambda: float = 0.0
 
 
 class PatchData(NamedTuple):
@@ -72,13 +84,20 @@ class PatchData(NamedTuple):
     ok: jnp.ndarray        # () bool patch usable
 
 
-def build_patch(img, center):
-    """Extract a mean-normalized patch + precomputed IC-GN operator at `center`.
+def build_patch(img, center, residual_mode: str = "lssd",
+                lm_lambda: float = 0.0):
+    """Extract a patch template + precomputed IC step operator at `center`.
 
     Equivalent capability to Pattern52::new (ref src/feature_tracker/patch.rs:75-161):
-    sample intensity+gradient per pattern point, mean-normalize for brightness
-    invariance, build the SE2 jacobian corrected for the normalization, and
-    precompute H^-1 J^T.
+    sample intensity+gradient per pattern point, build the SE2 jacobian, and
+    precompute (J^T J + lm_lambda I)^-1 J^T.
+
+    residual_mode "lssd" mean-normalizes intensities for brightness/gain
+    invariance (the main tracker's behavior) with the jacobian corrected for
+    the normalization; "ssd" keeps raw intensities (plain SSD, the
+    experimental crate's alternative residual, ref
+    feature_tracker/src/patch.rs:57-105). lm_lambda > 0 is the experimental
+    crate's precomputed fixed-damping LM step (ref patch.rs:239-255).
     """
     pts = center[None, :] + PATTERN  # (P, 2)
     vals, grads, valid = jax.vmap(interp.bilinear_with_grad, in_axes=(None, 0))(img, pts)
@@ -87,37 +106,47 @@ def build_patch(img, center):
     n_safe = jnp.maximum(n_valid, 1.0)
     mean = jnp.sum(vals * validf) / n_safe
     mean_safe = jnp.maximum(mean, 1e-6)
-    data = jnp.where(valid, vals / mean_safe, 0.0)
 
     # SE2 jacobian of the warp at offset (x, y): dW/d[tx,ty,theta] = [[1,0,-y],[0,1,x]]
     gx, gy = grads[:, 0], grads[:, 1]
     ox, oy = PATTERN[:, 0], PATTERN[:, 1]
     j_raw = jnp.stack([gx, gy, gx * (-oy) + gy * ox], axis=1)  # (P, 3)
     j_raw = j_raw * validf[:, None]
-    # Correct for mean normalization: Jn_i = (1/mu)(J_i - data_i * mean_J)
-    mean_j = jnp.sum(j_raw, axis=0) / n_safe
-    jac = (j_raw - data[:, None] * mean_j[None, :]) / mean_safe
-    jac = jac * validf[:, None]
+
+    if residual_mode == "ssd":
+        data = jnp.where(valid, vals, 0.0)
+        jac = j_raw
+        mean_ok = jnp.asarray(True)
+    else:  # lssd
+        data = jnp.where(valid, vals / mean_safe, 0.0)
+        # Correct for mean normalization: Jn_i = (1/mu)(J_i - data_i * mean_J)
+        mean_j = jnp.sum(j_raw, axis=0) / n_safe
+        jac = (j_raw - data[:, None] * mean_j[None, :]) / mean_safe
+        jac = jac * validf[:, None]
+        mean_ok = mean > 1e-3
 
     H = jac.T @ jac
     # The reference declares a patch invalid when Cholesky of J^T J fails
     # (ref patch.rs:124-161); the branchless equivalent is a minimum
-    # gradient-energy gate before adding numerical damping.
+    # gradient-energy gate before adding numerical damping. SSD intensities
+    # are ~255x the normalized ones, so the energy floor scales accordingly.
     energy = jnp.trace(H)
-    H = H + 1e-8 * jnp.eye(3, dtype=img.dtype)
+    energy_floor = 1e-4 if residual_mode != "ssd" else 1e-4 * 255.0**2
+    H = H + (1e-8 + lm_lambda) * jnp.eye(3, dtype=img.dtype)
     hinv_jt = jnp.linalg.solve(H, jac.T)  # (3, P)
     ok = (
         (n_valid > PATTERN_SIZE * _MIN_VALID_FRAC)
-        & (mean > 1e-3)
-        & (energy > 1e-4)
+        & mean_ok
+        & (energy > energy_floor)
         & jnp.all(jnp.isfinite(hinv_jt))
     )
     return PatchData(data=data, hinv_jt=jnp.where(ok, hinv_jt, 0.0),
                      valid_pts=valid, ok=ok)
 
 
-def _patch_residual(img, patch: PatchData, M):
-    """Residual of target samples (mean-normalized) vs template.
+def _patch_residual(img, patch: PatchData, M, residual_mode: str = "lssd"):
+    """Residual of target samples vs template ("lssd": mean-normalized;
+    "ssd": raw difference).
 
     Capability of Pattern52::residual (ref src/feature_tracker/patch.rs:163-232).
     M is the 3x3 SE2 warp whose translation IS the target position.
@@ -127,9 +156,12 @@ def _patch_residual(img, patch: PatchData, M):
     valid = valid & patch.valid_pts
     validf = valid.astype(img.dtype)
     n_valid = jnp.sum(validf)
-    n_safe = jnp.maximum(n_valid, 1.0)
-    mean = jnp.maximum(jnp.sum(vals * validf) / n_safe, 1e-6)
-    r = jnp.where(valid, vals / mean - patch.data, 0.0)
+    if residual_mode == "ssd":
+        r = jnp.where(valid, vals - patch.data, 0.0)
+    else:
+        n_safe = jnp.maximum(n_valid, 1.0)
+        mean = jnp.maximum(jnp.sum(vals * validf) / n_safe, 1e-6)
+        r = jnp.where(valid, vals / mean - patch.data, 0.0)
     ok = n_valid > PATTERN_SIZE * _MIN_VALID_FRAC
     return r, ok
 
@@ -139,7 +171,7 @@ def _track_at_level(img_target, patch: PatchData, M0, cfg: KLTConfig):
 
     def body(_, carry):
         M, active, ok = carry
-        r, r_ok = _patch_residual(img_target, patch, M)
+        r, r_ok = _patch_residual(img_target, patch, M, cfg.residual_mode)
         inc = -(patch.hinv_jt @ r)  # (3,)
         inc_norm_sq = jnp.dot(inc, inc)
         finite = jnp.all(jnp.isfinite(inc)) & (inc_norm_sq < 1e12)
@@ -173,7 +205,8 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     ok = jnp.asarray(True)
     for lvl in reversed(range(levels)):
         scale = jnp.asarray(2.0**lvl, dtype=dtype)
-        patch = build_patch(pyr_src[lvl], pos_src / scale)
+        patch = build_patch(pyr_src[lvl], pos_src / scale,
+                            cfg.residual_mode, cfg.lm_lambda)
         M0 = jnp.eye(3, dtype=dtype)
         M0 = M0.at[:2, :2].set(A)
         M0 = M0.at[:2, 2].set(pos / scale)
@@ -233,7 +266,11 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
     """
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # The Pallas kernel implements the default mean-normalized GN; the
+        # SSD residual and fixed-lambda LM variants live in the XLA path.
+        off_default = cfg.residual_mode != "lssd" or cfg.lm_lambda > 0.0
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and not off_default else "xla")
     if backend == "pallas":
         return _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
                                     A0, alive, cfg)

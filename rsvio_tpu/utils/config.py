@@ -72,6 +72,14 @@ class TrackerConfig:
     # first-order warp; the XLA backend always tracks full SE2 like the
     # reference's Affine2 track states, ref feature_tracker.rs:91-100).
     track_rotation: bool = False
+    # Residual model: "lssd" (mean-normalized, brightness invariant — the
+    # main tracker's Pattern52 behavior) or "ssd" (raw difference — the
+    # experimental crate's alternative, ref feature_tracker/src/patch.rs:57-105).
+    residual_mode: str = "lssd"
+    # Fixed Levenberg damping on the KLT step (the experimental crate's
+    # precomputed (lambda I + J^T J)^-1 LM-KLT, ref patch.rs:239-255);
+    # 0 = pure Gauss-Newton. Non-default values route to the XLA backend.
+    lm_lambda: float = 0.0
 
 
 @dataclasses.dataclass
@@ -172,6 +180,8 @@ def make_estimator_config(cfg: Config):
         levels=cfg.tracker.pyramid_levels,
         bidir_threshold_sq=cfg.tracker.bidir_threshold_sq,
         track_rotation=cfg.tracker.track_rotation,
+        residual_mode=cfg.tracker.residual_mode,
+        lm_lambda=cfg.tracker.lm_lambda,
     )
     fe_cfg = FrontendConfig(
         capacity=cfg.tracker.feature_capacity,

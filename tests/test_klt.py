@@ -130,3 +130,59 @@ def test_pattern_layout():
     assert float(jnp.max(jnp.abs(klt.PATTERN))) == 7.0
     # zero-mean symmetric pattern
     assert float(jnp.abs(jnp.sum(klt.PATTERN))) < 1e-5
+
+
+class TestResidualModes:
+    """SSD vs LSSD residual options + fixed-lambda LM damping (parity with
+    the reference experimental crate's Patch residual variants and its
+    precomputed (lambda I + J^T J)^-1 LM step, ref
+    feature_tracker/src/patch.rs:57-105,239-255)."""
+
+    def _track(self, img0, img1, cfg):
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), cfg.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), cfg.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive, cfg)
+        return np.asarray(pos), np.asarray(ok), np.asarray(pts)
+
+    def test_ssd_recovers_shift(self):
+        img0 = textured_image(seed=5)
+        dx, dy = 2.0, -1.5
+        img1 = shift_image(img0, dx, dy)
+        cfg = CFG._replace(residual_mode="ssd")
+        pos, ok, pts = self._track(img0, img1, cfg)
+        assert ok.sum() >= pts.shape[0] * 0.75
+        err = np.abs((pos - pts)[ok] - np.array([dx, dy]))
+        assert np.median(err) < 0.25
+
+    def test_lm_damped_recovers_shift(self):
+        img0 = textured_image(seed=6)
+        dx, dy = -2.5, 1.0
+        img1 = shift_image(img0, dx, dy)
+        cfg = CFG._replace(lm_lambda=1.0)
+        pos, ok, pts = self._track(img0, img1, cfg)
+        assert ok.sum() >= pts.shape[0] * 0.75
+        err = np.abs((pos - pts)[ok] - np.array([dx, dy]))
+        assert np.median(err) < 0.25
+
+    def test_lssd_is_gain_invariant_ssd_is_not(self):
+        """A global gain change: the mean-normalized residual tracks through
+        it; plain SSD sees a large residual everywhere (documented behavioral
+        difference between the two modes)."""
+        img0 = textured_image(seed=7)
+        dx, dy = 1.5, -1.0
+        img1 = np.clip(shift_image(img0, dx, dy) * 1.6, 0, 255)
+        pos_l, ok_l, pts = self._track(
+            img0, img1, CFG._replace(residual_mode="lssd"))
+        err_l = np.abs((pos_l - pts)[ok_l] - np.array([dx, dy]))
+        assert ok_l.sum() >= pts.shape[0] * 0.6
+        assert np.median(err_l) < 0.3
+        # SSD under a 1.6x gain: tracking quality must degrade measurably
+        # (fewer survivors or worse flow) relative to LSSD.
+        pos_s, ok_s, _ = self._track(
+            img0, img1, CFG._replace(residual_mode="ssd"))
+        flow_err_s = np.abs((pos_s - pts)[ok_s] - np.array([dx, dy]))
+        degraded = (ok_s.sum() < ok_l.sum()) or (
+            ok_s.sum() == 0) or (np.median(flow_err_s) > np.median(err_l))
+        assert degraded
