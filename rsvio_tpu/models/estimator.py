@@ -55,6 +55,12 @@ class EstimatorConfig(NamedTuple):
     # anchors the world frame either way, so early tracking is strictly
     # better; disable for behavior-parity comparisons).
     track_before_full: bool = True
+    # Post-BA landmark culling: after a successful window solve, invalidate
+    # any landmark whose worst reprojection error across the window exceeds
+    # this threshold (normalized camera units; 0 = off). The slot
+    # re-triangulates on the next keyframe. Greenfield robustness upgrade —
+    # the reference relies on the Huber loss alone.
+    cull_reproj_threshold: float = 0.0
 
 
 class CameraRig(NamedTuple):
@@ -152,6 +158,28 @@ def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
     stale = (lm_fid != table.fid) | (~table.alive)
     lm_fid = jnp.where(stale & ~want, -1, lm_fid)
     return lm, lm_fid
+
+
+def reprojection_outliers(T_C_B, kf_T_W_B, lm, obs, eff_mask, lm_valid,
+                          thr_sq):
+    """Landmarks whose WORST squared reprojection error over the window
+    exceeds thr_sq (or that fall behind a camera). Returns (N,) bool."""
+    T_B_W = jax.vmap(lie.se3_inverse)(kf_T_W_B)
+
+    def err_one(T_bw, Tcb, p, o):
+        p_C = Tcb[:3, :3] @ (T_bw[:3, :3] @ p + T_bw[:3, 3]) + Tcb[:3, 3]
+        z = jnp.maximum(p_C[2], 1e-6)
+        proj = p_C[:2] / z
+        e = jnp.sum((proj - o) ** 2)
+        return jnp.where(p_C[2] > 1e-6, e, jnp.inf)
+
+    f = jax.vmap(jax.vmap(jax.vmap(
+        err_one, in_axes=(None, None, 0, 0)), in_axes=(None, 0, None, 0)),
+        in_axes=(0, None, None, 0))
+    err = f(T_B_W, T_C_B, lm, obs)          # (W,2,N)
+    err = jnp.where(eff_mask, err, 0.0)
+    worst = jnp.max(err, axis=(0, 1))       # (N,)
+    return lm_valid & (worst > thr_sq)
 
 
 def make_estimator_step(cfg: EstimatorConfig):
@@ -264,6 +292,11 @@ def make_estimator_step(cfg: EstimatorConfig):
 
             kf_T, lm, ba_ok, ba_it, ba_cost, new_prior = jax.lax.cond(
                 full_now, run_ba, skip_ba, None)
+            if cfg.cull_reproj_threshold > 0.0:
+                bad = reprojection_outliers(
+                    rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
+                    cfg.cull_reproj_threshold ** 2) & ba_ok
+                lm_fid = jnp.where(bad, -1, lm_fid)
             T_new = kf_T[jnp.minimum(kf_count, W) - 1]
             return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid,
                     T_new, T_new, ba_ok, ba_it, ba_cost, new_prior)

@@ -31,7 +31,8 @@ from . import imu as imu_mod
 from . import pnp as pnp_mod
 from . import vio_ba
 from .estimator import (CameraRig, EstimatorConfig, FrameOutput,
-                        _triangulate_new, _undistort_table)
+                        _triangulate_new, _undistort_table,
+                        reprojection_outliers)
 from .frontend import frontend_step, init_table
 from .imu import ImuParams, Preintegrated
 from .marginalization import MargPrior, empty_prior
@@ -322,6 +323,11 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
 
             (kf_T, kf_v, kf_bg, kf_ba_, lm, ba_ok, ba_it, ba_cost,
              new_prior) = jax.lax.cond(full_now, run_ba, skip_ba, None)
+            if b.cull_reproj_threshold > 0.0:
+                bad = reprojection_outliers(
+                    rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
+                    b.cull_reproj_threshold ** 2) & ba_ok
+                lm_fid = jnp.where(bad, -1, lm_fid)
             newest = jnp.minimum(kf_count, W) - 1
             return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
                     kf_pre, kf_pv, lm, lm_fid,

@@ -97,6 +97,11 @@ class SolverConfig:
     huber_delta: float = 2.0         # ref sliding_window.rs:295,540
     cost_tol: float = 1e-6           # ref sliding_window.rs:132
     param_tol: float = 1e-9          # ref sliding_window.rs:133
+    # Post-BA landmark culling threshold (normalized camera units; 0 = off,
+    # the reference-parity behavior — the ref relies on Huber alone). A
+    # landmark whose worst windowed reprojection error exceeds this is
+    # invalidated and re-triangulated at the next keyframe.
+    cull_reproj_threshold: float = 0.0
 
 
 @dataclasses.dataclass
@@ -207,6 +212,7 @@ def make_estimator_config(cfg: Config):
             huber_delta=cfg.solver.huber_delta,
             cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
+        cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
     )
     return ecfg, rig
 

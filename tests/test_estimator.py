@@ -39,7 +39,7 @@ def sequence():
             for k in range(14)]
 
 
-def run_sequence(sequence, use_marg: bool):
+def run_sequence(sequence, use_marg: bool, cull: float = 0.0):
     params = cameras.pack_params(cameras.PINHOLE_RADTAN,
                                  [FX, FY, CX, CY], [0, 0, 0, 0])
     rig = est.make_rig(params, params,
@@ -54,7 +54,8 @@ def run_sequence(sequence, use_marg: bool):
         translation_threshold=0.012,
         rotation_threshold=0.05,
         image_shape=(H, W),
-        use_marginalization=use_marg)
+        use_marginalization=use_marg,
+        cull_reproj_threshold=cull)
     step = est.make_estimator_step(cfg)
     state = est.init_state(cfg)
     xs, kf_flags = [], []
@@ -83,3 +84,52 @@ class TestEstimatorVO:
         assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
         # the prior must be live once evictions started
         assert bool(state.marg_prior.valid)
+
+
+    def test_culling_mode_tracks_motion(self, sequence):
+        """With post-BA landmark culling enabled the pipeline must still
+        track (the synthetic scene is clean, so culling should fire rarely
+        and never break the solve)."""
+        xs, kfs, state = run_sequence(sequence, use_marg=False, cull=0.02)
+        half = len(xs) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = STEP_M * (len(xs) - 1 - half)
+        assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
+
+
+class TestReprojectionOutliers:
+    def test_flags_corrupt_landmark_only(self):
+        rng = np.random.default_rng(0)
+        Wk, N = 3, 12
+        lm = np.stack([rng.uniform(-1, 1, N), rng.uniform(-1, 1, N),
+                       rng.uniform(3, 6, N)], 1).astype(np.float32)
+        T_C_B = jnp.stack([jnp.eye(4, dtype=jnp.float32),
+                           jnp.eye(4, dtype=jnp.float32).at[0, 3].set(-0.1)])
+        kf_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (Wk, 4, 4))
+        obs = np.zeros((Wk, 2, N, 2), np.float32)
+        for c in range(2):
+            pC = lm + np.asarray(T_C_B[c][:3, 3])
+            obs[:, c] = pC[:, :2] / pC[:, 2:3]
+        mask = jnp.ones((Wk, 2, N), dtype=bool)
+        lm_valid = jnp.ones(N, dtype=bool)
+        # Corrupt landmark 4: move it so its reprojection is way off.
+        lm_bad = lm.copy()
+        lm_bad[4] += np.array([1.0, 0.0, 0.0], np.float32)
+        bad = est.reprojection_outliers(
+            T_C_B, kf_T, jnp.asarray(lm_bad), jnp.asarray(obs), mask,
+            lm_valid, 0.01 ** 2)
+        bad = np.asarray(bad)
+        assert bad[4]
+        assert not bad[np.arange(N) != 4].any()
+
+    def test_behind_camera_always_flagged(self):
+        Wk, N = 2, 3
+        lm = jnp.asarray([[0, 0, 5.0], [0, 0, -2.0], [0.5, 0, 4.0]],
+                         dtype=jnp.float32)
+        T_C_B = jnp.stack([jnp.eye(4, dtype=jnp.float32)] * 2)
+        kf_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (Wk, 4, 4))
+        obs = jnp.stack([lm[:, :2] / lm[:, 2:3]] * 2)[None].repeat(Wk, 0)
+        mask = jnp.ones((Wk, 2, N), dtype=bool)
+        bad = est.reprojection_outliers(
+            T_C_B, kf_T, lm, obs, mask, jnp.ones(N, dtype=bool), 1e6)
+        assert bool(bad[1]) and not bool(bad[0]) and not bool(bad[2])
