@@ -113,10 +113,13 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("-n", type=int, default=20)
     ap.add_argument("--lm", type=int, default=None, help="landmark slots")
+    ap.add_argument("--window", type=int, default=None, help="keyframe window")
     args = ap.parse_args()
+    global N_LM, W_KF
     if args.lm:
-        global N_LM
         N_LM = args.lm
+    if args.window:
+        W_KF = args.window
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
     from rsvio_tpu.utils.cache import enable_compilation_cache
@@ -139,24 +142,24 @@ def main():
 
     t = timeit_pipelined(lambda: ba.solve_ba(
         state0.T_W_B, T_C_B, lms0, obs, mask, lm_valid, cfg_ba), n=args.n)
-    print(f"BA 10x{N_LM} (20 it):            {t:8.2f} ms")
+    print(f"BA {W_KF}x{N_LM} (20 it):            {t:8.2f} ms")
 
     prior6 = empty_prior(W, 6)
     t = timeit_pipelined(lambda: ba.solve_ba_marginalized(
         state0.T_W_B, T_C_B, lms0, obs, mask, lm_valid, prior6,
         jnp.asarray(True), cfg_ba), n=args.n)
-    print(f"BA+marg 10x{N_LM} (20 it):       {t:8.2f} ms")
+    print(f"BA+marg {W_KF}x{N_LM} (20 it):       {t:8.2f} ms")
 
     t = timeit_pipelined(lambda: vio_ba.solve_vio_ba(
         state0, T_C_B, lms0, obs, mask, lm_valid, pre, pre_valid, cfg_vio),
         n=args.n)
-    print(f"VIO BA 10x{N_LM} (20 it):        {t:8.2f} ms")
+    print(f"VIO BA {W_KF}x{N_LM} (20 it):        {t:8.2f} ms")
 
     prior15 = empty_prior(W, 15)
     t = timeit_pipelined(lambda: vio_ba.solve_vio_ba_marginalized(
         state0, T_C_B, lms0, obs, mask, lm_valid, pre, pre_valid, prior15,
         jnp.asarray(True), cfg_vio), n=args.n)
-    print(f"VIO BA+marg 10x{N_LM} (20 it):   {t:8.2f} ms")
+    print(f"VIO BA+marg {W_KF}x{N_LM} (20 it):   {t:8.2f} ms")
 
 
 if __name__ == "__main__":
