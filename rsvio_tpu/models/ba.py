@@ -49,6 +49,11 @@ STATUS_COST_TOL = 1
 STATUS_PARAM_TOL = 2
 STATUS_FAILED = 3
 STATUS_SKIPPED = 4  # under-constrained -> not attempted (ref :309-319)
+# Damping grew past lambda_max with every step rejected: no improving step
+# exists at this linearization — the current (best-found) state stands. The
+# reference counts the analogous TrustRegionTooSmall as SUCCESS
+# (ref sliding_window.rs:383-395), NOT a failure/rollback.
+STATUS_TRUST_REGION = 5
 
 
 class BAConfig(NamedTuple):
@@ -80,13 +85,20 @@ class BAResult(NamedTuple):
     metrics: jnp.ndarray = None  # (max_iterations, 4)
 
 
-def lm_status(cost_conv, param_conv, hard_fail):
+def lm_status(cost_conv, param_conv, lam_overflow):
     """Shared LM convergence-status selection (same taxonomy in every
-    solver: PnP, BA, marginalized BA, VIO BA, distributed BA)."""
+    solver: PnP, BA, marginalized BA, VIO BA, distributed BA).
+
+    lam_overflow (damping past lambda_max, all steps rejected) is a SUCCESS
+    terminus: steps are only ever accepted on a cost decrease, so the carried
+    state is the best found — matching the reference, which counts
+    TrustRegionTooSmall among the convergence statuses
+    (ref sliding_window.rs:383-395). STATUS_FAILED is reserved for genuinely
+    corrupt outcomes (non-finite state), which the accept gates prevent."""
     return jnp.where(
         cost_conv, STATUS_COST_TOL,
         jnp.where(param_conv, STATUS_PARAM_TOL,
-                  jnp.where(hard_fail, STATUS_FAILED,
+                  jnp.where(lam_overflow, STATUS_TRUST_REGION,
                             STATUS_MAX_ITERATIONS))).astype(jnp.int32)
 
 
@@ -283,8 +295,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
-    # MaxIterations counts as success (ref :383-395); rollback only on hard
-    # failure or refusal.
+    # Every LM terminus (MaxIterations, CostTol, ParamTol, TrustRegion)
+    # counts as success (ref :383-395); rollback only on refusal.
     success = attempt & (status != STATUS_FAILED)
     T_W_B_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
     lms_out = jnp.where(success, lms, landmarks)

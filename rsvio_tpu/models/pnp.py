@@ -27,12 +27,13 @@ from ..ops.projection import linearize_projection
 from .ba import lm_status as ba_lm_status
 
 # Convergence-status taxonomy (parity with the reference's success statuses,
-# ref sliding_window.rs:383-462: any of Converged/CostTol/ParamTol/... counts
-# as success; hard failure means rollback).
+# ref sliding_window.rs:383-462: any of Converged/CostTol/ParamTol/
+# TrustRegionTooSmall/MaxIterations counts as success).
 STATUS_MAX_ITERATIONS = 0
 STATUS_COST_TOL = 1
 STATUS_PARAM_TOL = 2
 STATUS_FAILED = 3
+STATUS_TRUST_REGION = 5
 
 
 class PnPConfig(NamedTuple):

@@ -100,7 +100,9 @@ class SolverConfig:
     # Post-BA landmark culling threshold (normalized camera units; 0 = off,
     # the reference-parity behavior — the ref relies on Huber alone). A
     # landmark whose worst windowed reprojection error exceeds this is
-    # invalidated and re-triangulated at the next keyframe.
+    # invalidated and re-triangulated at the next keyframe. Use a LOOSE
+    # (gross-outlier) threshold: tight values cull drift-displaced good
+    # landmarks and the retriangulation churn degrades long-run scale.
     cull_reproj_threshold: float = 0.0
 
 
