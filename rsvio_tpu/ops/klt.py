@@ -43,9 +43,19 @@ PATTERN = jnp.stack(
 )  # (64, 2) as (x, y)
 PATTERN_SIZE = PATTERN.shape[0]
 
-# Minimum fraction of valid residual points for a trustworthy update
-# (reference requires >26 of 52, ref src/feature_tracker/patch.rs:224-228).
-_MIN_VALID_FRAC = 0.5
+# Minimum fraction of TEMPLATE-valid points that must also be valid in the
+# target for a trustworthy update. The reference requires >26 of 52 shared
+# points (ref src/feature_tracker/patch.rs:224-228) — >50% of the full
+# pattern, which its templates nearly always are; making the count relative
+# to the template's own valid points generalizes that rule to the partial
+# patches the reference explicitly supports (out-of-bounds pattern points get
+# data = -1 and a zero Jacobian row, ref patch.rs:96-121). Without partial
+# patches, coarse pyramid levels (e.g. level 5 of 752x480 = 23x15 px) would
+# invalidate nearly every feature — the patch footprint (+-7 px) barely fits.
+_MIN_SHARED_FRAC = 0.5
+# Absolute floor of template-valid points: enough to condition the 3-dof
+# IC-GN system with margin.
+_MIN_TEMPLATE_PTS = 8
 
 
 class KLTConfig(NamedTuple):
@@ -59,9 +69,15 @@ class KLTConfig(NamedTuple):
     # "pallas" = TPU kernel (interpret mode off-TPU);
     # "xla" = SE2 gather-based path (arbitrary-angle rotation, any backend).
     backend: str = "auto"
-    # Pallas-path warp model: False = 2-dof translation (cheapest), True =
-    # 3-dof SE2 with a first-order in-plane-rotation warp (tracks patch
-    # rotation up to ~20 deg/frame; the XLA path always tracks full SE2).
+    # Warp model, BOTH backends. False (default) = 2-dof translation;
+    # True = 3-dof SE2 (XLA: exact arbitrary-angle warp like the reference's
+    # Pattern52; Pallas: first-order rotation warp, ~20 deg/frame cap).
+    # The 2-dof default is an accuracy decision, not just a speed one: on
+    # fine-grained/weak texture the SE2 Hessian's rotation column is poorly
+    # conditioned and the 3x3 IC solve smears error into translation
+    # (measured: 0.24-0.6 px median flow error and ~50% bidirectional-gate
+    # kill rate vs 0.017 px / ~0% for the 2-dof solve on the same scene;
+    # per-frame patch rotation is sub-degree on the target datasets).
     track_rotation: bool = False
     # Residual model (XLA path; parity with the reference experimental
     # crate's Patch SSD / locally-scaled-SSD options, ref
@@ -85,11 +101,11 @@ class PatchData(NamedTuple):
 
 
 def build_patch(img, center, residual_mode: str = "lssd",
-                lm_lambda: float = 0.0):
+                lm_lambda: float = 0.0, n_dof: int = 3):
     """Extract a patch template + precomputed IC step operator at `center`.
 
     Equivalent capability to Pattern52::new (ref src/feature_tracker/patch.rs:75-161):
-    sample intensity+gradient per pattern point, build the SE2 jacobian, and
+    sample intensity+gradient per pattern point, build the warp jacobian, and
     precompute (J^T J + lm_lambda I)^-1 J^T.
 
     residual_mode "lssd" mean-normalizes intensities for brightness/gain
@@ -98,6 +114,12 @@ def build_patch(img, center, residual_mode: str = "lssd",
     experimental crate's alternative residual, ref
     feature_tracker/src/patch.rs:57-105). lm_lambda > 0 is the experimental
     crate's precomputed fixed-damping LM step (ref patch.rs:239-255).
+
+    n_dof: 2 = translation-only (a pure 2x2 solve; the returned operator's
+    rotation row is zero), 3 = full SE2 like the reference's Pattern52. The
+    2-dof operator is NOT just the SE2 one with the angle discarded — see
+    KLTConfig.track_rotation for why that distinction matters on weak
+    texture.
     """
     pts = center[None, :] + PATTERN  # (P, 2)
     vals, grads, valid = jax.vmap(interp.bilinear_with_grad, in_axes=(None, 0))(img, pts)
@@ -107,10 +129,13 @@ def build_patch(img, center, residual_mode: str = "lssd",
     mean = jnp.sum(vals * validf) / n_safe
     mean_safe = jnp.maximum(mean, 1e-6)
 
-    # SE2 jacobian of the warp at offset (x, y): dW/d[tx,ty,theta] = [[1,0,-y],[0,1,x]]
+    # Warp jacobian at offset (x, y): dW/d[tx,ty,theta] = [[1,0,-y],[0,1,x]]
     gx, gy = grads[:, 0], grads[:, 1]
-    ox, oy = PATTERN[:, 0], PATTERN[:, 1]
-    j_raw = jnp.stack([gx, gy, gx * (-oy) + gy * ox], axis=1)  # (P, 3)
+    if n_dof == 2:
+        j_raw = jnp.stack([gx, gy], axis=1)                         # (P, 2)
+    else:
+        ox, oy = PATTERN[:, 0], PATTERN[:, 1]
+        j_raw = jnp.stack([gx, gy, gx * (-oy) + gy * ox], axis=1)   # (P, 3)
     j_raw = j_raw * validf[:, None]
 
     if residual_mode == "ssd":
@@ -132,10 +157,18 @@ def build_patch(img, center, residual_mode: str = "lssd",
     # are ~255x the normalized ones, so the energy floor scales accordingly.
     energy = jnp.trace(H)
     energy_floor = 1e-4 if residual_mode != "ssd" else 1e-4 * 255.0**2
-    H = H + (1e-8 + lm_lambda) * jnp.eye(3, dtype=img.dtype)
-    hinv_jt = jnp.linalg.solve(H, jac.T)  # (3, P)
+    H = H + (1e-8 + lm_lambda) * jnp.eye(n_dof, dtype=img.dtype)
+    hinv_jt = jnp.linalg.solve(H, jac.T)  # (n_dof, P)
+    if n_dof == 2:
+        hinv_jt = jnp.concatenate(
+            [hinv_jt, jnp.zeros((1, PATTERN_SIZE), img.dtype)])
+    # Validity: center in-bounds (margin 2, the reference's inbound check —
+    # ref image_utilities.rs:68-80) + enough valid points to condition the
+    # 3-dof system; partial border patches are allowed like the reference's
+    # (ref patch.rs:96-121 tolerates out-of-bounds pattern points).
     ok = (
-        (n_valid > PATTERN_SIZE * _MIN_VALID_FRAC)
+        interp.in_bounds(center, img.shape, 2.0)
+        & (n_valid >= _MIN_TEMPLATE_PTS)
         & mean_ok
         & (energy > energy_floor)
         & jnp.all(jnp.isfinite(hinv_jt))
@@ -162,7 +195,10 @@ def _patch_residual(img, patch: PatchData, M, residual_mode: str = "lssd"):
         n_safe = jnp.maximum(n_valid, 1.0)
         mean = jnp.maximum(jnp.sum(vals * validf) / n_safe, 1e-6)
         r = jnp.where(valid, vals / mean - patch.data, 0.0)
-    ok = n_valid > PATTERN_SIZE * _MIN_VALID_FRAC
+    # Shared-valid count must cover >50% of the TEMPLATE's valid points (the
+    # reference's >26-of-52 rule generalized to partial border patches).
+    n_template = jnp.sum(patch.valid_pts.astype(img.dtype))
+    ok = n_valid > _MIN_SHARED_FRAC * n_template
     return r, ok
 
 
@@ -203,10 +239,11 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     pos = pos_dst0
     A = A0
     ok = jnp.asarray(True)
+    n_dof = 3 if cfg.track_rotation else 2
     for lvl in reversed(range(levels)):
         scale = jnp.asarray(2.0**lvl, dtype=dtype)
         patch = build_patch(pyr_src[lvl], pos_src / scale,
-                            cfg.residual_mode, cfg.lm_lambda)
+                            cfg.residual_mode, cfg.lm_lambda, n_dof)
         M0 = jnp.eye(3, dtype=dtype)
         M0 = M0.at[:2, :2].set(A)
         M0 = M0.at[:2, 2].set(pos / scale)

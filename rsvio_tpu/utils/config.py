@@ -68,9 +68,11 @@ class TrackerConfig:
     detect_margin: int = 19          # ref image_utilities.rs EDGE_THRESHOLD
     min_corner_score: float = 10.0   # floor of ref threshold cascade 40->10
     feature_capacity: int = 256
-    # Track in-plane patch rotation in the Pallas KLT kernel (3-dof SE2,
-    # first-order warp; the XLA backend always tracks full SE2 like the
-    # reference's Affine2 track states, ref feature_tracker.rs:91-100).
+    # Track in-plane patch rotation (3-dof SE2 like the reference's Affine2
+    # track states, ref feature_tracker.rs:91-100; XLA backend = exact
+    # arbitrary-angle warp, Pallas kernel = first-order rotation warp).
+    # Default off: the 2-dof translation solve is measurably MORE accurate
+    # on weak/fine-grained texture (see ops.klt.KLTConfig.track_rotation).
     track_rotation: bool = False
     # Residual model: "lssd" (mean-normalized, brightness invariant — the
     # main tracker's Pattern52 behavior) or "ssd" (raw difference — the
