@@ -21,9 +21,26 @@ import logging
 log = logging.getLogger("rsvio")
 
 
+def _load_tracker_yaml(path):
+    """Parse the experimental-crate tracker config schema (ref
+    feature_tracker/config/config.yaml: nlevels / ratio / preprocessing_blur /
+    detection_* / optical_flow_*), loaded by play_tartanair.rs. Unknown keys
+    are ignored, like the reference's serde."""
+    import yaml
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines()
+                 if not ln.strip().startswith("%YAML")]
+    return yaml.safe_load("\n".join(lines)) or {}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Run TartanAir mono tracking")
     ap.add_argument("dataset_path", help="sequence dir containing image_left/")
+    ap.add_argument("--config", default=None,
+                    help="tracker YAML (experimental-crate schema: nlevels, "
+                         "ratio, preprocessing_blur, detection_min_dist, "
+                         "detection_threshold, optical_flow_max_iter, "
+                         "optical_flow_lm_lambda)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--capacity", type=int, default=256)
@@ -52,16 +69,41 @@ def main(argv=None):
     viewer = create_viewer(args.viewer, args.viewer_dir)
     viewer_on = args.viewer or bool(args.viewer_dir)
 
+    # Defaults = ref mono PatchTracker (30 it / 0.005 / grid 30); a --config
+    # file overrides them with the experimental-crate schema.
+    levels, down, blur = args.levels, 2.0, False
+    max_iter, lm_lambda = 30, 0.0
+    cell_size, min_score = 30, 1.0
+    if args.config:
+        y = _load_tracker_yaml(args.config)
+        levels = int(y.get("nlevels", levels))
+        down = float(y.get("ratio", down))       # per-level downscale factor
+        blur = bool(y.get("preprocessing_blur", blur))
+        max_iter = int(y.get("optical_flow_max_iter", max_iter))
+        lm_lambda = float(y.get("optical_flow_lm_lambda", lm_lambda))
+        cell_size = int(y.get("detection_min_dist", cell_size))
+        # Ref Shi-Tomasi scores carry a x500 factor on (tr - disc) = x1000 on
+        # the min eigenvalue our score map returns; rescale the threshold.
+        if "detection_threshold" in y:
+            min_score = float(y["detection_threshold"]) / 1000.0
+
     cfg = mt.MonoTrackerConfig(
-        capacity=args.capacity,
-        klt=KLTConfig(levels=args.levels, max_iterations=30,
-                      convergence_threshold=0.005))
+        capacity=args.capacity, cell_size=cell_size, min_score=min_score,
+        klt=KLTConfig(levels=levels, max_iterations=max_iter,
+                      convergence_threshold=0.005, lm_lambda=lm_lambda,
+                      pyramid_ratio=1.0 / down))
     table = mt.init_mono_table(args.capacity)
+
+    def make_pyramid(img):
+        if down == 2.0 and not blur:
+            return pyramid.build_pyramid(img, levels)
+        return pyramid.build_pyramid_ratio(img, levels, 1.0 / down, blur=blur)
+
     pyr_prev = None
     times = []
     for k, frame in enumerate(prefetch_frames(player, 0, n)):
         t0 = time.time()
-        pyr = pyramid.build_pyramid(jnp.asarray(frame.left), args.levels)
+        pyr = make_pyramid(jnp.asarray(frame.left))
         table, stats = mt.mono_tracker_step(
             table, pyr_prev if pyr_prev is not None else pyr, pyr, cfg,
             first_frame=(pyr_prev is None))

@@ -91,6 +91,14 @@ class KLTConfig(NamedTuple):
     # experimental crate's precomputed (lambda I + J^T J)^-1 LM-KLT,
     # ref feature_tracker/src/patch.rs:239-255). 0 = pure Gauss-Newton.
     lm_lambda: float = 0.0
+    # Per-level downscale of the pyramid the tracker is fed (parity with the
+    # experimental crate's arbitrary-ratio pyramids, ref
+    # feature_tracker/src/image_operations.rs:47-78 + the per-level
+    # center-point scaling at feature_tracking.rs:88-122). Level l positions
+    # are full-res positions times pyramid_ratio^l. Must match the pyramid
+    # builder (ops.pyramid.build_pyramid -> 0.5; build_pyramid_ratio -> its
+    # ratio argument).
+    pyramid_ratio: float = 0.5
 
 
 class PatchData(NamedTuple):
@@ -241,7 +249,7 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     ok = jnp.asarray(True)
     n_dof = 3 if cfg.track_rotation else 2
     for lvl in reversed(range(levels)):
-        scale = jnp.asarray(2.0**lvl, dtype=dtype)
+        scale = jnp.asarray((1.0 / cfg.pyramid_ratio)**lvl, dtype=dtype)
         patch = build_patch(pyr_src[lvl], pos_src / scale,
                             cfg.residual_mode, cfg.lm_lambda, n_dof)
         M0 = jnp.eye(3, dtype=dtype)
@@ -274,7 +282,8 @@ def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
     else:
         theta = jnp.zeros(pos_src.shape[0], pos_src.dtype)
     for lvl in reversed(range(levels)):
-        scale = jnp.asarray(2.0**lvl, dtype=pos_src.dtype)
+        scale = jnp.asarray((1.0 / cfg.pyramid_ratio)**lvl,
+                            dtype=pos_src.dtype)
         pos_lvl, theta_lvl, lvl_ok = track_level(
             pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
             theta, alive, cfg.max_iterations,

@@ -1,0 +1,50 @@
+"""The shipped config/*.yaml files must load through the config system and
+produce well-formed estimator configs (parity with the reference's
+config/euroc_vio.yaml, tum_vi.yaml, 4seasons.yaml + the experimental crate's
+feature_tracker/config/config.yaml)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rsvio_tpu.utils.config import load_config, make_estimator_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_DIR = os.path.join(REPO, "config")
+
+
+@pytest.mark.parametrize("name,width,height,model", [
+    ("euroc_vio.yaml", 752, 480, "pinhole-radtan"),
+    ("tum_vi.yaml", 512, 512, "EUCM"),
+    ("4seasons.yaml", 800, 400, "pinhole-radtan"),
+])
+def test_dataset_config_loads(name, width, height, model):
+    cfg = load_config(os.path.join(CONFIG_DIR, name))
+    assert cfg.camera.image_width == width
+    assert cfg.camera.image_height == height
+    assert cfg.camera.left_model == model
+    # Extrinsics are valid rigid transforms (orthonormal rotation block).
+    for T in (cfg.camera.T_B_Cl_matrix(), cfg.camera.T_B_Cr_matrix()):
+        R = T[:3, :3]
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.allclose(T[3], [0, 0, 0, 1])
+    ecfg, rig = make_estimator_config(cfg)
+    assert ecfg.window_size == 10
+    assert ecfg.image_shape == (height, width)
+
+
+def test_euroc_stereo_baseline_sane():
+    cfg = load_config(os.path.join(CONFIG_DIR, "euroc_vio.yaml"))
+    T_Cl_Cr = (np.linalg.inv(cfg.camera.T_B_Cl_matrix())
+               @ cfg.camera.T_B_Cr_matrix())
+    baseline = np.linalg.norm(T_Cl_Cr[:3, 3])
+    assert 0.09 < baseline < 0.13  # EuRoC rig ~11 cm
+
+
+def test_tartanair_tracker_config_loads():
+    from rsvio_tpu.cli.run_tartanair import _load_tracker_yaml
+    y = _load_tracker_yaml(os.path.join(CONFIG_DIR, "tartanair.yaml"))
+    assert y["nlevels"] == 5
+    assert y["ratio"] == 2.0
+    assert y["optical_flow_lm_lambda"] == pytest.approx(0.1)

@@ -186,3 +186,29 @@ class TestResidualModes:
         degraded = (ok_s.sum() < ok_l.sum()) or (
             ok_s.sum() == 0) or (np.median(flow_err_s) > np.median(err_l))
         assert degraded
+
+
+class TestRatioPyramid:
+    def test_arbitrary_ratio_recovers_shift(self):
+        """Tracking over a non-power-of-two pyramid (experimental-crate
+        capability: arbitrary-ratio pyramids with per-level position scaling,
+        ref feature_tracker/src/image_operations.rs:47-78 +
+        feature_tracking.rs:88-122)."""
+        img0 = textured_image(seed=9)
+        dx, dy = 4.0, -3.0
+        img1 = shift_image(img0, dx, dy)
+        ratio = 1.0 / 1.6
+        cfg = CFG._replace(levels=4, pyramid_ratio=ratio, backend="xla")
+        pyr0 = pyramid.build_pyramid_ratio(jnp.asarray(img0), 4, ratio,
+                                           blur=True)
+        pyr1 = pyramid.build_pyramid_ratio(jnp.asarray(img1), 4, ratio,
+                                           blur=True)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                    cfg)
+        ok = np.asarray(ok)
+        assert ok.sum() >= pts.shape[0] * 0.7, f"only {ok.sum()} survived"
+        err = np.abs((np.asarray(pos) - np.asarray(pts))[ok]
+                     - np.array([dx, dy]))
+        assert np.median(err) < 0.3, f"median err {np.median(err)}"

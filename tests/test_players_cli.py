@@ -251,3 +251,26 @@ class TestTartanAirCLI:
         assert rc == 0
         assert any(f.startswith("tartanair_left")
                    for f in os.listdir(os.path.join(vdir, "frames")))
+
+    def test_run_tartanair_with_config_file(self, tmp_path):
+        """--config drives the experimental-crate tracker schema (arbitrary
+        ratio, pre-blur, LM damping — ref feature_tracker/config/config.yaml
+        via play_tartanair.rs)."""
+        import cv2
+        seq = tmp_path / "seq"
+        (seq / "image_left").mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        base = cv2.resize(rng.uniform(0, 255, (40, 50)).astype(np.float32),
+                          (320, 240), interpolation=cv2.INTER_CUBIC)
+        for k in range(4):
+            cv2.imwrite(str(seq / "image_left" / f"{k:06d}_left.png"),
+                        base[k:k + 120, k * 2:k * 2 + 160].astype(np.uint8))
+        cfg = tmp_path / "tracker.yaml"
+        cfg.write_text(
+            "nlevels: 3\nratio: 1.6\npreprocessing_blur: true\n"
+            "detection_min_dist: 20\ndetection_threshold: 2.5\n"
+            "optical_flow_max_iter: 15\noptical_flow_lm_lambda: 0.1\n")
+        from rsvio_tpu.cli.run_tartanair import main
+        rc = main([str(seq), "--config", str(cfg), "--capacity", "64",
+                   "--quiet"])
+        assert rc == 0
