@@ -143,10 +143,11 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
         pos0, A0 = table.pos0, table.A0
         pos1, A1 = table.pos1, table.A1
     else:
-        pos0, A0, ok0 = klt.track_points_bidirectional(
-            pyr0_prev, pyr0, table.pos0, table.alive, kcfg)
-        pos1, A1, ok1 = klt.track_points_bidirectional(
-            pyr1_prev, pyr1, table.pos1, table.alive, kcfg)
+        # One camera-batched call covers both temporal passes (on the Pallas
+        # backend this is half the kernel launches of two separate calls).
+        pos0, A0, ok0, pos1, A1, ok1 = klt.track_points_bidirectional_stereo(
+            pyr0_prev, pyr1_prev, pyr0, pyr1, table.pos0, table.pos1,
+            table.alive, kcfg)
         survived = table.alive & ok0 & ok1
 
     table = table._replace(pos0=pos0, pos1=pos1, A0=A0, A1=A1,

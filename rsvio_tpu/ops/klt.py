@@ -266,11 +266,15 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
 
 
 def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
-                         cfg: KLTConfig):
+                         cfg: KLTConfig, cam=None):
     """Coarse-to-fine tracking via the Pallas level kernel (one pallas_call
     per level; see ops.pallas.klt_kernel). Translation-only or SE2 with
     small-angle rotation per cfg.track_rotation; the in-plane angle is
-    carried across levels (scale-free) and returned as a rotation matrix."""
+    carried across levels (scale-free) and returned as a rotation matrix.
+
+    Level images may be (H, W) single images or (C, H, W) camera stacks with
+    `cam` giving each feature's image index — one kernel launch then tracks
+    the features of every camera at once."""
     from .pallas.klt_kernel import track_level
 
     interpret = jax.default_backend() != "tpu"
@@ -287,7 +291,8 @@ def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
         pos_lvl, theta_lvl, lvl_ok = track_level(
             pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
             theta, alive, cfg.max_iterations,
-            cfg.convergence_threshold**2, cfg.track_rotation, interpret)
+            cfg.convergence_threshold**2, cfg.track_rotation, interpret,
+            cam=cam)
         pos = jnp.where(lvl_ok[:, None], pos_lvl * scale, pos)
         theta = jnp.where(lvl_ok, theta_lvl, theta)
         ok = ok & lvl_ok
@@ -310,14 +315,9 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
       alive: (N,) bool — dead slots are skipped (stay dead).
     Returns: (pos_dst (N,2), A (N,2,2), ok (N,)).
     """
-    backend = cfg.backend
-    if backend == "auto":
-        # The Pallas kernel implements the default mean-normalized GN; the
-        # SSD residual and fixed-lambda LM variants live in the XLA path.
-        off_default = cfg.residual_mode != "lssd" or cfg.lm_lambda > 0.0
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   and not off_default else "xla")
-    if backend == "pallas":
+    # The Pallas kernel implements the default mean-normalized GN; the
+    # SSD residual and fixed-lambda LM variants live in the XLA path.
+    if _resolve_backend(cfg) == "pallas":
         return _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
                                     A0, alive, cfg)
     f = jax.vmap(_track_one_point, in_axes=(None, None, 0, 0, 0, None))
@@ -327,6 +327,28 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
     return pos, A, ok
 
 
+def _theta_to_A(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([jnp.stack([c, -s], axis=-1),
+                      jnp.stack([s, c], axis=-1)], axis=-2)
+
+
+def _bidir_fused_pallas(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig,
+                        cam=None):
+    """Single-launch bidirectional pass (all levels + both directions + the
+    return gate fused into one pallas_call — see
+    ops.pallas.klt_kernel.track_bidirectional_pyramid)."""
+    from .pallas.klt_kernel import track_bidirectional_pyramid
+
+    interpret = jax.default_backend() != "tpu"
+    pos, theta, ok = track_bidirectional_pyramid(
+        pyr_src, pyr_dst, pos_src, alive,
+        cfg.max_iterations, cfg.convergence_threshold**2,
+        cfg.bidir_threshold_sq, cfg.track_rotation, cfg.pyramid_ratio,
+        interpret, cam=cam)
+    return pos, _theta_to_A(theta), ok
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig):
     """Forward + backward track with return-distance gate.
@@ -334,7 +356,12 @@ def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig)
     Capability of ref src/feature_tracker/feature_tracker.rs:252-291: accept a
     track only if the backward track returns within sqrt(0.4) px of the start.
     Returns (pos_dst (N,2), A (N,2,2), ok (N,)).
+
+    On the Pallas backend the whole pass (all levels, forward + backward,
+    gate) is ONE kernel launch; the XLA path composes per-level tracking.
     """
+    if _resolve_backend(cfg) == "pallas":
+        return _bidir_fused_pallas(pyr_src, pyr_dst, pos_src, alive, cfg)
     N = pos_src.shape[0]
     eye = jnp.broadcast_to(jnp.eye(2, dtype=pos_src.dtype), (N, 2, 2))
     pos_fwd, A_fwd, ok_fwd = track_points(
@@ -348,3 +375,47 @@ def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig)
     dist_sq = jnp.sum((pos_back - pos_src) ** 2, axis=1)
     ok = ok_fwd & ok_back & (dist_sq < cfg.bidir_threshold_sq)
     return pos_fwd, A_fwd, ok
+
+
+def _resolve_backend(cfg: KLTConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    off_default = cfg.residual_mode != "lssd" or cfg.lm_lambda > 0.0
+    return ("pallas" if jax.default_backend() == "tpu" and not off_default
+            else "xla")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_points_bidirectional_stereo(pyr0_src, pyr1_src, pyr0_dst, pyr1_dst,
+                                      pos0, pos1, alive, cfg: KLTConfig):
+    """Temporal bidirectional tracking of BOTH cameras of a stereo rig.
+
+    Semantically identical to two track_points_bidirectional calls (cam0
+    prev->cur on pos0, cam1 prev->cur on pos1 — the reference's two temporal
+    passes, ref feature_tracker.rs:125-138), but on the Pallas backend the
+    two cameras' features are CONCATENATED into one batch, the level images
+    stacked on a leading camera axis, and each (level, direction) runs as a
+    single kernel launch — halving tracker launches per frame. The per-frame
+    step is launch-bound at these sizes, so fewer, larger kernels is the
+    single-chip lever (see docs/NOTES.md solver-loop findings).
+
+    Returns (pos0, A0, ok0, pos1, A1, ok1).
+    """
+    if _resolve_backend(cfg) != "pallas":
+        pos0o, A0o, ok0 = track_points_bidirectional(
+            pyr0_src, pyr0_dst, pos0, alive, cfg)
+        pos1o, A1o, ok1 = track_points_bidirectional(
+            pyr1_src, pyr1_dst, pos1, alive, cfg)
+        return pos0o, A0o, ok0, pos1o, A1o, ok1
+
+    N = pos0.shape[0]
+    pyr_src = tuple(jnp.stack([a, b]) for a, b in zip(pyr0_src, pyr1_src))
+    pyr_dst = tuple(jnp.stack([a, b]) for a, b in zip(pyr0_dst, pyr1_dst))
+    cam = jnp.concatenate([jnp.zeros((N,), jnp.int32),
+                           jnp.ones((N,), jnp.int32)])
+    pos_src = jnp.concatenate([pos0, pos1], axis=0)
+    alive2 = jnp.concatenate([alive, alive])
+    pos_fwd, A_fwd, ok = _bidir_fused_pallas(
+        pyr_src, pyr_dst, pos_src, alive2, cfg, cam=cam)
+    return (pos_fwd[:N], A_fwd[:N], ok[:N],
+            pos_fwd[N:], A_fwd[N:], ok[N:])

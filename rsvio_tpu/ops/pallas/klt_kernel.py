@@ -103,9 +103,15 @@ def _sum12(x):
     return jnp.sum(jnp.sum(x, axis=2), axis=1)
 
 
-def _extract_windows(img_ref, pos_ref, win_ref, slab_ref, sem):
+def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
     """win_ref[i] <- 18x18 window of the PADDED image at base
     (floor(pos_i) - 8), for all i, via aligned slab DMA + dynamic rolls.
+
+    img_ref is a (C, Hp, Wp) stack of same-shape padded images (C=1 for the
+    single-camera case); cam_ref[i] selects which image feature i samples —
+    this is what lets one pallas_call track features of BOTH cameras of a
+    stereo rig (the DMA base simply gains a leading index; everything
+    downstream is per-feature vector math that never looks at the image).
 
     Positions are in true-image coordinates; the image was padded by
     (ROW_PAD, COL_PAD) at the top/left (edge values), so windows may overhang
@@ -113,7 +119,7 @@ def _extract_windows(img_ref, pos_ref, win_ref, slab_ref, sem):
     margin is the caller's (vectorized) concern. Bases are clamped so the
     slab load always stays inside the padded image (garbage positions in
     dead slots produce garbage windows that the masks discard)."""
-    Hp, Wp = img_ref.shape
+    _, Hp, Wp = img_ref.shape
     # Largest bases whose ALIGNED slab start keeps the slab in bounds.
     max_bx = 128 * ((Wp - SLAB_C) // 128) + 127
     max_by = 8 * ((Hp - SLAB_R) // 8) + 7
@@ -134,7 +140,7 @@ def _extract_windows(img_ref, pos_ref, win_ref, slab_ref, sem):
         by8 = pl.multiple_of((by // 8) * 8, 8)
         ca = pl.multiple_of((bx // 128) * 128, 128)
         c = pltpu.make_async_copy(
-            img_ref.at[pl.ds(by8, SLAB_R), pl.ds(ca, SLAB_C)],
+            img_ref.at[cam_ref[i, 0], pl.ds(by8, SLAB_R), pl.ds(ca, SLAB_C)],
             slab_ref.at[0], sem)
         c.start()
         c.wait()
@@ -156,15 +162,24 @@ _MAX_THETA_SQ = 0.12  # |theta| cap ~20 deg: beyond this the first-order
                       # rotation warp is unreliable -> step rejected
 
 
-def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
-                      true_h: int, true_w: int, with_rotation: bool,
-                      img_src_ref, img_dst_ref, pos_src_ref, pos_dst_ref,
-                      theta0_ref, alive_ref,
-                      out_pos_ref, out_theta_ref, out_ok_ref,
-                      win_ref, slab_ref, posbuf_ref, statebuf_ref, sem):
-    """One feature block: build templates, then GN-iterate all features.
+def _level_pass(max_iterations: int, conv_thresh_sq: float,
+                true_h: int, true_w: int, with_rotation: bool,
+                img_src_ref, img_dst_ref, cam_ref,
+                pos_template, pos_init, theta0, alive_f,
+                win_ref, slab_ref, posbuf_ref, statebuf_ref, sem):
+    """Template construction + GN iterations for one feature block at ONE
+    pyramid level, expressed over VALUES for positions/masks so callers can
+    chain it (per-level pallas_call via _klt_level_kernel, or all levels and
+    both bidirectional directions fused in _klt_bidir_kernel).
 
-    with_rotation (static): False -> 2-dof translation GN (unchanged math);
+    Args (values, all in LEVEL coordinates):
+      pos_template: (B, 2) template centers (sampled in img_src).
+      pos_init: (B, 2) initial target positions (GN runs in img_dst).
+      theta0: (B,) initial in-plane rotation.
+      alive_f: (B,) 0/1 float mask.
+    Returns (pos_out (B,2), theta_out (B,), ok_f (B,) 0/1 float).
+
+    with_rotation (static): False -> 2-dof translation GN;
     True -> 3-dof SE2 GN with a first-order rotation warp of the sampled
     window (see module docstring).
 
@@ -186,8 +201,10 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
         yc = jax.lax.broadcasted_iota(jnp.int32, P3, 1).astype(jnp.float32) - 8.0
 
     # ---- template construction (source image) ----
-    _extract_windows(img_src_ref, pos_src_ref, win_ref, slab_ref, sem)
-    ps = pos_src_ref[:]
+    posbuf_ref[:] = pos_template
+    _extract_windows(img_src_ref, posbuf_ref, cam_ref, win_ref, slab_ref,
+                     sem)
+    ps = pos_template
     # Center-margin validity (patch tails may sample replicated border
     # pixels thanks to the edge padding — matches the reference's margin-2
     # in-bound semantics rather than requiring the full patch inside).
@@ -256,7 +273,7 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
 
     # ---- GN iterations (target image; windows re-extracted per iteration,
     # which the DMA engine does far faster than any in-register shuffling) --
-    posbuf_ref[:] = pos_dst_ref[:]
+    posbuf_ref[:] = pos_init
     # TRUE early exit: a while_loop with SCALAR carries (iteration count +
     # active-feature count); the per-feature masks/angle live in a VMEM
     # scratch ref instead of the carry (vector carries hit Mosaic's "Offset
@@ -265,12 +282,11 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     # iterations' per-feature window DMAs — the dominant per-iteration cost
     # (measured 2.2x faster than the fixed-trip fori_loop at 256 features /
     # 20 max iterations on v5e; bit-identical outputs).
-    alive0 = ((alive_ref[:, 0] != 0) & patch_ok).astype(jnp.float32)
+    alive0 = ((alive_f > 0) & patch_ok).astype(jnp.float32)
     okf0 = patch_ok.astype(jnp.float32)
-    th0 = theta0_ref[:, 0]
     statebuf_ref[:, 0] = alive0
     statebuf_ref[:, 1] = okf0
-    statebuf_ref[:, 2] = th0
+    statebuf_ref[:, 2] = theta0
 
     def gn_cond(carry):
         it, n_active = carry
@@ -281,7 +297,8 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
         active = statebuf_ref[:, 0]
         okf = statebuf_ref[:, 1]
         th = statebuf_ref[:, 2]
-        _extract_windows(img_dst_ref, posbuf_ref, win_ref, slab_ref, sem)
+        _extract_windows(img_dst_ref, posbuf_ref, cam_ref, win_ref, slab_ref,
+                         sem)
         p = posbuf_ref[:]
         in_img = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
                   & (p[:, 0] <= true_w - 1 - MARGIN)
@@ -340,10 +357,26 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     in_final = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
                 & (p[:, 0] <= true_w - 1 - MARGIN)
                 & (p[:, 1] <= true_h - 1 - MARGIN))
-    ok = (okf > 0) & in_final & (alive_ref[:, 0] != 0)
-    out_pos_ref[:] = p
+    ok = (okf > 0) & in_final & (alive_f > 0)
+    return p, th, ok.astype(jnp.float32)
+
+
+def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
+                      true_h: int, true_w: int, with_rotation: bool,
+                      img_src_ref, img_dst_ref, pos_src_ref, pos_dst_ref,
+                      theta0_ref, alive_ref, cam_ref,
+                      out_pos_ref, out_theta_ref, out_ok_ref,
+                      win_ref, slab_ref, posbuf_ref, statebuf_ref, sem):
+    """One feature block, one level: thin pallas wrapper over _level_pass."""
+    pos, th, ok_f = _level_pass(
+        max_iterations, conv_thresh_sq, true_h, true_w, with_rotation,
+        img_src_ref, img_dst_ref, cam_ref,
+        pos_src_ref[:], pos_dst_ref[:], theta0_ref[:, 0],
+        (alive_ref[:, 0] != 0).astype(jnp.float32),
+        win_ref, slab_ref, posbuf_ref, statebuf_ref, sem)
+    out_pos_ref[:] = pos
     out_theta_ref[:, 0] = th
-    out_ok_ref[:, 0] = ok.astype(jnp.int32)
+    out_ok_ref[:, 0] = ok_f.astype(jnp.int32)
 
 
 def _pad_image(img):
@@ -365,23 +398,33 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
                 max_iterations: int = 20,
                 conv_thresh_sq: float = 1e-4,
                 with_rotation: bool = False,
-                interpret: bool = False):
+                interpret: bool = False,
+                cam=None):
     """Track all features at one pyramid level (IC-KLT, 2- or 3-dof).
 
     Args:
-      img_src, img_dst: (H, W) f32 level images.
+      img_src, img_dst: (H, W) f32 level images — or (C, H, W) stacks of
+        same-shape images (e.g. both cameras of a stereo rig), in which case
+        `cam` selects per feature which image it tracks in. One pallas_call
+        covers the whole multi-camera feature batch.
       pos_src: (N, 2) template centers in LEVEL coordinates (x, y).
       pos_dst0: (N, 2) initial target positions (level coords).
       theta0: (N,) initial in-plane rotation (rad; ignored unless
         with_rotation — angles are scale-free so the same value is valid at
         every level).
       alive: (N,) bool.
+      cam: (N,) int32 image index per feature (None -> all 0).
     Returns (pos_dst (N,2) f32, theta (N,) f32, ok (N,) bool).
     """
     N = pos_src.shape[0]
-    true_h, true_w = img_src.shape
-    img_src_p = _pad_image(img_src)
-    img_dst_p = _pad_image(img_dst)
+    if img_src.ndim == 2:
+        img_src = img_src[None]
+        img_dst = img_dst[None]
+    true_h, true_w = img_src.shape[1:]
+    img_src_p = jax.vmap(_pad_image)(img_src)
+    img_dst_p = jax.vmap(_pad_image)(img_dst)
+    if cam is None:
+        cam = jnp.zeros((N,), jnp.int32)
 
     n_pad = (-N) % BLOCK
     pad = lambda x, v=0: jnp.pad(  # noqa: E731
@@ -390,6 +433,7 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
     pos_dst_p = pad(pos_dst0)
     theta_p = pad(theta0)[:, None]
     alive_p = pad(alive.astype(jnp.int32))[:, None]
+    cam_p = pad(cam.astype(jnp.int32))[:, None]
     n_blocks = (N + n_pad) // BLOCK
 
     kernel = partial(_klt_level_kernel, max_iterations, conv_thresh_sq,
@@ -402,6 +446,7 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
             pl.BlockSpec(memory_space=pltpu.ANY),   # img_dst (HBM)
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -423,7 +468,7 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, theta_p, alive_p)
+    )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, theta_p, alive_p, cam_p)
     return pos_out[:N], theta_out[:N, 0], ok_out[:N, 0] != 0
 
 
@@ -438,3 +483,152 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
         jnp.zeros(pos_src.shape[0], pos_src.dtype), alive,
         max_iterations, conv_thresh_sq, False, interpret)
     return pos, ok
+
+
+def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
+                      bidir_thresh_sq: float, dims, inv_ratio: float,
+                      with_rotation: bool, *refs):
+    """FULLY-FUSED bidirectional coarse-to-fine tracking for one feature
+    block: every pyramid level of the forward track, every level of the
+    backward verification track, and the return-distance gate run inside a
+    single pallas_call. At steady state the per-frame tracker is LAUNCH-bound
+    (each level kernel is ~5-35 us while 24+ launches and their position
+    round-trips through HBM dominate) — this kernel collapses one
+    bidirectional pass from 2*levels launches to 1.
+
+    dims: static tuple of (true_h, true_w) per level. Positions are carried
+    in FULL-RES pixels in VMEM scratch; each level scales by inv_ratio**lvl.
+
+    refs layout: L src level images, L dst level images (each (C, Hp, Wp),
+    ANY/HBM), pos_src (BLOCK,2), alive (BLOCK,1), cam (BLOCK,1), then outputs
+    out_pos (BLOCK,2), out_theta (BLOCK,1), out_ok (BLOCK,1), then scratch
+    win, slab, posbuf, statebuf, cur_ref (BLOCK,2), sem.
+    """
+    L = len(dims)
+    src_refs = refs[:L]
+    dst_refs = refs[L:2 * L]
+    (pos_src_ref, alive_ref, cam_ref,
+     out_pos_ref, out_theta_ref, out_ok_ref,
+     win_ref, slab_ref, posbuf_ref, statebuf_ref, cur_ref, sem) = refs[2 * L:]
+
+    pos_src = pos_src_ref[:]
+    alive_f = (alive_ref[:, 0] != 0).astype(jnp.float32)
+    B = pos_src.shape[0]
+
+    def run_direction(tmpl_pos_full, src, dst, theta_init, alive0):
+        """Coarse-to-fine over all levels; templates at tmpl_pos_full in
+        src[lvl], GN in dst[lvl]; evolving estimate lives in cur_ref
+        (full-res px). Returns (theta, ok_acc)."""
+        ok_acc = alive0
+        th = theta_init
+        for lvl in reversed(range(L)):
+            s = jnp.float32(1.0 / (inv_ratio ** lvl))   # full-res -> level
+            true_h, true_w = dims[lvl]
+            pos_o, th_o, lvl_ok = _level_pass(
+                max_iterations, conv_thresh_sq, true_h, true_w,
+                with_rotation, src[lvl], dst[lvl], cam_ref,
+                tmpl_pos_full * s, cur_ref[:] * s, th, alive0,
+                win_ref, slab_ref, posbuf_ref, statebuf_ref, sem)
+            do = lvl_ok > 0
+            cur_ref[:] = jnp.where(do[:, None], pos_o * (1.0 / s), cur_ref[:])
+            th = jnp.where(do, th_o, th)
+            ok_acc = ok_acc * lvl_ok
+        return th, ok_acc
+
+    # ---- forward ----
+    cur_ref[:] = pos_src
+    th_fwd, ok_fwd = run_direction(pos_src, src_refs, dst_refs,
+                                   jnp.zeros((B,), jnp.float32), alive_f)
+    fwd_ok = ok_fwd > 0
+    pos_fwd = jnp.where(fwd_ok[:, None], cur_ref[:], pos_src)
+    out_pos_ref[:] = pos_fwd
+
+    # ---- backward (templates in dst at pos_fwd, GN back in src) ----
+    cur_ref[:] = pos_src
+    th_b0 = -th_fwd if with_rotation else jnp.zeros((B,), jnp.float32)
+    _, ok_bwd = run_direction(out_pos_ref[:], dst_refs, src_refs,
+                              th_b0, ok_fwd)
+
+    # ---- return-distance gate (ref feature_tracker.rs:280) ----
+    back = cur_ref[:]
+    dist_sq = ((back[:, 0] - pos_src[:, 0]) ** 2
+               + (back[:, 1] - pos_src[:, 1]) ** 2)
+    ok = fwd_ok & (ok_bwd > 0) & (dist_sq < bidir_thresh_sq)
+    out_theta_ref[:, 0] = th_fwd
+    out_ok_ref[:, 0] = ok.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
+                                   "bidir_thresh_sq", "with_rotation",
+                                   "pyramid_ratio", "interpret"))
+def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
+                                max_iterations: int = 20,
+                                conv_thresh_sq: float = 1e-4,
+                                bidir_thresh_sq: float = 0.4,
+                                with_rotation: bool = False,
+                                pyramid_ratio: float = 0.5,
+                                interpret: bool = False,
+                                cam=None):
+    """One-launch bidirectional coarse-to-fine KLT over a whole pyramid.
+
+    Args:
+      pyr_src, pyr_dst: tuples of level images, each (H, W) or a (C, H, W)
+        camera stack (with `cam` selecting per feature).
+      pos_src: (N, 2) source positions in FULL-RES pixels.
+      alive: (N,) bool.
+      cam: (N,) int32 image index per feature (None -> all 0).
+    Returns (pos_dst (N,2), theta (N,), ok (N,)) — semantics identical to
+    the per-level path composed as in ops.klt.track_points_bidirectional.
+    """
+    N = pos_src.shape[0]
+    L = len(pyr_src)
+    if pyr_src[0].ndim == 2:
+        pyr_src = tuple(im[None] for im in pyr_src)
+        pyr_dst = tuple(im[None] for im in pyr_dst)
+    dims = tuple(im.shape[1:] for im in pyr_src)
+    src_p = [jax.vmap(_pad_image)(im) for im in pyr_src]
+    dst_p = [jax.vmap(_pad_image)(im) for im in pyr_dst]
+    if cam is None:
+        cam = jnp.zeros((N,), jnp.int32)
+
+    n_pad = (-N) % BLOCK
+    pad = lambda x, v=0: jnp.pad(  # noqa: E731
+        x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1), constant_values=v)
+    pos_p = pad(pos_src)
+    alive_p = pad(alive.astype(jnp.int32))[:, None]
+    cam_p = pad(cam.astype(jnp.int32))[:, None]
+    n_blocks = (N + n_pad) // BLOCK
+
+    kernel = partial(_klt_bidir_kernel, max_iterations, conv_thresh_sq,
+                     bidir_thresh_sq, dims, 1.0 / pyramid_ratio,
+                     with_rotation)
+    img_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * L)
+    pos_out, theta_out, ok_out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=img_specs + [
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((N + n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N + n_pad, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, WIN, WIN), jnp.float32),
+            pltpu.VMEM((1, SLAB_R, SLAB_C), jnp.float32),
+            pltpu.VMEM((BLOCK, 2), jnp.float32),
+            pltpu.VMEM((BLOCK, 3), jnp.float32),
+            pltpu.VMEM((BLOCK, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*src_p, *dst_p, pos_p, alive_p, cam_p)
+    return pos_out[:N], theta_out[:N, 0], ok_out[:N, 0] != 0

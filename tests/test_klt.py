@@ -212,3 +212,61 @@ class TestRatioPyramid:
         err = np.abs((np.asarray(pos) - np.asarray(pts))[ok]
                      - np.array([dx, dy]))
         assert np.median(err) < 0.3, f"median err {np.median(err)}"
+
+
+class TestStereoBatchedTemporal:
+    def test_matches_two_separate_calls(self):
+        """track_points_bidirectional_stereo (fused camera batch, Pallas
+        path in interpret mode) must agree with two independent
+        track_points_bidirectional runs."""
+        img0 = textured_image(seed=12)
+        img1 = textured_image(seed=13)
+        dst0 = shift_image(img0, 2.0, -1.5)
+        dst1 = shift_image(img1, -1.0, 0.5)
+        p0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+        p1 = pyramid.build_pyramid(jnp.asarray(img1), 3)
+        d0 = pyramid.build_pyramid(jnp.asarray(dst0), 3)
+        d1 = pyramid.build_pyramid(jnp.asarray(dst1), 3)
+        pts0 = make_points(12)
+        pts1 = make_points(12)
+        alive = jnp.ones(12, dtype=bool)
+        cfg = CFG._replace(backend="pallas")
+        a0, _, k0 = klt.track_points_bidirectional(p0, d0, pts0, alive, cfg)
+        a1, _, k1 = klt.track_points_bidirectional(p1, d1, pts1, alive, cfg)
+        b0, _, s0, b1, _, s1 = klt.track_points_bidirectional_stereo(
+            p0, p1, d0, d1, pts0, pts1, alive, cfg)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(k0))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(k1))
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(a0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(a1), atol=1e-5)
+
+
+class TestFusedBidirectional:
+    def test_fused_matches_per_level_composition(self):
+        """The single-launch fused bidirectional kernel must reproduce the
+        composition of per-level Pallas tracking calls (forward, backward,
+        distance gate) exactly."""
+        img0 = textured_image(seed=14)
+        img1 = shift_image(img0, 2.5, -1.5)
+        p0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+        d0 = pyramid.build_pyramid(jnp.asarray(img1), 3)
+        pts = make_points(12)
+        alive = jnp.ones(12, dtype=bool)
+        cfg = CFG._replace(backend="pallas")
+
+        # Unfused reference: per-level pallas calls composed by hand (the
+        # pre-fusion track_points_bidirectional logic).
+        N = pts.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=pts.dtype), (N, 2, 2))
+        pos_fwd, A_fwd, ok_fwd = klt.track_points(p0, d0, pts, pts, eye,
+                                                  alive, cfg)
+        A_inv = jnp.swapaxes(A_fwd, -1, -2)
+        pos_back, _, ok_back = klt.track_points(d0, p0, pos_fwd, pts, A_inv,
+                                                ok_fwd, cfg)
+        dist_sq = jnp.sum((pos_back - pts) ** 2, axis=1)
+        ok_ref = ok_fwd & ok_back & (dist_sq < cfg.bidir_threshold_sq)
+
+        pos, _, ok = klt.track_points_bidirectional(p0, d0, pts, alive, cfg)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(pos_fwd),
+                                   atol=1e-6)

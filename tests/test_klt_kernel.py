@@ -168,3 +168,33 @@ class TestKernelRotation:
         np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
         np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_b))
         assert np.all(np.asarray(th_b) == 0)
+
+
+class TestCameraBatched:
+    def test_stereo_batch_matches_separate_calls(self):
+        """A (2,H,W) camera stack + per-feature cam index must reproduce the
+        two single-camera runs exactly (the stereo frontend's fused temporal
+        pass relies on this)."""
+        img0 = textured(seed=11)
+        img1 = textured(seed=12)
+        dst0 = shift(img0, 2.0, -1.0)
+        dst1 = shift(img1, -1.5, 0.5)
+        pts0 = RNG.uniform([15, 15], [128, 80], size=(8, 2)).astype(np.float32)
+        pts1 = RNG.uniform([15, 15], [128, 80], size=(8, 2)).astype(np.float32)
+
+        pos_a, ok_a = track(img0, dst0, pts0)
+        pos_b, ok_b = track(img1, dst1, pts1)
+
+        src = jnp.stack([jnp.asarray(img0), jnp.asarray(img1)])
+        dst = jnp.stack([jnp.asarray(dst0), jnp.asarray(dst1)])
+        pts = jnp.concatenate([jnp.asarray(pts0), jnp.asarray(pts1)])
+        cam = jnp.concatenate([jnp.zeros(8, jnp.int32),
+                               jnp.ones(8, jnp.int32)])
+        alive = jnp.ones(16, dtype=bool)
+        pos, _, ok = K.track_level(src, dst, pts, pts,
+                                   jnp.zeros(16, jnp.float32), alive,
+                                   15, 1e-5, False, True, cam=cam)
+        np.testing.assert_array_equal(np.asarray(ok),
+                                      np.concatenate([ok_a, ok_b]))
+        np.testing.assert_allclose(np.asarray(pos),
+                                   np.concatenate([pos_a, pos_b]), atol=1e-6)

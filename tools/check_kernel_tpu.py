@@ -1,0 +1,114 @@
+"""On-device correctness probe for the Pallas KLT kernel paths (run on the
+real TPU; compares compiled results against known ground truth and against
+the single-camera path). Usage: python tools/check_kernel_tpu.py"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rsvio_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import cv2  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from rsvio_tpu.ops.pallas import klt_kernel as K  # noqa: E402
+
+
+def textured(H=96, W=144, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (H // 4, W // 4)).astype(np.float32)
+    img = cv2.resize(base, (W, H), interpolation=cv2.INTER_CUBIC)
+    return cv2.GaussianBlur(img, (5, 5), 1.0).astype(np.float32)
+
+
+def shift(img, dx, dy):
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+
+
+def main():
+    rng = np.random.default_rng(5)
+    img0 = textured(seed=11)
+    img1 = textured(seed=12)
+    dst0 = shift(img0, 2.0, -1.0)
+    dst1 = shift(img1, -1.5, 0.5)
+    pts0 = rng.uniform([15, 15], [128, 80], size=(8, 2)).astype(np.float32)
+    pts1 = rng.uniform([15, 15], [128, 80], size=(8, 2)).astype(np.float32)
+    failures = 0
+
+    def tr(img_src, img_dst, pts):
+        n = pts.shape[0]
+        alive = jnp.ones(n, dtype=bool)
+        pos, ok = K.track_level_translation(
+            jnp.asarray(img_src), jnp.asarray(img_dst), jnp.asarray(pts),
+            jnp.asarray(pts), alive, 15, 1e-5, False)
+        return np.asarray(pos), np.asarray(ok)
+
+    # 1. single-camera compiled: known shifts recovered
+    pos_a, ok_a = tr(img0, dst0, pts0)
+    pos_b, ok_b = tr(img1, dst1, pts1)
+    err_a = np.abs(pos_a[ok_a] - (pts0[ok_a] + [2.0, -1.0])).max()
+    err_b = np.abs(pos_b[ok_b] - (pts1[ok_b] + [-1.5, 0.5])).max()
+    print(f"single-cam: ok={ok_a.sum()}/{ok_b.sum()} err={err_a:.4f}/{err_b:.4f}")
+    if not (ok_a.sum() >= 6 and ok_b.sum() >= 6 and max(err_a, err_b) < 0.5):
+        print("FAIL: single-camera baseline broken")
+        failures += 1
+
+    # 2. camera-batched compiled vs single-camera compiled
+    src = jnp.stack([jnp.asarray(img0), jnp.asarray(img1)])
+    dst = jnp.stack([jnp.asarray(dst0), jnp.asarray(dst1)])
+    pts = jnp.concatenate([jnp.asarray(pts0), jnp.asarray(pts1)])
+    cam = jnp.concatenate([jnp.zeros(8, jnp.int32), jnp.ones(8, jnp.int32)])
+    alive = jnp.ones(16, dtype=bool)
+    pos, _, ok = K.track_level(src, dst, pts, pts,
+                               jnp.zeros(16, jnp.float32), alive,
+                               15, 1e-5, False, False, cam=cam)
+    pos, ok = np.asarray(pos), np.asarray(ok)
+    ok_ref = np.concatenate([ok_a, ok_b])
+    pos_ref = np.concatenate([pos_a, pos_b])
+    ok_match = (ok == ok_ref).all()
+    pos_err = np.abs(pos[ok_ref & ok] - pos_ref[ok_ref & ok]).max() if (ok_ref & ok).any() else np.inf
+    print(f"cam-batched vs single: ok_match={ok_match} pos_err={pos_err:.2e}")
+    if not (ok_match and pos_err < 1e-5):
+        print("FAIL: camera-batched path diverges on device")
+        failures += 1
+
+    # 3. fused bidirectional vs composed per-level (both compiled)
+    from rsvio_tpu.ops import klt as klt_mod
+    from rsvio_tpu.ops import pyramid
+    cfg = klt_mod.KLTConfig(max_iterations=15, convergence_threshold=0.005,
+                            levels=3, backend="pallas")
+    p0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+    d0 = pyramid.build_pyramid(jnp.asarray(shift(img0, 2.5, -1.5)), 3)
+    ptsj = jnp.asarray(pts0)
+    alive8 = jnp.ones(8, dtype=bool)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (8, 2, 2))
+    pos_fwd, A_fwd, ok_fwd = klt_mod.track_points(p0, d0, ptsj, ptsj, eye,
+                                                  alive8, cfg)
+    A_inv = jnp.swapaxes(A_fwd, -1, -2)
+    pos_back, _, ok_back = klt_mod.track_points(d0, p0, pos_fwd, ptsj, A_inv,
+                                                ok_fwd, cfg)
+    dist_sq = jnp.sum((pos_back - ptsj) ** 2, axis=1)
+    ok_comp = np.asarray(ok_fwd & ok_back & (dist_sq < cfg.bidir_threshold_sq))
+    pos_f, _, ok_f = klt_mod.track_points_bidirectional(p0, d0, ptsj, alive8,
+                                                        cfg)
+    pos_f, ok_f = np.asarray(pos_f), np.asarray(ok_f)
+    both = ok_comp & ok_f
+    perr = np.abs(pos_f[both] - np.asarray(pos_fwd)[both]).max() if both.any() else np.inf
+    print(f"fused vs composed: ok_match={(ok_f == ok_comp).all()} "
+          f"pos_err={perr:.2e} n_ok={ok_f.sum()}")
+    if not ((ok_f == ok_comp).all() and perr < 1e-5):
+        print("FAIL: fused bidirectional diverges on device")
+        failures += 1
+
+    print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
