@@ -20,3 +20,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# TPU matmuls truncate f32 inputs to bfloat16 by default. The estimator's
+# numerics — triangulation back-substitution, J^T J normal equations, Lie
+# retraction chains — lose enough precision under that default to corrupt
+# the solution (measured on a v5e chip: the synthetic e2e drifts 32% of
+# traveled distance with default-precision matmuls, 5% with fp32 matmuls;
+# CPU f32 runs of the identical code are exact to 0.0%). Every matmul in
+# this pipeline is tiny and latency-bound, so full-precision accumulation
+# costs nothing measurable. Override with RSVIO_MATMUL_PRECISION=default
+# to get the raw hardware behavior back.
+_prec = _os.environ.get("RSVIO_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    _jax.config.update("jax_default_matmul_precision", _prec)
