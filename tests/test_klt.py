@@ -270,3 +270,36 @@ class TestFusedBidirectional:
         np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
         np.testing.assert_allclose(np.asarray(pos), np.asarray(pos_fwd),
                                    atol=1e-6)
+
+    def test_fused_matches_composition_with_rotation(self):
+        """Fused bidirectional with track_rotation (backward pass starts at
+        the negated forward angle) must match the per-level composition."""
+        img0 = textured_image(seed=15)
+        import cv2
+        M = cv2.getRotationMatrix2D((80.0, 60.0), 4.0, 1.0)
+        M[:, 2] += [1.5, -1.0]
+        img1 = cv2.warpAffine(img0, M, (img0.shape[1], img0.shape[0]),
+                              flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REFLECT)
+        p0 = pyramid.build_pyramid(jnp.asarray(img0), 3)
+        d0 = pyramid.build_pyramid(jnp.asarray(img1), 3)
+        pts = make_points(12)
+        alive = jnp.ones(12, dtype=bool)
+        cfg = CFG._replace(backend="pallas", track_rotation=True)
+
+        N = pts.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=pts.dtype), (N, 2, 2))
+        pos_fwd, A_fwd, ok_fwd = klt.track_points(p0, d0, pts, pts, eye,
+                                                  alive, cfg)
+        A_inv = jnp.swapaxes(A_fwd, -1, -2)
+        pos_back, _, ok_back = klt.track_points(d0, p0, pos_fwd, pts, A_inv,
+                                                ok_fwd, cfg)
+        dist_sq = jnp.sum((pos_back - pts) ** 2, axis=1)
+        ok_ref = ok_fwd & ok_back & (dist_sq < cfg.bidir_threshold_sq)
+
+        pos, A, ok = klt.track_points_bidirectional(p0, d0, pts, alive, cfg)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(pos_fwd),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_fwd),
+                                   atol=1e-6)
