@@ -7,10 +7,12 @@ passes per frame), and TPU lowers arbitrary gathers to slow scalar loops —
 measured 186 ms per bidirectional pass at 256 features. This kernel removes
 gathers entirely:
 
-  * Level images stay in HBM (pl.ANY). Per feature, ONE aligned slab DMA
-    (32x256 — 8/128-aligned starts as the tiled layout requires) plus two
-    dynamic rolls (tpu dynamic_rotate) materializes an arbitrary-position
-    18x18 window into VMEM scratch.
+  * Level images stay in HBM or VMEM (coarse levels pinned on-chip). Per
+    feature, ONE aligned slab DMA (32x256 — 8/128-aligned starts as the
+    tiled layout requires) plus two dynamic rolls (tpu dynamic_rotate)
+    materializes an arbitrary-position 20x20 window into VMEM scratch
+    (16x16 pattern + bilinear taps + a ring for central-difference
+    gradients).
   * Windows are re-extracted EVERY GN iteration at the current positions, so
     sampling needs no dynamic in-register slicing (unaligned value slices
     lower to catastrophic scalar relayouts — measured ~1000x slower than the
@@ -58,13 +60,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 64           # features per grid step (VMEM-bounded)
-WIN = 18             # sampling window edge (16x16 pattern + bilinear taps)
+WIN = 20             # sampling window edge: 16x16 pattern + bilinear taps +
+                     # a 1-px ring for central-difference gradients
 PATCH = 16           # dense PATCH x PATCH pattern, unit spacing, +-8 px
 SLAB_R = 32          # DMA slab rows: power of two (compiled dynamic sublane
                      # rolls are only correct for power-of-two row counts);
-                     # covers row offset <= 7 + 18-row window (25 <= 32)
+                     # covers row offset <= 7 + 20-row window (27 <= 32)
 SLAB_C = 256         # DMA slab cols (two 128-lane tiles for column roll)
-ROW_PAD = 8          # top edge-padding: windows may overhang the image top
+ROW_PAD = 16         # top edge-padding: windows may overhang the image top
+                     # (window base is floor(pos) - 9)
 COL_PAD = 128        # left edge-padding (aligned): windows may overhang left
 MARGIN = 2.0         # center-validity margin in px (ref feature_tracker.rs:389)
 _MIN_GRAD_ENERGY = 1e-4
@@ -75,14 +79,45 @@ def _views(win):
     """4 bilinear-tap views of windows (B, WIN, WIN) -> 4 x (B, 16, 16).
 
     Pattern offsets o in [-8, 7] relative to the sampling base at window
-    index 8 -> tap indices o+8 in [0, 15], +1 neighbors in [1, 16] — plain
-    unit-stride static slices.
+    index 9 -> tap indices o+9 in [1, 16], +1 neighbors in [2, 17] — plain
+    unit-stride static slices (the 1-px ring at indices 0/18 exists for the
+    central-difference gradient views below).
     """
-    v00 = win[:, 0:PATCH, 0:PATCH]
-    v01 = win[:, 0:PATCH, 1:PATCH + 1]
-    v10 = win[:, 1:PATCH + 1, 0:PATCH]
-    v11 = win[:, 1:PATCH + 1, 1:PATCH + 1]
+    v00 = win[:, 1:PATCH + 1, 1:PATCH + 1]
+    v01 = win[:, 1:PATCH + 1, 2:PATCH + 2]
+    v10 = win[:, 2:PATCH + 2, 1:PATCH + 1]
+    v11 = win[:, 2:PATCH + 2, 2:PATCH + 2]
     return v00, v01, v10, v11
+
+
+def _grad_views(win, fx, fy):
+    """Bilinearly-interpolated central-difference gradient at each pattern
+    point — the reference's image_grad semantics (ref image_utilities.rs:5-66)
+    and what the XLA path samples (interp.bilinear_with_grad).
+
+    The gradient grid g[j,i] = (win[j,i+1] - win[j,i-1])/2 is formed at the 4
+    bilinear corners (tap indices [1,16] and their +1 neighbors) and lerped
+    with the same (fx, fy). This replaces the earlier derivative-of-the-
+    bilinear-interpolant form, which is piecewise-constant inside each pixel
+    cell and measurably destabilizes Gauss-Newton on smooth scenes (the same
+    failure documented and reverted in the XLA path; on a smooth synthetic
+    plane ~20% of corner tracks diverged through the bidirectional gate).
+    """
+    P1 = PATCH + 1
+    P2 = PATCH + 2
+    # d/dx grids at the 4 corners
+    gx00 = win[:, 1:P1, 2:P2] - win[:, 1:P1, 0:PATCH]
+    gx01 = win[:, 1:P1, 3:P2 + 1] - win[:, 1:P1, 1:P1]
+    gx10 = win[:, 2:P2, 2:P2] - win[:, 2:P2, 0:PATCH]
+    gx11 = win[:, 2:P2, 3:P2 + 1] - win[:, 2:P2, 1:P1]
+    # d/dy grids
+    gy00 = win[:, 2:P2, 1:P1] - win[:, 0:PATCH, 1:P1]
+    gy01 = win[:, 2:P2, 2:P2] - win[:, 0:PATCH, 2:P2]
+    gy10 = win[:, 3:P2 + 1, 1:P1] - win[:, 1:P1, 1:P1]
+    gy11 = win[:, 3:P2 + 1, 2:P2] - win[:, 1:P1, 2:P2]
+    gx = _lerp(gx00, gx01, gx10, gx11, fx, fy) * 0.5
+    gy = _lerp(gy00, gy01, gy10, gy11, fx, fy) * 0.5
+    return gx, gy
 
 
 def _lerp(v00, v01, v10, v11, fx, fy):
@@ -104,8 +139,8 @@ def _sum12(x):
 
 
 def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
-    """win_ref[i] <- 18x18 window of the PADDED image at base
-    (floor(pos_i) - 8), for all i, via aligned slab DMA + dynamic rolls.
+    """win_ref[i] <- WIN x WIN window of the PADDED image at base
+    (floor(pos_i) - 9), for all i, via aligned slab DMA + dynamic rolls.
 
     img_ref is a (C, Hp, Wp) stack of same-shape padded images (C=1 for the
     single-camera case); cam_ref[i] selects which image feature i samples —
@@ -128,10 +163,10 @@ def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
 
     def bases(i):
         bx = jnp.clip(
-            jnp.floor(pos_ref[i, 0]).astype(jnp.int32) - 8 + COL_PAD,
+            jnp.floor(pos_ref[i, 0]).astype(jnp.int32) - 9 + COL_PAD,
             0, max_bx)
         by = jnp.clip(
-            jnp.floor(pos_ref[i, 1]).astype(jnp.int32) - 8 + ROW_PAD,
+            jnp.floor(pos_ref[i, 1]).astype(jnp.int32) - 9 + ROW_PAD,
             0, max_by)
         return bx, by
 
@@ -214,12 +249,13 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
     fx = _b3(ps[:, 0] - jnp.floor(ps[:, 0]), P3)
     fy = _b3(ps[:, 1] - jnp.floor(ps[:, 1]), P3)
 
-    v00, v01, v10, v11 = _views(win_ref[:])
+    win = win_ref[:]
+    v00, v01, v10, v11 = _views(win)
     val = _lerp(v00, v01, v10, v11, fx, fy)
-    # Analytic gradient of the bilinear interpolant (same first-order content
-    # as the reference's central differences, ref image_utilities.rs:5-66).
-    gx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
-    gy = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
+    # Bilinearly-interpolated central-difference gradient (the reference's
+    # image_grad form; see _grad_views for why not the derivative of the
+    # bilinear interpolant).
+    gx, gy = _grad_views(win, fx, fy)
 
     npts = float(PATCH * PATCH)
     mean = _sum12(val) / npts
