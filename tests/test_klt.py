@@ -303,3 +303,36 @@ class TestFusedBidirectional:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(A), np.asarray(A_fwd),
                                    atol=1e-6)
+
+
+class TestSmoothSceneQuality:
+    def test_pallas_survival_matches_xla_on_smooth_texture(self):
+        """Regression guard for the gradient-quality bug: on SMOOTH texture
+        (where the piecewise-constant bilinear-cell gradient destabilizes
+        GN) the Pallas kernel must keep bidirectional survival and flow
+        accuracy on par with the XLA path. High-texture shift tests alone
+        do not catch this class of defect."""
+        import cv2
+        rng = np.random.default_rng(2)
+        tex = cv2.resize(rng.uniform(40, 220, (24, 24)).astype(np.float32),
+                         (480, 480), interpolation=cv2.INTER_CUBIC)
+        img0 = tex[100:220, 80:240]                  # 120x160, very smooth
+        img1 = shift_image(img0, -0.8, 0.3)
+        p0 = pyramid.build_pyramid(jnp.asarray(img0), 4)
+        p1 = pyramid.build_pyramid(jnp.asarray(img1), 4)
+        pts = make_points(24)
+        alive = jnp.ones(24, dtype=bool)
+        res = {}
+        for backend in ("xla", "pallas"):
+            cfg = CFG._replace(levels=4, backend=backend)
+            pos, _, ok = klt.track_points_bidirectional(p0, p1, pts, alive,
+                                                        cfg)
+            ok = np.asarray(ok)
+            flow = np.asarray(pos) - np.asarray(pts)
+            err = (np.median(np.abs(flow[ok] - [-0.8, 0.3]))
+                   if ok.any() else np.inf)
+            res[backend] = (ok.sum(), err)
+        n_x, e_x = res["xla"]
+        n_p, e_p = res["pallas"]
+        assert n_p >= 0.8 * n_x, f"pallas survival {n_p} vs xla {n_x}"
+        assert e_p < max(2.0 * e_x, 0.1), f"pallas flow err {e_p} vs {e_x}"
