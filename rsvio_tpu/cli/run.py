@@ -42,6 +42,10 @@ class PlayerConfig:
     checkpoint_every: Optional[int] = None  # periodic snapshot every N frames
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     evaluate_ate: bool = False  # compute ATE vs dataset ground truth at end
+    # Tri-state override of the YAML solver.marginalization key (None =
+    # respect the config file): Schur-marginalize evicted keyframes into a
+    # dense prior instead of plain FIFO forgetting.
+    marginalization: Optional[bool] = None
 
 
 @dataclass
@@ -101,6 +105,10 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
     enable_compilation_cache()
 
     cfg = load_config(config_path)
+    if pcfg.marginalization is not None:
+        cfg.solver.marginalization = pcfg.marginalization
+    if cfg.solver.marginalization:
+        log.info("marginalization: evicted keyframes fold into a dense prior")
     if cfg.precision == "f64":
         # Runtime analog of the reference's `use_f32` feature flag (ref
         # src/types.rs:17-23, default f64 there). Must precede array
@@ -367,6 +375,9 @@ def make_cli(player_cls, name: str):
         ap.add_argument("--trajectory-out", default=None)
         ap.add_argument("--vio", action="store_true",
                         help="visual-inertial mode (IMU preintegration)")
+        ap.add_argument("--marginalization", action="store_true",
+                        help="Schur-marginalize evicted keyframes into a "
+                             "dense prior (overrides the YAML key)")
         ap.add_argument("--checkpoint-out", default=None)
         ap.add_argument("--checkpoint-in", default=None)
         ap.add_argument("--checkpoint-every", type=int, default=None,
@@ -390,7 +401,8 @@ def make_cli(player_cls, name: str):
             checkpoint_in=args.checkpoint_in,
             checkpoint_every=args.checkpoint_every,
             profile_dir=args.profile_dir,
-            evaluate_ate=args.eval_ate)
+            evaluate_ate=args.eval_ate,
+            marginalization=True if args.marginalization else None)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

@@ -106,6 +106,11 @@ class SolverConfig:
     # (gross-outlier) threshold: tight values cull drift-displaced good
     # landmarks and the retriangulation churn degrades long-run scale.
     cull_reproj_threshold: float = 0.0
+    # Schur-marginalize evicted keyframes into a dense prior instead of
+    # plain FIFO forgetting (the capability the reference defers — ref
+    # README.md:70,79 lists marginalization as future work). Default off =
+    # reference-parity FIFO behavior. Applies to both VO and --vio modes.
+    marginalization: bool = False
 
 
 @dataclasses.dataclass
@@ -217,6 +222,7 @@ def make_estimator_config(cfg: Config):
             cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
         cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
+        use_marginalization=cfg.solver.marginalization,
     )
     return ecfg, rig
 

@@ -130,6 +130,28 @@ class TestCLI:
         # statistics.txt written into the dataset dir (ref euroc_player.rs:325)
         assert os.path.exists(os.path.join(root, "statistics.txt"))
 
+    def test_run_euroc_marginalization_flag(self, mini_euroc, tmp_path):
+        """--marginalization routes the CLI through the marginalized BA
+        (Schur prior across window rolls) end to end."""
+        root, cfg_path = mini_euroc
+        traj = str(tmp_path / "traj_marg.txt")
+        from rsvio_tpu.cli.run_euroc import main
+        rc = main([cfg_path, root, "--max-frames", "8", "--quiet",
+                   "--marginalization", "--trajectory-out", traj])
+        assert rc == 0
+        ts, pos, quat = trajectory.load_tum(traj)
+        assert len(ts) == 8
+        assert np.all(np.isfinite(pos))
+
+    def test_marginalization_yaml_key(self, mini_euroc, tmp_path):
+        """solver.marginalization in the YAML reaches EstimatorConfig."""
+        _, cfg_path = mini_euroc
+        from rsvio_tpu.utils.config import load_config, make_estimator_config
+        cfg = load_config(cfg_path)
+        cfg.solver.marginalization = True
+        ecfg, _ = make_estimator_config(cfg)
+        assert ecfg.use_marginalization
+
 
 class TestTrajectoryUtils:
     def test_tum_roundtrip(self, tmp_path):
