@@ -44,6 +44,10 @@ class KeyframeManagementConfig:
     keyframe_window_size: int = 10
     translation_threshold: float = 0.05
     rotation_threshold: float = 0.05
+    # Track and optimize BEFORE the window fills (the reference holds the
+    # pose at identity until then, ref sliding_window.rs:137-157). Set
+    # false for reference-parity startup behavior.
+    track_before_full: bool = True
 
 
 @dataclasses.dataclass
@@ -82,6 +86,10 @@ class TrackerConfig:
     # precomputed (lambda I + J^T J)^-1 LM-KLT, ref patch.rs:239-255);
     # 0 = pure Gauss-Newton. Non-default values route to the XLA backend.
     lm_lambda: float = 0.0
+    # Tracking backend: "auto" (Pallas kernel on TPU, XLA elsewhere),
+    # "pallas" (kernel; interpret mode off-TPU), or "xla" (gather-based
+    # path — exact arbitrary-angle SE2 warp, any device).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass
@@ -196,6 +204,7 @@ def make_estimator_config(cfg: Config):
         track_rotation=cfg.tracker.track_rotation,
         residual_mode=cfg.tracker.residual_mode,
         lm_lambda=cfg.tracker.lm_lambda,
+        backend=cfg.tracker.backend,
     )
     fe_cfg = FrontendConfig(
         capacity=cfg.tracker.feature_capacity,
@@ -223,6 +232,7 @@ def make_estimator_config(cfg: Config):
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
         cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
         use_marginalization=cfg.solver.marginalization,
+        track_before_full=cfg.keyframe_management.track_before_full,
     )
     return ecfg, rig
 

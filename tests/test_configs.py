@@ -48,3 +48,37 @@ def test_tartanair_tracker_config_loads():
     assert y["nlevels"] == 5
     assert y["ratio"] == 2.0
     assert y["optical_flow_lm_lambda"] == pytest.approx(0.1)
+
+
+def test_surfaced_knobs_reach_estimator_config(tmp_path):
+    """Every YAML-surfaced knob must land on the estimator/tracker configs
+    (regression guard against dataclass fields that parse but go nowhere)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""
+camera:
+  image_width: 160
+  image_height: 120
+  left_intrinsics: [100, 100, 80, 60]
+  left_distortion: [0, 0, 0, 0]
+  right_intrinsics: [100, 100, 80, 60]
+  right_distortion: [0, 0, 0, 0]
+keyframe_management:
+  keyframe_window_size: 5
+  track_before_full: false
+tracker:
+  backend: xla
+  track_rotation: true
+  lm_lambda: 0.25
+solver:
+  marginalization: true
+  cull_reproj_threshold: 0.1
+""")
+    cfg = load_config(str(p))
+    ecfg, _ = make_estimator_config(cfg)
+    assert ecfg.window_size == 5
+    assert ecfg.track_before_full is False
+    assert ecfg.use_marginalization is True
+    assert ecfg.cull_reproj_threshold == pytest.approx(0.1)
+    assert ecfg.frontend.klt.backend == "xla"
+    assert ecfg.frontend.klt.track_rotation is True
+    assert ecfg.frontend.klt.lm_lambda == pytest.approx(0.25)
