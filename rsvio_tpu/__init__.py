@@ -33,7 +33,9 @@ import jax as _jax
 # CPU f32 runs of the identical code are exact to 0.0%). Every matmul in
 # this pipeline is tiny and latency-bound, so full-precision accumulation
 # costs nothing measurable. Override with RSVIO_MATMUL_PRECISION=default
-# to get the raw hardware behavior back.
+# to get the raw hardware behavior back. An explicit setting made by the
+# embedding application BEFORE this import (jax_default_matmul_precision
+# non-None) is respected and left untouched.
 _prec = _os.environ.get("RSVIO_MATMUL_PRECISION", "highest")
-if _prec != "default":
+if _prec != "default" and _jax.config.jax_default_matmul_precision is None:
     _jax.config.update("jax_default_matmul_precision", _prec)

@@ -117,6 +117,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         log.info("precision: f64 (jax x64 enabled)")
     dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
     ecfg, rig = make_estimator_config(cfg)
+    from ..ops.klt import resolve_backend
+    if jax.default_backend() == "tpu" and \
+            resolve_backend(ecfg.frontend.klt) == "xla":
+        log.warning(
+            "tracker routed to the XLA gather path on TPU (backend/"
+            "residual_mode/lm_lambda settings) — orders of magnitude "
+            "slower than the Pallas kernel")
 
     imu_data = None
     if pcfg.use_vio:
@@ -375,9 +382,11 @@ def make_cli(player_cls, name: str):
         ap.add_argument("--trajectory-out", default=None)
         ap.add_argument("--vio", action="store_true",
                         help="visual-inertial mode (IMU preintegration)")
-        ap.add_argument("--marginalization", action="store_true",
+        ap.add_argument("--marginalization",
+                        action=argparse.BooleanOptionalAction, default=None,
                         help="Schur-marginalize evicted keyframes into a "
-                             "dense prior (overrides the YAML key)")
+                             "dense prior (--no-marginalization forces "
+                             "FIFO; default: respect the YAML key)")
         ap.add_argument("--checkpoint-out", default=None)
         ap.add_argument("--checkpoint-in", default=None)
         ap.add_argument("--checkpoint-every", type=int, default=None,
@@ -402,7 +411,7 @@ def make_cli(player_cls, name: str):
             checkpoint_every=args.checkpoint_every,
             profile_dir=args.profile_dir,
             evaluate_ate=args.eval_ate,
-            marginalization=True if args.marginalization else None)
+            marginalization=args.marginalization)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

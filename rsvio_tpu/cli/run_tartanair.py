@@ -26,11 +26,8 @@ def _load_tracker_yaml(path):
     feature_tracker/config/config.yaml: nlevels / ratio / preprocessing_blur /
     detection_* / optical_flow_*), loaded by play_tartanair.rs. Unknown keys
     are ignored, like the reference's serde."""
-    import yaml
-    with open(path) as f:
-        lines = [ln for ln in f.read().splitlines()
-                 if not ln.strip().startswith("%YAML")]
-    return yaml.safe_load("\n".join(lines)) or {}
+    from ..utils.config import load_yaml_stripped
+    return load_yaml_stripped(path)
 
 
 def main(argv=None):
@@ -71,7 +68,7 @@ def main(argv=None):
 
     # Defaults = ref mono PatchTracker (30 it / 0.005 / grid 30); a --config
     # file overrides them with the experimental-crate schema.
-    levels, down, blur = args.levels, 2.0, False
+    levels, down, blur, blur_sigma = args.levels, 2.0, False, 0.7
     max_iter, lm_lambda = 30, 0.0
     cell_size, min_score = 30, 1.0
     if args.config:
@@ -79,6 +76,7 @@ def main(argv=None):
         levels = int(y.get("nlevels", levels))
         down = float(y.get("ratio", down))       # per-level downscale factor
         blur = bool(y.get("preprocessing_blur", blur))
+        blur_sigma = float(y.get("preprocessing_blur_sigma", blur_sigma))
         max_iter = int(y.get("optical_flow_max_iter", max_iter))
         lm_lambda = float(y.get("optical_flow_lm_lambda", lm_lambda))
         cell_size = int(y.get("detection_min_dist", cell_size))
@@ -86,6 +84,12 @@ def main(argv=None):
         # the min eigenvalue our score map returns; rescale the threshold.
         if "detection_threshold" in y:
             min_score = float(y["detection_threshold"]) / 1000.0
+        if lm_lambda > 0 and jax.default_backend() == "tpu":
+            log.warning(
+                "optical_flow_lm_lambda > 0 routes tracking onto the XLA "
+                "gather path (the Pallas kernel implements pure GN) — "
+                "orders of magnitude slower on TPU. Set it to 0 to use "
+                "the kernel.")
 
     cfg = mt.MonoTrackerConfig(
         capacity=args.capacity, cell_size=cell_size, min_score=min_score,
@@ -97,7 +101,8 @@ def main(argv=None):
     def make_pyramid(img):
         if down == 2.0 and not blur:
             return pyramid.build_pyramid(img, levels)
-        return pyramid.build_pyramid_ratio(img, levels, 1.0 / down, blur=blur)
+        return pyramid.build_pyramid_ratio(img, levels, 1.0 / down, blur=blur,
+                                           blur_sigma=blur_sigma)
 
     pyr_prev = None
     times = []

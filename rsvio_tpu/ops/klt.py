@@ -265,16 +265,18 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     return pos, A, ok
 
 
+def _theta_to_A(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([jnp.stack([c, -s], axis=-1),
+                      jnp.stack([s, c], axis=-1)], axis=-2)
+
+
 def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
-                         cfg: KLTConfig, cam=None):
+                         cfg: KLTConfig):
     """Coarse-to-fine tracking via the Pallas level kernel (one pallas_call
     per level; see ops.pallas.klt_kernel). Translation-only or SE2 with
     small-angle rotation per cfg.track_rotation; the in-plane angle is
-    carried across levels (scale-free) and returned as a rotation matrix.
-
-    Level images may be (H, W) single images or (C, H, W) camera stacks with
-    `cam` giving each feature's image index — one kernel launch then tracks
-    the features of every camera at once."""
+    carried across levels (scale-free) and returned as a rotation matrix."""
     from .pallas.klt_kernel import track_level
 
     interpret = jax.default_backend() != "tpu"
@@ -291,16 +293,12 @@ def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
         pos_lvl, theta_lvl, lvl_ok = track_level(
             pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
             theta, alive, cfg.max_iterations,
-            cfg.convergence_threshold**2, cfg.track_rotation, interpret,
-            cam=cam)
+            cfg.convergence_threshold**2, cfg.track_rotation, interpret)
         pos = jnp.where(lvl_ok[:, None], pos_lvl * scale, pos)
         theta = jnp.where(lvl_ok, theta_lvl, theta)
         ok = ok & lvl_ok
     pos = jnp.where(ok[:, None], pos, pos_src)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    A = jnp.stack([jnp.stack([c, -s], axis=-1),
-                   jnp.stack([s, c], axis=-1)], axis=-2)
-    return pos, A, ok
+    return pos, _theta_to_A(theta), ok
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -325,12 +323,6 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
     ok = ok & alive
     pos = jnp.where(ok[:, None], pos, pos_src)
     return pos, A, ok
-
-
-def _theta_to_A(theta):
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    return jnp.stack([jnp.stack([c, -s], axis=-1),
-                      jnp.stack([s, c], axis=-1)], axis=-2)
 
 
 def _bidir_fused_pallas(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig,
@@ -377,12 +369,18 @@ def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig)
     return pos_fwd, A_fwd, ok
 
 
-def _resolve_backend(cfg: KLTConfig) -> str:
+def resolve_backend(cfg: KLTConfig) -> str:
+    """The backend a KLTConfig will actually run on for the current device
+    ("pallas" or "xla"). The SSD residual and fixed-lambda LM variants live
+    in the XLA path only, so they route off the kernel even on TPU."""
     if cfg.backend != "auto":
         return cfg.backend
     off_default = cfg.residual_mode != "lssd" or cfg.lm_lambda > 0.0
     return ("pallas" if jax.default_backend() == "tpu" and not off_default
             else "xla")
+
+
+_resolve_backend = resolve_backend
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -65,24 +65,36 @@ def gaussian_blur3(img):
     return (up + 2.0 * h + down) * 0.25
 
 
-def build_pyramid_ratio(img, levels: int, ratio: float, blur: bool = False):
+def build_pyramid_ratio(img, levels: int, ratio: float, blur: bool = False,
+                        blur_sigma: float = 0.7):
     """Arbitrary-ratio pyramid (capability of the reference's experimental
     crate, ref feature_tracker/src/image_operations.rs:47-78: configurable
-    downscale ratio with optional pre-blur).
+    downscale ratio with optional pre-blur of configurable sigma).
 
     Level i has shape floor(shape * ratio^i); resampling via
     jax.image.resize (linear), which XLA fuses well. ratio=0.5 without blur
     reproduces the main build_pyramid semantics (use that for the hot path —
     its pad+add form is cheaper than a general resize).
+
+    blur_sigma: Gaussian sigma of the pre-blur, realized as repeated
+    [1,2,1]/4 passes (each pass has variance 0.5, so n = round(2*sigma^2)
+    passes; sigma <= 0.7 is a single pass).
     """
     import jax
+
+    n_pass = max(1, int(round(2.0 * blur_sigma * blur_sigma)))
+
+    def pre_blur(im):
+        for _ in range(n_pass):
+            im = gaussian_blur3(im)
+        return im
 
     out = [img]
     H, W = img.shape
     for i in range(1, levels):
         h = max(int(H * ratio**i), 1)
         w = max(int(W * ratio**i), 1)
-        src = gaussian_blur3(out[-1]) if blur else out[-1]
+        src = pre_blur(out[-1]) if blur else out[-1]
         out.append(jax.image.resize(src, (h, w), method="linear"))
     return tuple(out)
 

@@ -150,13 +150,19 @@ def _fill(cls, data: Optional[dict]):
     return cls(**{k: v for k, v in data.items() if k in names})
 
 
-def load_config(path: str) -> Config:
-    """Load a reference-format YAML config (ref config.rs:71-88: strips
-    `%YAML` directive lines before parsing)."""
+def load_yaml_stripped(path: str) -> dict:
+    """Parse a YAML file tolerating the OpenCV-style `%YAML:1.0` directive
+    the reference configs carry (ref config.rs:71-88 strips those lines
+    before handing the text to serde)."""
     with open(path) as f:
         lines = [ln for ln in f.read().splitlines()
                  if not ln.strip().startswith("%YAML")]
-    data = yaml.safe_load("\n".join(lines)) or {}
+    return yaml.safe_load("\n".join(lines)) or {}
+
+
+def load_config(path: str) -> Config:
+    """Load a reference-format YAML config."""
+    data = load_yaml_stripped(path)
     precision = str(data.get("precision", "f32")).lower()
     if precision not in ("f32", "f64"):
         raise ValueError(f"precision must be f32 or f64, got {precision!r}")

@@ -334,5 +334,8 @@ class TestSmoothSceneQuality:
             res[backend] = (ok.sum(), err)
         n_x, e_x = res["xla"]
         n_p, e_p = res["pallas"]
+        # A dead XLA baseline would make the comparisons below vacuous.
+        assert n_x >= 12, f"xla baseline itself broken: {n_x}/24 survive"
+        assert np.isfinite(e_x) and e_x < 0.1, f"xla baseline err {e_x}"
         assert n_p >= 0.8 * n_x, f"pallas survival {n_p} vs xla {n_x}"
         assert e_p < max(2.0 * e_x, 0.1), f"pallas flow err {e_p} vs {e_x}"

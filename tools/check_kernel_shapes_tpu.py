@@ -55,7 +55,10 @@ def probe(H, W, n=128, cams=1, seed=0):
     flow_ok = np.abs(pos_c[ok_c] - (pts[ok_c] + [1.5, -1.0])).max() if ok_c.any() else np.inf
     print(f"H={H:4d} W={W:4d} cams={cams}: ok_i={ok_i.sum():3d} ok_c={ok_c.sum():3d} "
           f"match={ok_match} pos_err={perr:.2e} flow_err={flow_ok:.3f}")
-    return ok_match and perr < 1e-5
+    # Gate BOTH on compiled-vs-interpret agreement and on absolute flow
+    # accuracy vs the known shift — agreement alone would pass a bug traced
+    # identically into both modes.
+    return ok_match and perr < 1e-5 and ok_c.sum() > 0 and flow_ok < 0.5
 
 
 def main():
