@@ -37,8 +37,9 @@ Mosaic restrictions found empirically and worked around here:
     float-mask carries.
 
 Measured on a v5e chip inside the fully-jitted estimator step: the whole
-frame (3 bidirectional tracking passes + detection + PnP + BA) executes in
-~0.25 ms of device time (~4000 fps) vs 458 ms with the XLA gather path.
+frame (3 bidirectional tracking passes + detection + PnP + BA at 752x480,
+W=10, ~160 live tracks) sustains ~6600 fps vs ~2 fps with the XLA gather
+path; one fused bidirectional pass is ~0.05 ms pipelined.
 
 The kernel tracks translation (2-dof) or translation + in-plane rotation
 (3-dof SE2) selected by a static flag. Rotation uses a first-order warp of
