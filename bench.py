@@ -23,6 +23,8 @@ EPOCHS = 6
 def main():
     from rsvio_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from rsvio_tpu.utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
     import numpy as np
 
     import jax

@@ -28,6 +28,8 @@ def main():
     jax.config.update("jax_platforms", args.platform)
     from rsvio_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from rsvio_tpu.utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
     import jax.numpy as jnp
     import numpy as np
 

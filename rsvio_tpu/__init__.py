@@ -21,21 +21,8 @@ Layout:
 
 __version__ = "0.1.0"
 
-import os as _os
-
-import jax as _jax
-
-# TPU matmuls truncate f32 inputs to bfloat16 by default. The estimator's
-# numerics — triangulation back-substitution, J^T J normal equations, Lie
-# retraction chains — lose enough precision under that default to corrupt
-# the solution (measured on a v5e chip: the synthetic e2e drifts 32% of
-# traveled distance with default-precision matmuls, 5% with fp32 matmuls;
-# CPU f32 runs of the identical code are exact to 0.0%). Every matmul in
-# this pipeline is tiny and latency-bound, so full-precision accumulation
-# costs nothing measurable. Override with RSVIO_MATMUL_PRECISION=default
-# to get the raw hardware behavior back. An explicit setting made by the
-# embedding application BEFORE this import (jax_default_matmul_precision
-# non-None) is respected and left untouched.
-_prec = _os.environ.get("RSVIO_MATMUL_PRECISION", "highest")
-if _prec != "default" and _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", _prec)
+# NOTE: importing this package is side-effect-free. TPU runs need fp32 matmul
+# accumulation (see utils/precision.py for the measured 32%-drift story);
+# every entry point (CLI, bench, examples, tools) calls
+# utils.precision.ensure_matmul_precision() explicitly instead of this
+# __init__ mutating process-global JAX config on import.

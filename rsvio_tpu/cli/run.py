@@ -103,6 +103,8 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from ..utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
 
     cfg = load_config(config_path)
     if pcfg.marginalization is not None:

@@ -50,6 +50,8 @@ def main(argv=None):
 
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from ..utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
     import jax
     import jax.numpy as jnp
 
@@ -80,10 +82,14 @@ def main(argv=None):
         max_iter = int(y.get("optical_flow_max_iter", max_iter))
         lm_lambda = float(y.get("optical_flow_lm_lambda", lm_lambda))
         cell_size = int(y.get("detection_min_dist", cell_size))
-        # Ref Shi-Tomasi scores carry a x500 factor on (tr - disc) = x1000 on
-        # the min eigenvalue our score map returns; rescale the threshold.
+        # Approximate threshold mapping to reference units: the ref score
+        # carries a x500 factor on (tr - disc) = x1000 on the min eigenvalue,
+        # and its unnormalized [-1,0,1] gradient kernel yields a ~4x larger
+        # structure tensor than our 0.5-scaled central differences, so divide
+        # by 4000. Still approximate (ref smooths with a sigma=detection_blur
+        # Gaussian vs our 3x3 box).
         if "detection_threshold" in y:
-            min_score = float(y["detection_threshold"]) / 1000.0
+            min_score = float(y["detection_threshold"]) / 4000.0
         if lm_lambda > 0 and jax.default_backend() == "tpu":
             log.warning(
                 "optical_flow_lm_lambda > 0 routes tracking onto the XLA "

@@ -92,8 +92,11 @@ def build_pyramid_ratio(img, levels: int, ratio: float, blur: bool = False,
     out = [img]
     H, W = img.shape
     for i in range(1, levels):
-        h = max(int(H * ratio**i), 1)
-        w = max(int(W * ratio**i), 1)
+        # Round like the reference (ref feature_tracker/src/image_operations.rs:69-70)
+        # so level sizes match the exact ratio**lvl coordinate scaling the
+        # tracker applies; flooring gives off-by-one sizes for some ratios.
+        h = max(int(round(H * ratio**i)), 1)
+        w = max(int(round(W * ratio**i)), 1)
         src = pre_blur(out[-1]) if blur else out[-1]
         out.append(jax.image.resize(src, (h, w), method="linear"))
     return tuple(out)

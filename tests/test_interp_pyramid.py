@@ -116,8 +116,10 @@ class TestPyramidRatio:
         pyr = pyramid.build_pyramid_ratio(img, 4, 0.7)
         assert len(pyr) == 4
         for i, lvl in enumerate(pyr):
-            assert lvl.shape == (max(int(90 * 0.7**i), 1),
-                                 max(int(120 * 0.7**i), 1))
+            # Rounded (not floored) level sizes — the reference's semantics
+            # (ref feature_tracker/src/image_operations.rs:69-70).
+            assert lvl.shape == (max(int(round(90 * 0.7**i)), 1),
+                                 max(int(round(120 * 0.7**i)), 1))
 
     def test_half_ratio_close_to_builtin(self):
         img = smooth_image(64, 64)

@@ -124,6 +124,8 @@ def main():
         os.environ["JAX_PLATFORMS"] = args.platform
     from rsvio_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from rsvio_tpu.utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)

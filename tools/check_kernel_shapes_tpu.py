@@ -10,6 +10,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rsvio_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+from rsvio_tpu.utils.precision import ensure_matmul_precision
+ensure_matmul_precision()
 
 import cv2  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
