@@ -1,7 +1,11 @@
 """Benchmark: steady-state VO frame rate on EuRoC-shaped input (752x480,
 window 10, 6 pyramid levels, 256-feature table) on the available device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+tracker-QUALITY companion fields with asserted floors (tracked count,
+bidirectional kill rate, kernel-vs-XLA flow agreement, blocked-median
+device time) so a device-only kernel regression that raises fps by killing
+tracks shows up as a quality failure instead of a better score.
 vs_baseline is measured against the reference's implicit real-time target of
 20 Hz (EuRoC camera rate — the reference player paces to the inter-frame
 interval, ref src/datasets/euroc_player.rs:124-133; no absolute numbers are
@@ -108,15 +112,71 @@ def main():
           f"ba={int(out.ba_success)} x={float(out.T_W_B[0, 3]):+.3f}",
           file=sys.stderr)
 
+    # ---- quality pass: per-frame blocked stats over a fresh slice ----
+    # (blocked each frame; measures device step latency + survival/kill)
+    QUAL = 20
+    qual_frames = [
+        (jnp.asarray(render(np.array([STEP * (n_frames + k), 0.0, 0.0]))),
+         jnp.asarray(render(np.array([STEP * (n_frames + k) + BASELINE_M,
+                                      0.0, 0.0]))))
+        for k in range(QUAL)]
+    tracked, alive, step_ms = [], [], []
+    for k in range(QUAL):
+        t0 = time.time()
+        state, out = step(state, rig, *qual_frames[k])
+        jax.block_until_ready(out.T_W_B)
+        step_ms.append((time.time() - t0) * 1000.0)
+        tracked.append(int(out.n_tracked))
+        alive.append(int(out.n_alive))
+    kill_rates = [1.0 - tracked[k] / max(alive[k - 1], 1)
+                  for k in range(1, QUAL)]
+    tracked_mean = float(np.mean(tracked))
+    kill_rate = float(np.mean(kill_rates))
+    blocked_median_ms = float(np.median(step_ms))
+
+    # ---- kernel-vs-XLA agreement on the live tracks of the bench scene ----
+    from rsvio_tpu.ops import klt as klt_mod
+    from rsvio_tpu.ops import pyramid as pyr_mod
+    pyr_a = pyr_mod.build_pyramid(qual_frames[-2][0], 6)
+    pyr_b = pyr_mod.build_pyramid(qual_frames[-1][0], 6)
+    pos = state.table.pos0
+    alive_mask = state.table.alive
+    res = {}
+    for backend in ("pallas", "xla"):
+        kcfg = cfg.frontend.klt._replace(backend=backend)
+        p, _, ok = klt_mod.track_points_bidirectional(
+            pyr_a, pyr_b, pos, alive_mask, kcfg)
+        res[backend] = (np.asarray(p), np.asarray(ok))
+    p_k, ok_k = res["pallas"]
+    p_x, ok_x = res["xla"]
+    both = ok_k & ok_x
+    kernel_vs_xla_px = (float(np.abs(p_k[both] - p_x[both]).max())
+                        if both.any() else float("inf"))
+
     fps = MEASURE / best_dt
+    # Floors: a healthy bench scene carries 120+ tracks at 256 slots, loses
+    # <30% of them per frame, and the kernel agrees with the XLA path to
+    # sub-pixel on converged tracks.
+    quality_ok = (tracked_mean >= 80.0 and kill_rate <= 0.3
+                  and kernel_vs_xla_px < 0.5 and both.sum() >= 40)
     result = {
         "metric": "synthetic_euroc_shape_frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 20.0, 3),
+        "tracked_mean": round(tracked_mean, 1),
+        "bidir_kill_rate": round(kill_rate, 4),
+        "kernel_vs_xla_max_px": round(kernel_vs_xla_px, 4),
+        "kernel_vs_xla_n": int(both.sum()),
+        "blocked_median_ms": round(blocked_median_ms, 3),
+        "quality_ok": bool(quality_ok),
     }
     print(json.dumps(result))
+    if not quality_ok:
+        print("QUALITY FLOOR VIOLATION (see fields above)", file=sys.stderr)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

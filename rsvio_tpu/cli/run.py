@@ -141,7 +141,18 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             vcfg = ev.VIOEstimatorConfig(base=ecfg,
                                          imu_params=make_imu_params(cfg))
             step = ev.make_vio_estimator_step(vcfg)
-            state = ev.init_vio_state(vcfg, dtype=dtype)
+            # Gravity-aligned bootstrap from the quasi-static head of the
+            # IMU stream (first ~0.5 s): initial attitude + gyro bias.
+            ts0 = imu_data["ts"][0]
+            init_sel = imu_data["ts"] <= ts0 + int(0.5e9)
+            if init_sel.sum() >= 5:
+                state = ev.initialize_vio_state(
+                    vcfg, imu_data["gyro"][init_sel],
+                    imu_data["accel"][init_sel], dtype=dtype)
+                log.info("VIO init: gravity-aligned attitude + gyro bias "
+                         "from %d static samples", int(init_sel.sum()))
+            else:
+                state = ev.init_vio_state(vcfg, dtype=dtype)
             log.info("VIO mode: %d IMU samples loaded", len(samples))
         else:
             log.warning("VIO requested but no IMU data found; running VO")

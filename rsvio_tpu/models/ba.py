@@ -78,11 +78,36 @@ class BAResult(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     iterations: jnp.ndarray
-    # Per-iteration metrics [cost, lambda, step_norm, accepted] — the
-    # device-side equivalent of the reference's TerminalObserver rows
-    # (ref src/optimization/observer.rs:21-68). Rows beyond `iterations`
-    # are zero. Render with utils.observer.format_metrics.
-    metrics: jnp.ndarray = None  # (max_iterations, 4)
+    # Per-iteration metrics [cost, gradient_norm, lambda, step_norm,
+    # step_quality, accepted] — the device-side equivalent of the
+    # reference's TerminalObserver rows (ref src/optimization/observer.rs:
+    # 40-68). Rows beyond `iterations` are zero. Render with
+    # utils.observer.format_metrics.
+    metrics: jnp.ndarray = None  # (max_iterations, N_METRIC_COLS)
+
+
+# Metrics columns recorded per LM iteration by every solver (local AND
+# distributed): full TerminalObserver parity with the reference's
+# IterationMetrics{cost, gradient_norm, damping, step_norm, step_quality}
+# (ref src/optimization/observer.rs:40-68) plus the accept flag.
+N_METRIC_COLS = 6
+METRIC_NAMES = ("cost", "gradient_norm", "lambda", "step_norm",
+                "step_quality", "accepted")
+
+
+def metrics_row(new_cost, g_norm, lam, step_norm, rho, accept):
+    dtype = new_cost.dtype
+    return jnp.stack([new_cost, g_norm, lam, step_norm, rho,
+                      accept.astype(dtype)])
+
+
+def step_quality(cost, new_cost, pred_red):
+    """Trust-region gain ratio rho = actual / predicted cost reduction.
+
+    pred_red comes from the damped-normal-equation identity: with
+    (H + lam*D) delta = -g the quadratic model predicts
+    pred = 0.5 * (lam * delta^T D delta - g^T delta) >= 0."""
+    return (cost - new_cost) / jnp.maximum(pred_red, 1e-20)
 
 
 def lm_status(cost_conv, param_conv, lam_overflow):
@@ -273,12 +298,23 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
+        # Observer columns (ref observer.rs:40-68): gradient norm of the
+        # current system and trust-region gain ratio rho from the damped
+        # normal-equation prediction (see step_quality).
+        g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
+        g_norm = jnp.sqrt(jnp.sum(g_p ** 2) + jnp.sum(g_l_m ** 2))
+        d_p = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
+        d_l = jnp.maximum(jax.vmap(jnp.diag)(H_ll), 1e-8)
+        pred = 0.5 * (lam * (jnp.sum(d_p * delta_p ** 2)
+                             + jnp.sum(d_l * delta_l ** 2))
+                      - (jnp.sum(g_p * delta_p) + jnp.sum(g_l_m * delta_l)))
+        rho = step_quality(cost, new_cost, pred)
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
         sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
                            sys_new, sys)
-        metrics = metrics.at[it].set(jnp.stack(
-            [new_cost, lam, step_norm, accept.astype(dtype)]))
+        metrics = metrics.at[it].set(metrics_row(
+            new_cost, g_norm, lam, step_norm, rho, accept))
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 4.0)
         hard_fail = lam > cfg.lambda_max
@@ -290,7 +326,7 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, 4), dtype))
+            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype))
     (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
@@ -420,8 +456,19 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
-        metrics = metrics.at[it].set(jnp.stack(
-            [new_cost, lam, step_norm, accept.astype(dtype)]))
+        # Observer columns: the prior-augmented gradient and gain ratio.
+        H_pp, _H_ll, _H_pl, g_p, g_l_m, _H_add, g_add = sys
+        g_full = g_p.reshape(-1) + g_add
+        g_norm = jnp.sqrt(jnp.sum(g_full ** 2) + jnp.sum(g_l_m ** 2))
+        d_p = jnp.maximum(jax.vmap(jnp.diag)(H_pp), 1e-8)
+        d_l = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+        pred = 0.5 * (lam * (jnp.sum(d_p * delta_p ** 2)
+                             + jnp.sum(d_l * delta_l ** 2))
+                      - (jnp.sum(g_full * delta_p.reshape(-1))
+                         + jnp.sum(g_l_m * delta_l)))
+        rho = step_quality(cost, new_cost, pred)
+        metrics = metrics.at[it].set(metrics_row(
+            new_cost, g_norm, lam, step_norm, rho, accept))
         T_B_W = jnp.where(accept, T_new, T_B_W)
         lms = jnp.where(accept, lms_new, lms)
         sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -437,7 +484,7 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, 4), dtype))
+            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype))
     (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 

@@ -134,8 +134,9 @@ class FrameOutput(NamedTuple):
     ba_success: jnp.ndarray
     ba_iterations: jnp.ndarray
     ba_final_cost: jnp.ndarray
-    n_tracked: jnp.ndarray
+    n_tracked: jnp.ndarray    # tracks surviving this frame's temporal pass
     n_landmarks: jnp.ndarray
+    n_alive: jnp.ndarray      # table occupancy after births (kill-rate calc)
 
 
 def _undistort_table(cfg: EstimatorConfig, rig: CameraRig, table: FeatureTable):
@@ -331,6 +332,7 @@ def make_estimator_step(cfg: EstimatorConfig):
             ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
             n_tracked=fstats["tracked"], n_landmarks=jnp.sum(
                 ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
+            n_alive=fstats["alive"],
         )
         return new_state, out
 

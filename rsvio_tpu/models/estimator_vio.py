@@ -170,6 +170,36 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
     )
 
 
+def initialize_vio_state(cfg: VIOEstimatorConfig, gyro, accel,
+                         dtype=jnp.float32) -> VIOEstimatorState:
+    """Gravity-aligned VIO bootstrap (VINS-style static initialization).
+
+    The bare init_vio_state starts at identity, implicitly assuming gravity
+    is body-(-z)-aligned; on a non-level start the IMU residual then fights
+    vision from frame 0. This initializer consumes a short quasi-static
+    sample window (the samples preceding / around the first frame) and seeds
+
+      * attitude: minimal rotation aligning the mean specific force to
+        world +z (attitude_from_gravity; yaw stays free — unobservable),
+      * gyro bias: the mean angular rate (zero-rate assumption),
+      * velocity zero, accel bias zero (inseparable from tilt at init).
+
+    Frame 0 anchors the world gauge with this pose, so the whole trajectory
+    comes out in a gravity-consistent world frame. Greenfield: the reference
+    has only stubs here (ref src/estimator/state.rs:12-19, "IMU data
+    processing, coming soon").
+
+    Args: gyro, accel: (S, 3) raw samples from the init window (S >= 1).
+    """
+    state = init_vio_state(cfg, dtype)
+    gyro = jnp.asarray(gyro, dtype)
+    accel = jnp.asarray(accel, dtype)
+    R0 = imu_mod.attitude_from_gravity(jnp.mean(accel, axis=0))
+    T0 = lie.se3_from_rt(R0, jnp.zeros(3, dtype))
+    bg0 = jnp.mean(gyro, axis=0)
+    return state._replace(T_W_B=T0, last_kf_T_W_B=T0, bg=bg0)
+
+
 def _imu_predict(T_W_B, vel, pre: Preintegrated):
     """Propagate pose/velocity through a preintegrated interval."""
     dtype = T_W_B.dtype
@@ -372,6 +402,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             n_tracked=fstats["tracked"],
             n_landmarks=jnp.sum(((lm_fid == table.fid)
                                  & (lm_fid >= 0)).astype(jnp.int32)),
+            n_alive=fstats["alive"],
         )
         return new_state, out
 

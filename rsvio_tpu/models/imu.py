@@ -159,6 +159,30 @@ def imu_residual(pre: Preintegrated, T_W_Bi, v_i, bg_i, ba_i,
     return jnp.concatenate([r_dR, r_dv, r_dp, r_bg, r_ba])
 
 
+def attitude_from_gravity(accel_mean):
+    """Initial attitude R_W_B from the mean measured specific force.
+
+    A static (or quasi-static) body measures a_body = R_W_B^T (0, 0, +g)
+    (see imu_residual's convention with g_W = (0, 0, -9.81)), so the minimal
+    rotation taking the measured unit direction u = a/|a| onto world +z is
+    the gravity-aligned initial attitude. Yaw is unobservable from gravity
+    and left at zero (it only rotates the world gauge).
+
+    Returns (3,3) R_W_B with R @ u == (0, 0, 1).
+    """
+    dtype = accel_mean.dtype
+    u = accel_mean / jnp.maximum(jnp.linalg.norm(accel_mean), 1e-9)
+    z = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    v = jnp.cross(u, z)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(u, z)
+    # Degenerate u ~ -z (upside down): rotate pi about x.
+    axis = jnp.where(s > 1e-8, v / jnp.maximum(s, 1e-12),
+                     jnp.asarray([1.0, 0.0, 0.0], dtype))
+    angle = jnp.arctan2(s, c)
+    return lie.so3_exp(axis * angle)
+
+
 def split_samples_by_keyframes(imu_ts_ns, kf_ts_ns, max_per_interval: int):
     """Host-side: bucket IMU samples into per-keyframe-interval fixed buffers.
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import lie
 from ..ops.projection import linearize_projection
+from . import ba as ba_mod
 from .ba import lm_status as ba_lm_status
 
 # Convergence-status taxonomy (parity with the reference's success statuses,
@@ -52,9 +53,10 @@ class PnPResult(NamedTuple):
     status: jnp.ndarray   # () int32
     final_cost: jnp.ndarray  # ()
     iterations: jnp.ndarray  # () int32
-    # Per-iteration [cost, lambda, step_norm, accepted] rows (observer parity,
-    # ref src/optimization/observer.rs) — see utils.observer.format_metrics.
-    metrics: jnp.ndarray = None  # (max_iterations, 4)
+    # Per-iteration [cost, gradient_norm, lambda, step_norm, step_quality,
+    # accepted] rows (observer parity, ref src/optimization/observer.rs:
+    # 40-68) — see utils.observer.format_metrics.
+    metrics: jnp.ndarray = None  # (max_iterations, N_METRIC_COLS)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -115,8 +117,13 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         param_conv = accept & (jnp.linalg.norm(delta) <= cfg.param_tol)
         T = jnp.where(accept, T_new, T)
-        metrics = metrics.at[it].set(jnp.stack(
-            [new_cost, lam, jnp.linalg.norm(delta), accept.astype(dtype)]))
+        # Observer columns (ref observer.rs:40-68).
+        pred = 0.5 * (lam * jnp.sum(jnp.maximum(jnp.diag(H), 1e-8)
+                                    * delta ** 2) - jnp.dot(g, delta))
+        rho = ba_mod.step_quality(cost, new_cost, pred)
+        metrics = metrics.at[it].set(ba_mod.metrics_row(
+            new_cost, jnp.linalg.norm(g), lam, jnp.linalg.norm(delta), rho,
+            accept))
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12), lam * 3.0)
         hard_fail = lam > cfg.lambda_max
         H = jnp.where(accept, H_new, H)
@@ -129,7 +136,7 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
     init = (T_B_W0, H0, g0, cost0,
             jnp.asarray(cfg.lambda_init, dtype), jnp.asarray(0, jnp.int32),
             ~enough, jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, 4), dtype))
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
     (T_B_W, _, _, cost, _, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 

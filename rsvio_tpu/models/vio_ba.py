@@ -69,7 +69,9 @@ class VIOBAResult(NamedTuple):
     iterations: jnp.ndarray
     # Per-iteration [cost, lambda, step_norm, accepted] (TerminalObserver
     # parity, ref src/optimization/observer.rs; utils.observer renders it).
-    metrics: jnp.ndarray = None  # (max_iterations, 4)
+    # [cost, gradient_norm, lambda, step_norm, step_quality, accepted] rows
+    # (observer parity, ref src/optimization/observer.rs:40-68).
+    metrics: jnp.ndarray = None  # (max_iterations, ba.N_METRIC_COLS)
 
 
 def _retract_state(st: VIOState, delta):
@@ -283,8 +285,20 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
-        metrics = metrics.at[it].set(jnp.stack(
-            [new_cost, lam, step_norm, accept.astype(dtype)]))
+        # Observer columns (ref observer.rs:40-68): gradient norm + gain
+        # ratio via the damped-normal-equation prediction.
+        g_s_u, g_l_u = sys[3], sys[4]
+        g_norm = jnp.sqrt(jnp.sum(g_s_u ** 2) + jnp.sum(g_l_u ** 2))
+        d_s = jnp.maximum(
+            jax.vmap(jnp.diag)(sys[0][jnp.arange(W), jnp.arange(W)]), 1e-8)
+        d_l = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+        pred = 0.5 * (lam * (jnp.sum(d_s * delta_s ** 2)
+                             + jnp.sum(d_l * delta_l ** 2))
+                      - (jnp.sum(g_s_u * delta_s)
+                         + jnp.sum(g_l_u * delta_l)))
+        rho = ba_mod.step_quality(cost, new_cost, pred)
+        metrics = metrics.at[it].set(ba_mod.metrics_row(
+            new_cost, g_norm, lam, step_norm, rho, accept))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
         sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -300,7 +314,7 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, 4), dtype))
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
     (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 
@@ -465,8 +479,18 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
         param_conv = accept & (step_norm <= cfg.param_tol)
-        metrics = metrics.at[it].set(jnp.stack(
-            [new_cost, lam, step_norm, accept.astype(dtype)]))
+        g_s_u, g_l_u = sys[3], sys[4]
+        g_norm = jnp.sqrt(jnp.sum(g_s_u ** 2) + jnp.sum(g_l_u ** 2))
+        d_s = jnp.maximum(
+            jax.vmap(jnp.diag)(sys[0][jnp.arange(W), jnp.arange(W)]), 1e-8)
+        d_l = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+        pred = 0.5 * (lam * (jnp.sum(d_s * delta_s ** 2)
+                             + jnp.sum(d_l * delta_l ** 2))
+                      - (jnp.sum(g_s_u * delta_s)
+                         + jnp.sum(g_l_u * delta_l)))
+        rho = ba_mod.step_quality(cost, new_cost, pred)
+        metrics = metrics.at[it].set(ba_mod.metrics_row(
+            new_cost, g_norm, lam, step_norm, rho, accept))
         st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         lms = jnp.where(accept, lms_new, lms)
         sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -482,7 +506,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, 4), dtype))
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
     (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
         cond, body, init)
 

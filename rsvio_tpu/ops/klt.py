@@ -70,8 +70,10 @@ class KLTConfig(NamedTuple):
     # "xla" = SE2 gather-based path (arbitrary-angle rotation, any backend).
     backend: str = "auto"
     # Warp model, BOTH backends. False (default) = 2-dof translation;
-    # True = 3-dof SE2 (XLA: exact arbitrary-angle warp like the reference's
-    # Pattern52; Pallas: first-order rotation warp, ~20 deg/frame cap).
+    # True = 3-dof SE2 with an exact bilinear rotation warp like the
+    # reference's Pattern52 (the Pallas kernel samples exactly at the rotated
+    # positions up to its |theta| < 0.346 rad total-angle gate; the XLA path
+    # is unbounded).
     # The 2-dof default is an accuracy decision, not just a speed one: on
     # fine-grained/weak texture the SE2 Hessian's rotation column is poorly
     # conditioned and the 3x3 IC solve smears error into translation
@@ -79,7 +81,7 @@ class KLTConfig(NamedTuple):
     # kill rate vs 0.017 px / ~0% for the 2-dof solve on the same scene;
     # per-frame patch rotation is sub-degree on the target datasets).
     track_rotation: bool = False
-    # Residual model (XLA path; parity with the reference experimental
+    # Residual model, BOTH backends (parity with the reference experimental
     # crate's Patch SSD / locally-scaled-SSD options, ref
     # feature_tracker/src/patch.rs:57-105):
     #   "lssd": mean-normalized intensities (brightness/gain invariant —
@@ -87,7 +89,7 @@ class KLTConfig(NamedTuple):
     #   "ssd":  raw intensity difference (plain SSD).
     residual_mode: str = "lssd"
     # Fixed Levenberg damping added to the precomputed IC-GN Hessian:
-    # inc = -(J^T J + lm_lambda I)^-1 J^T r (XLA path; parity with the
+    # inc = -(J^T J + lm_lambda I)^-1 J^T r, BOTH backends (parity with the
     # experimental crate's precomputed (lambda I + J^T J)^-1 LM-KLT,
     # ref feature_tracker/src/patch.rs:239-255). 0 = pure Gauss-Newton.
     lm_lambda: float = 0.0
@@ -293,7 +295,8 @@ def _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive,
         pos_lvl, theta_lvl, lvl_ok = track_level(
             pyr_src[lvl], pyr_dst[lvl], pos_src / scale, pos / scale,
             theta, alive, cfg.max_iterations,
-            cfg.convergence_threshold**2, cfg.track_rotation, interpret)
+            cfg.convergence_threshold**2, cfg.track_rotation,
+            cfg.residual_mode, cfg.lm_lambda, interpret)
         pos = jnp.where(lvl_ok[:, None], pos_lvl * scale, pos)
         theta = jnp.where(lvl_ok, theta_lvl, theta)
         ok = ok & lvl_ok
@@ -313,8 +316,6 @@ def track_points(pyr_src, pyr_dst, pos_src, pos_dst0, A0, alive, cfg: KLTConfig)
       alive: (N,) bool — dead slots are skipped (stay dead).
     Returns: (pos_dst (N,2), A (N,2,2), ok (N,)).
     """
-    # The Pallas kernel implements the default mean-normalized GN; the
-    # SSD residual and fixed-lambda LM variants live in the XLA path.
     if _resolve_backend(cfg) == "pallas":
         return _track_points_pallas(pyr_src, pyr_dst, pos_src, pos_dst0,
                                     A0, alive, cfg)
@@ -336,8 +337,8 @@ def _bidir_fused_pallas(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig,
     pos, theta, ok = track_bidirectional_pyramid(
         pyr_src, pyr_dst, pos_src, alive,
         cfg.max_iterations, cfg.convergence_threshold**2,
-        cfg.bidir_threshold_sq, cfg.track_rotation, cfg.pyramid_ratio,
-        interpret, cam=cam)
+        cfg.bidir_threshold_sq, cfg.track_rotation, cfg.residual_mode,
+        cfg.lm_lambda, cfg.pyramid_ratio, interpret, cam=cam)
     return pos, _theta_to_A(theta), ok
 
 
@@ -371,13 +372,12 @@ def track_points_bidirectional(pyr_src, pyr_dst, pos_src, alive, cfg: KLTConfig)
 
 def resolve_backend(cfg: KLTConfig) -> str:
     """The backend a KLTConfig will actually run on for the current device
-    ("pallas" or "xla"). The SSD residual and fixed-lambda LM variants live
-    in the XLA path only, so they route off the kernel even on TPU."""
+    ("pallas" or "xla"). Every tracker configuration (lssd/ssd residuals,
+    fixed-lambda LM damping, SE2 rotation) runs on the kernel — nothing
+    silently falls back to the slow XLA gather path on TPU."""
     if cfg.backend != "auto":
         return cfg.backend
-    off_default = cfg.residual_mode != "lssd" or cfg.lm_lambda > 0.0
-    return ("pallas" if jax.default_backend() == "tpu" and not off_default
-            else "xla")
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 _resolve_backend = resolve_backend

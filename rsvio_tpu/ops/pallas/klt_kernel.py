@@ -42,13 +42,23 @@ W=10, ~160 live tracks) sustains ~6600 fps vs ~2 fps with the XLA gather
 path; one fused bidirectional pass is ~0.05 ms pipelined.
 
 The kernel tracks translation (2-dof) or translation + in-plane rotation
-(3-dof SE2) selected by a static flag. Rotation uses a first-order warp of
-the sampled window — I(p + R(th)u) ~ I(p+u) + th * grad I . perp(u) — which
-needs NO extra DMA or gathers: the rotation term reuses the bilinear-tap
-gradients already available from the window views. First-order in th is
-accurate in the frame-to-frame regime (templates are rebuilt every frame, so
-|th| stays within a few degrees; the validity gate caps it). The full
-arbitrary-angle SE2 path stays in ops.klt (backend="xla").
+(3-dof SE2) selected by a static flag. Rotation sampling is EXACT bilinear
+at the rotated pattern positions (parity with the reference's full SE2 warp,
+ref src/feature_tracker/feature_tracker.rs:292-342 + patch.rs:75-123) and
+still needs NO gathers: the rotated position of pattern point u is
+u + d(u) with d = (R(th)-I)u bounded by ~3.94 px at the |th| <= 0.346 rad
+step gate, so bilinear sampling decomposes into a sum over STATIC window
+shifts k in [-4, 5]^2 weighted by hat(d + frac - k) — dense vectorized
+multiply-adds over the whole feature batch, numerically identical to true
+bilinear sampling at the rotated coordinates. Rotation mode uses a 25x25
+window (vs 20x20) which still fits the 32-row DMA slab.
+
+The kernel also implements the SSD residual (no mean normalization; the
+experimental crate's alternative residual, ref feature_tracker/src/patch.rs:57-105)
+and fixed-lambda Levenberg damping of the precomputed IC system
+(ref patch.rs:239-255) as static variants, so EVERY tracker configuration
+runs on the kernel — nothing silently falls back to the slow XLA gather
+path on TPU.
 """
 
 from __future__ import annotations
@@ -61,64 +71,119 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 64           # features per grid step (VMEM-bounded)
-WIN = 20             # sampling window edge: 16x16 pattern + bilinear taps +
-                     # a 1-px ring for central-difference gradients
+WIN = 20             # translation-mode window edge: 16x16 pattern + bilinear
+                     # taps + a 1-px ring for central-difference gradients
+WIN_ROT = 25         # rotation-mode window edge: adds the +-4(+1) px rotated-
+                     # sampling shift range (see ROT_K); 7 + 25 = 32 still
+                     # fits the slab row count
 PATCH = 16           # dense PATCH x PATCH pattern, unit spacing, +-8 px
+ROT_K = 4            # max |integer shift| of rotated sampling: displacement
+                     # d = (R(th)-I)u is <= 2*sin(0.35/2)*|u|max = 3.94 px at
+                     # the theta step gate, so floor(d+frac) in [-4, 4] and
+                     # the +1 bilinear neighbor reaches shift +5
 SLAB_R = 32          # DMA slab rows: power of two (compiled dynamic sublane
                      # rolls are only correct for power-of-two row counts);
-                     # covers row offset <= 7 + 20-row window (27 <= 32)
+                     # covers row offset <= 7 + 25-row window (32 <= 32)
 SLAB_C = 256         # DMA slab cols (two 128-lane tiles for column roll)
 ROW_PAD = 16         # top edge-padding: windows may overhang the image top
-                     # (window base is floor(pos) - 9)
+                     # (window base is floor(pos) - center, center <= 12)
 COL_PAD = 128        # left edge-padding (aligned): windows may overhang left
 MARGIN = 2.0         # center-validity margin in px (ref feature_tracker.rs:389)
 _MIN_GRAD_ENERGY = 1e-4
 _MIN_MEAN = 1e-3
+# SSD intensities are ~255x the mean-normalized ones (8-bit image scale), so
+# the degenerate-patch gradient-energy floor scales accordingly (mirrors
+# ops.klt.build_patch).
+_MIN_GRAD_ENERGY_SSD = 1e-4 * 255.0 ** 2
 
 
-def _views(win):
-    """4 bilinear-tap views of windows (B, WIN, WIN) -> 4 x (B, 16, 16).
+def _win_geom(with_rotation: bool):
+    """(window edge, window center index, pattern base index) per mode.
+
+    Pattern offsets o in [-8, 7] sample at window index o + center; the
+    pattern base is center - 8. Translation mode: center 9, taps [1, 17],
+    gradient ring at 0/18 within a 20-edge window. Rotation mode: center 12,
+    taps [4, 20] plus rotated-sampling shifts +-4/+5 -> indices [0, 24]
+    within a 25-edge window."""
+    return (WIN_ROT, 12, 4) if with_rotation else (WIN, 9, 1)
+
+
+def _views(win, b: int = 1):
+    """4 bilinear-tap views of windows (B, E, E) -> 4 x (B, 16, 16).
 
     Pattern offsets o in [-8, 7] relative to the sampling base at window
-    index 9 -> tap indices o+9 in [1, 16], +1 neighbors in [2, 17] — plain
-    unit-stride static slices (the 1-px ring at indices 0/18 exists for the
-    central-difference gradient views below).
+    center c -> tap indices o+c in [b, b+15] (b = c-8 the pattern base), +1
+    neighbors in [b+1, b+16] — plain unit-stride static slices (the 1-px ring
+    at b-1/b+17 exists for the central-difference gradient views below).
     """
-    v00 = win[:, 1:PATCH + 1, 1:PATCH + 1]
-    v01 = win[:, 1:PATCH + 1, 2:PATCH + 2]
-    v10 = win[:, 2:PATCH + 2, 1:PATCH + 1]
-    v11 = win[:, 2:PATCH + 2, 2:PATCH + 2]
+    v00 = win[:, b:b + PATCH, b:b + PATCH]
+    v01 = win[:, b:b + PATCH, b + 1:b + PATCH + 1]
+    v10 = win[:, b + 1:b + PATCH + 1, b:b + PATCH]
+    v11 = win[:, b + 1:b + PATCH + 1, b + 1:b + PATCH + 1]
     return v00, v01, v10, v11
 
 
-def _grad_views(win, fx, fy):
+def _grad_views(win, fx, fy, b: int = 1):
     """Bilinearly-interpolated central-difference gradient at each pattern
     point — the reference's image_grad semantics (ref image_utilities.rs:5-66)
     and what the XLA path samples (interp.bilinear_with_grad).
 
     The gradient grid g[j,i] = (win[j,i+1] - win[j,i-1])/2 is formed at the 4
-    bilinear corners (tap indices [1,16] and their +1 neighbors) and lerped
+    bilinear corners (tap indices [b, b+15] and their +1 neighbors) and lerped
     with the same (fx, fy). This replaces the earlier derivative-of-the-
     bilinear-interpolant form, which is piecewise-constant inside each pixel
     cell and measurably destabilizes Gauss-Newton on smooth scenes (the same
     failure documented and reverted in the XLA path; on a smooth synthetic
     plane ~20% of corner tracks diverged through the bidirectional gate).
     """
-    P1 = PATCH + 1
-    P2 = PATCH + 2
+    P = PATCH
+
+    def sl(dy, dx):
+        return win[:, b + dy:b + dy + P, b + dx:b + dx + P]
+
     # d/dx grids at the 4 corners
-    gx00 = win[:, 1:P1, 2:P2] - win[:, 1:P1, 0:PATCH]
-    gx01 = win[:, 1:P1, 3:P2 + 1] - win[:, 1:P1, 1:P1]
-    gx10 = win[:, 2:P2, 2:P2] - win[:, 2:P2, 0:PATCH]
-    gx11 = win[:, 2:P2, 3:P2 + 1] - win[:, 2:P2, 1:P1]
+    gx00 = sl(0, 1) - sl(0, -1)
+    gx01 = sl(0, 2) - sl(0, 0)
+    gx10 = sl(1, 1) - sl(1, -1)
+    gx11 = sl(1, 2) - sl(1, 0)
     # d/dy grids
-    gy00 = win[:, 2:P2, 1:P1] - win[:, 0:PATCH, 1:P1]
-    gy01 = win[:, 2:P2, 2:P2] - win[:, 0:PATCH, 2:P2]
-    gy10 = win[:, 3:P2 + 1, 1:P1] - win[:, 1:P1, 1:P1]
-    gy11 = win[:, 3:P2 + 1, 2:P2] - win[:, 1:P1, 2:P2]
+    gy00 = sl(1, 0) - sl(-1, 0)
+    gy01 = sl(1, 1) - sl(-1, 1)
+    gy10 = sl(2, 0) - sl(0, 0)
+    gy11 = sl(2, 1) - sl(0, 1)
     gx = _lerp(gx00, gx01, gx10, gx11, fx, fy) * 0.5
     gy = _lerp(gy00, gy01, gy10, gy11, fx, fy) * 0.5
     return gx, gy
+
+
+def _rot_sample(win, disp_x, disp_y, b: int):
+    """Exact bilinear sampling of each pattern point at its rotated position
+    via STATIC window shifts (no gathers).
+
+    The sample position of pattern point u is (window coords) u + c +
+    disp(u), where disp = (R(th)-I)u + frac is bounded by |d| <= 3.94 + 1 at
+    the theta gate. Bilinear interpolation is val(u) = sum_k hat(disp - k) *
+    win[u + c + k] over integer shifts k — with disp in (-4, 4.94) only
+    k in [-ROT_K, ROT_K+1] contribute, each a static 2-D slice of the window
+    weighted by dense hat masks. Numerically identical to true bilinear
+    sampling at the rotated coordinates.
+
+    Args: win (B, E, E); disp_x/disp_y (B, 16, 16) displacement incl. the
+    fractional part of the center position; b static pattern base.
+    Returns (B, 16, 16) sampled values.
+    """
+    P = PATCH
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(disp_x - kx))
+           for kx in range(-ROT_K, ROT_K + 2)]
+    val = None
+    for ky in range(-ROT_K, ROT_K + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(disp_y - ky))
+        row = None
+        for j, kx in enumerate(range(-ROT_K, ROT_K + 2)):
+            term = wxs[j] * win[:, b + ky:b + ky + P, b + kx:b + kx + P]
+            row = term if row is None else row + term
+        val = wy * row if val is None else val + wy * row
+    return val
 
 
 def _lerp(v00, v01, v10, v11, fx, fy):
@@ -139,9 +204,10 @@ def _sum12(x):
     return jnp.sum(jnp.sum(x, axis=2), axis=1)
 
 
-def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
-    """win_ref[i] <- WIN x WIN window of the PADDED image at base
-    (floor(pos_i) - 9), for all i, via aligned slab DMA + dynamic rolls.
+def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem,
+                     center: int = 9):
+    """win_ref[i] <- E x E window of the PADDED image at base
+    (floor(pos_i) - center), for all i, via aligned slab DMA + dynamic rolls.
 
     img_ref is a (C, Hp, Wp) stack of same-shape padded images (C=1 for the
     single-camera case); cam_ref[i] selects which image feature i samples —
@@ -161,13 +227,14 @@ def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
     max_by = 8 * ((Hp - SLAB_R) // 8) + 7
 
     B = win_ref.shape[0]
+    E = win_ref.shape[1]  # window edge (WIN or WIN_ROT)
 
     def bases(i):
         bx = jnp.clip(
-            jnp.floor(pos_ref[i, 0]).astype(jnp.int32) - 9 + COL_PAD,
+            jnp.floor(pos_ref[i, 0]).astype(jnp.int32) - center + COL_PAD,
             0, max_bx)
         by = jnp.clip(
-            jnp.floor(pos_ref[i, 1]).astype(jnp.int32) - 9 + ROW_PAD,
+            jnp.floor(pos_ref[i, 1]).astype(jnp.int32) - center + ROW_PAD,
             0, max_by)
         return bx, by
 
@@ -188,18 +255,20 @@ def _extract_windows(img_ref, pos_ref, cam_ref, win_ref, slab_ref, sem):
         # hides.)
         r1 = pltpu.roll(slab_ref[0], -(bx - ca), 1)[:, :128]
         rolled = pltpu.roll(r1, -(by - by8), 0)
-        win_ref[i] = rolled[:WIN, :WIN]
+        win_ref[i] = rolled[:E, :E]
         return 0
 
     jax.lax.fori_loop(0, B, body, 0)
 
 
-_MAX_THETA_SQ = 0.12  # |theta| cap ~20 deg: beyond this the first-order
-                      # rotation warp is unreliable -> step rejected
+_MAX_THETA_SQ = 0.12  # |theta| step gate ~19.9 deg: the rotated-sampling
+                      # shift range (ROT_K, WIN_ROT) supports exact sampling
+                      # up to 0.35 rad; steps beyond the gate are rejected
 
 
 def _level_pass(max_iterations: int, conv_thresh_sq: float,
                 true_h: int, true_w: int, with_rotation: bool,
+                residual_mode: str, lm_lambda: float,
                 img_src_ref, img_dst_ref, cam_ref,
                 pos_template, pos_init, theta0, alive_f,
                 win_ref, slab_ref, posbuf_ref, statebuf_ref, sem):
@@ -215,12 +284,19 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
       alive_f: (B,) 0/1 float mask.
     Returns (pos_out (B,2), theta_out (B,), ok_f (B,) 0/1 float).
 
-    with_rotation (static): False -> 2-dof translation GN;
-    True -> 3-dof SE2 GN with a first-order rotation warp of the sampled
-    window (see module docstring).
+    Static variants:
+      with_rotation: False -> 2-dof translation GN; True -> 3-dof SE2 GN
+        with EXACT bilinear sampling at rotated pattern positions
+        (_rot_sample; see module docstring).
+      residual_mode: "lssd" mean-normalizes template/target intensities
+        (brightness invariance, the main tracker's Pattern52 behavior);
+        "ssd" uses raw intensities (ref feature_tracker/src/patch.rs:57-105).
+      lm_lambda: fixed Levenberg damping added to the precomputed IC-GN
+        Hessian diagonal (ref patch.rs:239-255); 0 = pure Gauss-Newton.
 
     Scratch:
-      win_ref: (BLOCK, WIN, WIN) — window buffer (source, then per-iter dst)
+      win_ref: (BLOCK, E, E), E per _win_geom — window buffer (source, then
+        per-iter dst)
       slab_ref: (1, SLAB_R, SLAB_C) — DMA staging
       posbuf_ref: (BLOCK, 2) — current target positions
       statebuf_ref: (BLOCK, 3) — [active, ok, theta] per-feature GN state
@@ -229,6 +305,8 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
     eps = 1e-12
     B = BLOCK
     P3 = (B, PATCH, PATCH)
+    _, center, base = _win_geom(with_rotation)
+    ssd = residual_mode == "ssd"
     if with_rotation:
         # Pattern offsets relative to the rotation center (the tracked
         # point): window index k samples continuous offset k-8 (+frac).
@@ -239,7 +317,7 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
     # ---- template construction (source image) ----
     posbuf_ref[:] = pos_template
     _extract_windows(img_src_ref, posbuf_ref, cam_ref, win_ref, slab_ref,
-                     sem)
+                     sem, center)
     ps = pos_template
     # Center-margin validity (patch tails may sample replicated border
     # pixels thanks to the edge padding — matches the reference's margin-2
@@ -251,47 +329,61 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
     fy = _b3(ps[:, 1] - jnp.floor(ps[:, 1]), P3)
 
     win = win_ref[:]
-    v00, v01, v10, v11 = _views(win)
+    v00, v01, v10, v11 = _views(win, base)
     val = _lerp(v00, v01, v10, v11, fx, fy)
     # Bilinearly-interpolated central-difference gradient (the reference's
     # image_grad form; see _grad_views for why not the derivative of the
     # bilinear interpolant).
-    gx, gy = _grad_views(win, fx, fy)
+    gx, gy = _grad_views(win, fx, fy, base)
 
     npts = float(PATCH * PATCH)
     mean = _sum12(val) / npts
     mean_s = jnp.maximum(mean, _MIN_MEAN)
     mean3 = _b3(mean_s, P3)
-    data = val / mean3
-    # Normalization-corrected Jacobian rows (ref patch.rs:75-123 semantics):
-    # Jn_i = (g_i - data_i * mean(g)) / mean
-    mgx = _b3(_sum12(gx) / npts, P3)
-    mgy = _b3(_sum12(gy) / npts, P3)
-    jx = (gx - data * mgx) / mean3
-    jy = (gy - data * mgy) / mean3
+    if ssd:
+        # Raw-intensity residual: no normalization, raw gradient Jacobians.
+        data = val
+        jx, jy = gx, gy
+    else:
+        data = val / mean3
+        # Normalization-corrected Jacobian rows (ref patch.rs:75-123):
+        # Jn_i = (g_i - data_i * mean(g)) / mean
+        mgx = _b3(_sum12(gx) / npts, P3)
+        mgy = _b3(_sum12(gy) / npts, P3)
+        jx = (gx - data * mgx) / mean3
+        jy = (gy - data * mgy) / mean3
 
     hxx = _sum12(jx * jx)
     hxy = _sum12(jx * jy)
     hyy = _sum12(jy * jy)
     energy = hxx + hyy
+    energy_floor = _MIN_GRAD_ENERGY_SSD if ssd else _MIN_GRAD_ENERGY
     tmpl = data
     if with_rotation:
         # Rotation Jacobian row: grad I . perp(u), perp(u) = (-u_y, u_x),
-        # mean-normalization-corrected like jx/jy.
+        # mean-normalization-corrected like jx/jy in lssd mode.
         gt = gy * xc - gx * yc
-        mgt = _b3(_sum12(gt) / npts, P3)
-        jt = (gt - data * mgt) / mean3
+        if ssd:
+            jt = gt
+        else:
+            mgt = _b3(_sum12(gt) / npts, P3)
+            jt = (gt - data * mgt) / mean3
         hxt = _sum12(jx * jt)
         hyt = _sum12(jy * jt)
         htt = _sum12(jt * jt)
-        # Adjugate 3x3 inverse of H = [[hxx,hxy,hxt],[hxy,hyy,hyt],[hxt,hyt,htt]]
-        c00 = hyy * htt - hyt * hyt
-        c01 = hxt * hyt - hxy * htt
-        c02 = hxy * hyt - hxt * hyy
-        c11 = hxx * htt - hxt * hxt
-        c12 = hxy * hxt - hxx * hyt
-        c22 = hxx * hyy - hxy * hxy
-        det = hxx * c00 + hxy * c01 + hxt * c02
+        # Fixed Levenberg damping on the diagonal (after which the adjugate
+        # inverse below inverts H + lambda*I, ref patch.rs:239-255).
+        hxx_d = hxx + lm_lambda
+        hyy_d = hyy + lm_lambda
+        htt_d = htt + lm_lambda
+        # Adjugate 3x3 inverse of H=[[hxx,hxy,hxt],[hxy,hyy,hyt],[hxt,hyt,htt]]
+        c00 = hyy_d * htt_d - hyt * hyt
+        c01 = hxt * hyt - hxy * htt_d
+        c02 = hxy * hyt - hxt * hyy_d
+        c11 = hxx_d * htt_d - hxt * hxt
+        c12 = hxy * hxt - hxx_d * hyt
+        c22 = hxx_d * hyy_d - hxy * hxy
+        det = hxx_d * c00 + hxy * c01 + hxt * c02
         det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
         hjx = (_b3(c00 / det_s, P3) * jx + _b3(c01 / det_s, P3) * jy
                + _b3(c02 / det_s, P3) * jt)
@@ -300,13 +392,15 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
         hjt = (_b3(c02 / det_s, P3) * jx + _b3(c12 / det_s, P3) * jy
                + _b3(c22 / det_s, P3) * jt)
     else:
-        det = hxx * hyy - hxy * hxy
+        hxx_d = hxx + lm_lambda
+        hyy_d = hyy + lm_lambda
+        det = hxx_d * hyy_d - hxy * hxy
         det_s = jnp.where(jnp.abs(det) > eps, det, 1.0)
-        hjx = _b3(hyy / det_s, P3) * jx + _b3(-hxy / det_s, P3) * jy
-        hjy = _b3(-hxy / det_s, P3) * jx + _b3(hxx / det_s, P3) * jy
+        hjx = _b3(hyy_d / det_s, P3) * jx + _b3(-hxy / det_s, P3) * jy
+        hjy = _b3(-hxy / det_s, P3) * jx + _b3(hxx_d / det_s, P3) * jy
 
-    patch_ok = (src_ok & (mean > _MIN_MEAN)
-                & (energy > _MIN_GRAD_ENERGY) & (jnp.abs(det) > eps))
+    patch_ok = (src_ok & (ssd | (mean > _MIN_MEAN))
+                & (energy > energy_floor) & (jnp.abs(det) > eps))
 
     # ---- GN iterations (target image; windows re-extracted per iteration,
     # which the DMA engine does far faster than any in-register shuffling) --
@@ -335,31 +429,45 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
         okf = statebuf_ref[:, 1]
         th = statebuf_ref[:, 2]
         _extract_windows(img_dst_ref, posbuf_ref, cam_ref, win_ref, slab_ref,
-                         sem)
+                         sem, center)
         p = posbuf_ref[:]
         in_img = ((p[:, 0] >= MARGIN) & (p[:, 1] >= MARGIN)
                   & (p[:, 0] <= true_w - 1 - MARGIN)
                   & (p[:, 1] <= true_h - 1 - MARGIN))
-        fx = _b3(p[:, 0] - jnp.floor(p[:, 0]), P3)
-        fy = _b3(p[:, 1] - jnp.floor(p[:, 1]), P3)
-        v00, v01, v10, v11 = _views(win_ref[:])
-        val = _lerp(v00, v01, v10, v11, fx, fy)
+        fxs = p[:, 0] - jnp.floor(p[:, 0])
+        fys = p[:, 1] - jnp.floor(p[:, 1])
         if with_rotation:
-            # First-order rotated sample: I(p + R(th)u) ~ I(p+u) + th*(gradI.perp(u))
-            gtx = (v01 - v00) * (1 - fy) + (v11 - v10) * fy
-            gty = (v10 - v00) * (1 - fx) + (v11 - v01) * fx
-            val = val + _b3(th, P3) * (gty * xc - gtx * yc)
-        mean = jnp.maximum(_sum12(val) / npts, _MIN_MEAN)
-        r = val / _b3(mean, P3) - tmpl
+            # EXACT bilinear sample at the rotated pattern positions
+            # p + R(th)u: window-coordinate displacement from the integer
+            # pattern tap is (R(th)-I)u + frac, bounded by the theta gate —
+            # see _rot_sample.
+            c = jnp.cos(th)
+            s = jnp.sin(th)
+            c3 = _b3(c, P3)
+            s3 = _b3(s, P3)
+            disp_x = (c3 - 1.0) * xc - s3 * yc + _b3(fxs, P3)
+            disp_y = s3 * xc + (c3 - 1.0) * yc + _b3(fys, P3)
+            val = _rot_sample(win_ref[:], disp_x, disp_y, base)
+        else:
+            fx = _b3(fxs, P3)
+            fy = _b3(fys, P3)
+            v00, v01, v10, v11 = _views(win_ref[:], base)
+            val = _lerp(v00, v01, v10, v11, fx, fy)
+        if ssd:
+            r = val - tmpl
+        else:
+            mean = jnp.maximum(_sum12(val) / npts, _MIN_MEAN)
+            r = val / _b3(mean, P3) - tmpl
         inc_x = -_sum12(hjx * r)
         inc_y = -_sum12(hjy * r)
         if with_rotation:
             inc_t = -_sum12(hjt * r)
             th_new = th + inc_t
-            # Compose W <- W o dW^-1: translation increment rotated into the
-            # current warp frame (small-angle rotation).
-            ix = inc_x - th_new * inc_y
-            iy = inc_y + th_new * inc_x
+            # Compose W <- W o exp(inc): the translation increment is rotated
+            # into the current warp frame (exact rotation; V(dth) ~ I for the
+            # small per-iteration angle step).
+            ix = c * inc_x - s * inc_y
+            iy = s * inc_x + c * inc_y
             inc_sq = inc_x * inc_x + inc_y * inc_y + inc_t * inc_t
             th_ok = th_new * th_new < _MAX_THETA_SQ
         else:
@@ -400,6 +508,7 @@ def _level_pass(max_iterations: int, conv_thresh_sq: float,
 
 def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
                       true_h: int, true_w: int, with_rotation: bool,
+                      residual_mode: str, lm_lambda: float,
                       img_src_ref, img_dst_ref, pos_src_ref, pos_dst_ref,
                       theta0_ref, alive_ref, cam_ref,
                       out_pos_ref, out_theta_ref, out_ok_ref,
@@ -407,6 +516,7 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     """One feature block, one level: thin pallas wrapper over _level_pass."""
     pos, th, ok_f = _level_pass(
         max_iterations, conv_thresh_sq, true_h, true_w, with_rotation,
+        residual_mode, lm_lambda,
         img_src_ref, img_dst_ref, cam_ref,
         pos_src_ref[:], pos_dst_ref[:], theta0_ref[:, 0],
         (alive_ref[:, 0] != 0).astype(jnp.float32),
@@ -414,6 +524,16 @@ def _klt_level_kernel(max_iterations: int, conv_thresh_sq: float,
     out_pos_ref[:] = pos
     out_theta_ref[:, 0] = th
     out_ok_ref[:, 0] = ok_f.astype(jnp.int32)
+
+
+def _compiler_params(with_rotation: bool):
+    """Rotation mode's _rot_sample unrolls (2*ROT_K+2)^2 shifted window
+    slices that Mosaic keeps live on the scoped-vmem stack simultaneously
+    (~48 MB at BLOCK=64) — far over the 16 MB default scoped limit but well
+    within the chip's 128 MB VMEM. Raise the limit for that mode only."""
+    if not with_rotation:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _pad_image(img):
@@ -430,11 +550,14 @@ def _pad_image(img):
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
-                                   "with_rotation", "interpret"))
+                                   "with_rotation", "residual_mode",
+                                   "lm_lambda", "interpret"))
 def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
                 max_iterations: int = 20,
                 conv_thresh_sq: float = 1e-4,
                 with_rotation: bool = False,
+                residual_mode: str = "lssd",
+                lm_lambda: float = 0.0,
                 interpret: bool = False,
                 cam=None):
     """Track all features at one pyramid level (IC-KLT, 2- or 3-dof).
@@ -473,8 +596,10 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
     cam_p = pad(cam.astype(jnp.int32))[:, None]
     n_blocks = (N + n_pad) // BLOCK
 
+    E = _win_geom(with_rotation)[0]
     kernel = partial(_klt_level_kernel, max_iterations, conv_thresh_sq,
-                     true_h, true_w, with_rotation)
+                     true_h, true_w, with_rotation, residual_mode, lm_lambda)
+    params = _compiler_params(with_rotation)
     pos_out, theta_out, ok_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -498,13 +623,14 @@ def track_level(img_src, img_dst, pos_src, pos_dst0, theta0, alive,
             jax.ShapeDtypeStruct((N + n_pad, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, WIN, WIN), jnp.float32),
+            pltpu.VMEM((BLOCK, E, E), jnp.float32),
             pltpu.VMEM((1, SLAB_R, SLAB_C), jnp.float32),
             pltpu.VMEM((BLOCK, 2), jnp.float32),
             pltpu.VMEM((BLOCK, 3), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=params,
     )(img_src_p, img_dst_p, pos_src_p, pos_dst_p, theta_p, alive_p, cam_p)
     return pos_out[:N], theta_out[:N, 0], ok_out[:N, 0] != 0
 
@@ -518,13 +644,15 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
     pos, _, ok = track_level(
         img_src, img_dst, pos_src, pos_dst0,
         jnp.zeros(pos_src.shape[0], pos_src.dtype), alive,
-        max_iterations, conv_thresh_sq, False, interpret)
+        max_iterations, conv_thresh_sq, with_rotation=False,
+        interpret=interpret)
     return pos, ok
 
 
 def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
                       bidir_thresh_sq: float, dims, inv_ratio: float,
-                      with_rotation: bool, *refs):
+                      with_rotation: bool, residual_mode: str,
+                      lm_lambda: float, *refs):
     """FULLY-FUSED bidirectional coarse-to-fine tracking for one feature
     block: every pyramid level of the forward track, every level of the
     backward verification track, and the return-distance gate run inside a
@@ -563,7 +691,8 @@ def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
             true_h, true_w = dims[lvl]
             pos_o, th_o, lvl_ok = _level_pass(
                 max_iterations, conv_thresh_sq, true_h, true_w,
-                with_rotation, src[lvl], dst[lvl], cam_ref,
+                with_rotation, residual_mode, lm_lambda,
+                src[lvl], dst[lvl], cam_ref,
                 tmpl_pos_full * s, cur_ref[:] * s, th, alive0,
                 win_ref, slab_ref, posbuf_ref, statebuf_ref, sem)
             do = lvl_ok > 0
@@ -597,12 +726,15 @@ def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
 
 @partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
                                    "bidir_thresh_sq", "with_rotation",
+                                   "residual_mode", "lm_lambda",
                                    "pyramid_ratio", "interpret"))
 def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
                                 max_iterations: int = 20,
                                 conv_thresh_sq: float = 1e-4,
                                 bidir_thresh_sq: float = 0.4,
                                 with_rotation: bool = False,
+                                residual_mode: str = "lssd",
+                                lm_lambda: float = 0.0,
                                 pyramid_ratio: float = 0.5,
                                 interpret: bool = False,
                                 cam=None):
@@ -636,17 +768,20 @@ def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
     cam_p = pad(cam.astype(jnp.int32))[:, None]
     n_blocks = (N + n_pad) // BLOCK
 
+    E = _win_geom(with_rotation)[0]
     kernel = partial(_klt_bidir_kernel, max_iterations, conv_thresh_sq,
                      bidir_thresh_sq, dims, 1.0 / pyramid_ratio,
-                     with_rotation)
+                     with_rotation, residual_mode, lm_lambda)
+    params = _compiler_params(with_rotation)
     # Pin coarse level images in VMEM (greedy from the coarsest, within a
-    # budget that leaves room for scratch + the finest level's working set).
+    # budget that leaves room for scratch + the finest level's working set;
+    # rotation mode's ~48 MB scoped stack shrinks what is safe to pin).
     # With pl.ANY on all 2L refs Mosaic leaves EVERYTHING in HBM and every
     # per-feature window fetch pays full HBM DMA latency — measured 1.8-2x
     # slower than the per-level pallas_call composition at 6 levels (where
     # the compiler keeps each small single-level image on-chip). Explicit
     # placement restores on-chip windows for all but the finest level(s).
-    budget = 10 * 1024 * 1024
+    budget = (10 if not with_rotation else 6) * 1024 * 1024
     spaces = [None] * L
     for lvl in range(L - 1, -1, -1):
         pair_bytes = 2 * src_p[lvl].size * src_p[lvl].dtype.itemsize
@@ -676,7 +811,7 @@ def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
             jax.ShapeDtypeStruct((N + n_pad, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, WIN, WIN), jnp.float32),
+            pltpu.VMEM((BLOCK, E, E), jnp.float32),
             pltpu.VMEM((1, SLAB_R, SLAB_C), jnp.float32),
             pltpu.VMEM((BLOCK, 2), jnp.float32),
             pltpu.VMEM((BLOCK, 3), jnp.float32),
@@ -684,5 +819,6 @@ def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=params,
     )(*src_p, *dst_p, pos_p, alive_p, cam_p)
     return pos_out[:N], theta_out[:N, 0], ok_out[:N, 0] != 0

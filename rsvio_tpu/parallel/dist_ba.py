@@ -53,7 +53,7 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis)),
-        out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid):
@@ -83,11 +83,11 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
         sys0, cost0 = lin_sys(T_B_W0, lms)
 
         def cond(state):
-            _, _, _, cost, lam, it, done, status = state
+            _, _, _, cost, lam, it, done, status, _m = state
             return (~done) & (it < cfg.max_iterations)
 
         def body(state):
-            T_B_W, lms, sys, cost, lam, it, done, status = state
+            T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
             H_pp, H_ll, H_pl_m, g_p, g_l_m = sys
 
             # Damping (must mirror ba.schur_solve semantics).
@@ -124,9 +124,12 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
 
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            # One packed psum: step-validity vote + landmark step norm.
-            n_bad, dl_sq = jax.lax.psum(
-                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
+            # One packed psum: step-validity vote + landmark step norm + the
+            # landmark pieces of the observer metrics (gradient norm, gain-
+            # ratio prediction) — no extra collective round-trips.
+            n_bad, dl_sq, gl_sq, gl_dl, dl_pred = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2), jnp.sum(g_l_m ** 2),
+                 jnp.sum(g_l_m * delta_l), jnp.sum(dl * delta_l ** 2)), axis)
             ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
             delta_p = jnp.where(ok_step, delta_p, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
@@ -138,6 +141,14 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            # Observer columns (replicated; ref observer.rs:40-68).
+            gate = ok_step.astype(dtype)
+            g_norm = jnp.sqrt(jnp.sum(g_p ** 2) + gl_sq)
+            pred = 0.5 * (lam * (jnp.sum(dp * delta_p ** 2) + gate * dl_pred)
+                          - (jnp.sum(g_p * delta_p) + gate * gl_dl))
+            rho = ba_mod.step_quality(cost, new_cost, pred)
+            metrics = metrics.at[it].set(ba_mod.metrics_row(
+                new_cost, g_norm, lam, jnp.sqrt(step_sq), rho, accept))
             T_B_W = jnp.where(accept, T_new, T_B_W)
             lms = jnp.where(accept, lms_new, lms)
             sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -147,26 +158,28 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, sys, cost, lam, it + 1, done, status)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
 
         init = (T_B_W0, lms, sys0, cost0,
                 jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
-                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        T_B_W, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
-            cond, body, init)
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
+        (T_B_W, lms_out, _, cost, lam, it, _, status,
+         metrics) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
         T_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
         lms_final = jnp.where(success, lms_out, lms)
-        return T_out, lms_final, success, status, cost0, cost, it
+        return T_out, lms_final, success, status, cost0, cost, it, metrics
 
-    T_out, lms_out, success, status, cost0, cost, it = jax.jit(_solve)(
-        T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid)
+    (T_out, lms_out, success, status, cost0, cost, it,
+     metrics) = jax.jit(_solve)(T_W_B, T_C_B, landmarks, obs, obs_mask,
+                                lm_valid)
     return ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
                            status=status, initial_cost=cost0, final_cost=cost,
-                           iterations=it)
+                           iterations=it, metrics=metrics)
 
 
 def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
@@ -195,7 +208,7 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), P()),
-        out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior):
@@ -265,7 +278,7 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             return (~state[6]) & (state[5] < cfg.max_iterations)
 
         def body(state):
-            T_B_W, lms, sys, cost, lam, it, done, status = state
+            T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
             S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = damp_reduce(sys, lam)
             delta_p = solve_from_system(S, b)
             rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
@@ -273,9 +286,12 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            # One packed psum: step-validity vote + landmark step norm.
-            n_bad, dl_sq = jax.lax.psum(
-                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
+            dl = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+            # One packed psum: step-validity vote + landmark step norm + the
+            # landmark pieces of the observer metrics.
+            n_bad, dl_sq, gl_sq, gl_dl, dl_pred = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2), jnp.sum(g_l_m ** 2),
+                 jnp.sum(g_l_m * delta_l), jnp.sum(dl * delta_l ** 2)), axis)
             ok_step = jnp.all(jnp.isfinite(delta_p)) & (n_bad == 0)
             delta_p = jnp.where(ok_step, delta_p, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
@@ -287,6 +303,17 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            # Observer columns (replicated; prior-augmented gradient).
+            gate = ok_step.astype(dtype)
+            g_full = sys[3].reshape(-1) + sys[6]
+            g_norm = jnp.sqrt(jnp.sum(g_full ** 2) + gl_sq)
+            dp = jnp.maximum(jax.vmap(jnp.diag)(sys[0]), 1e-8)
+            pred = 0.5 * (lam * (jnp.sum(dp * delta_p ** 2) + gate * dl_pred)
+                          - (jnp.sum(g_full * delta_p.reshape(-1))
+                             + gate * gl_dl))
+            rho = ba_mod.step_quality(cost, new_cost, pred)
+            metrics = metrics.at[it].set(ba_mod.metrics_row(
+                new_cost, g_norm, lam, jnp.sqrt(step_sq), rho, accept))
             T_B_W = jnp.where(accept, T_new, T_B_W)
             lms = jnp.where(accept, lms_new, lms)
             sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -296,14 +323,15 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, sys, cost, lam, it + 1, done, status)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
 
         init = (T_B_W0, lms, sys0, cost0,
                 jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
-                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        T_B_W, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
-            cond, body, init)
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
+        (T_B_W, lms_out, _, cost, lam, it, _, status,
+         metrics) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -314,14 +342,15 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
         # the accepted state — the input to next-prior marginalization.
         sys_f, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_out), lms_final)
         S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype))
-        return (T_out, lms_final, success, status, cost0, cost, it, S_f, b_f)
+        return (T_out, lms_final, success, status, cost0, cost, it, S_f, b_f,
+                metrics)
 
     @partial(jax.jit)
     def _run(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
              will_evict):
         (T_out, lms_out, success, status, cost0, cost, it,
-         S_f, b_f) = _solve(T_W_B, T_C_B, landmarks, obs, obs_mask,
-                            lm_valid, prior)
+         S_f, b_f, metrics) = _solve(T_W_B, T_C_B, landmarks, obs, obs_mask,
+                                     lm_valid, prior)
         # reduced_system returns b = -(gradient); marginalize expects +grad.
         new_prior = marginalize_oldest(S_f, -b_f, T_out, no_extra, prior, 6)
         do_new = will_evict & success
@@ -329,12 +358,13 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
         out_prior = out_prior._replace(
             valid=jnp.where(do_new, True, prior.valid))
-        return (T_out, lms_out, success, status, cost0, cost, it, out_prior)
+        return (T_out, lms_out, success, status, cost0, cost, it, out_prior,
+                metrics)
 
-    (T_out, lms_out, success, status, cost0, cost, it, out_prior) = _run(
-        T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
-        jnp.asarray(will_evict))
+    (T_out, lms_out, success, status, cost0, cost, it, out_prior,
+     metrics) = _run(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
+                     jnp.asarray(will_evict))
     result = ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
                              status=status, initial_cost=cost0,
-                             final_cost=cost, iterations=it)
+                             final_cost=cost, iterations=it, metrics=metrics)
     return result, out_prior

@@ -45,7 +45,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P()),
-        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid):
@@ -123,7 +123,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
             return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
-        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag):
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
             A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
             # Local landmark-elimination contribution (pose subspace), one
@@ -146,22 +146,26 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            # One packed psum: step-validity vote + landmark step norm.
-            n_bad, dl_sq = jax.lax.psum(
-                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
+            # One packed psum: step-validity vote + landmark step norm + the
+            # landmark pieces of the observer metrics.
+            n_bad, dl_sq, gl_sq, gl_dl, dl_pred = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2), jnp.sum(g_l ** 2),
+                 jnp.sum(g_l * delta_l), jnp.sum(dl_diag * delta_l ** 2)),
+                axis)
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
-            return delta_s, delta_l, dl_sq, ok
+            return delta_s, delta_l, dl_sq, ok, (gl_sq, gl_dl, dl_pred)
 
         sys0, cost0 = lin_sys(st0, lms)
 
         def cond(c):
-            return (~c[-2]) & (c[5] < cfg.max_iterations)
+            return (~c[6]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, sys, cost, lam, it, done, status = c
+            st, lms, sys, cost, lam, it, done, status, metrics = c
             H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
-            delta_s, delta_l, dl_sq, ok_step = schur_step(
-                H_ss, H_ll_d, H_pl6, g_s, g_l_m)
+            dl_diag = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+            delta_s, delta_l, dl_sq, ok_step, lm_pieces = schur_step(
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
@@ -172,6 +176,18 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            # Observer columns (replicated; ref observer.rs:40-68).
+            gl_sq, gl_dl, dl_pred = lm_pieces
+            gate = ok_step.astype(dtype)
+            g_norm = jnp.sqrt(jnp.sum(sys[3] ** 2) + gl_sq)
+            d_s = jnp.maximum(jax.vmap(jnp.diag)(
+                sys[0][jnp.arange(W), jnp.arange(W)]), 1e-8)
+            pred = 0.5 * (lam * (jnp.sum(d_s * delta_s ** 2)
+                                 + gate * dl_pred)
+                          - (jnp.sum(sys[3] * delta_s) + gate * gl_dl))
+            rho = ba_mod.step_quality(cost, new_cost, pred)
+            metrics = metrics.at[it].set(ba_mod.metrics_row(
+                new_cost, g_norm, lam, jnp.sqrt(step_sq), rho, accept))
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lms = jnp.where(accept, lms_new, lms)
             sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -181,27 +197,28 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, sys, cost, lam, it + 1, done, status
+            return st, lms, sys, cost, lam, it + 1, done, status, metrics
 
         init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
-                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        st, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
-            cond, body, init)
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
+        (st, lms_out, _, cost, lam, it, _, status,
+         metrics) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
         st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
         lms_final = jnp.where(success, lms_out, lms)
-        return st_out, lms_final, success, status, cost0, cost, it
+        return st_out, lms_final, success, status, cost0, cost, it, metrics
 
-    st_out, lms_out, success, status, cost0, cost, it = jax.jit(_solve)(
-        state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
-        preint_valid)
+    (st_out, lms_out, success, status, cost0, cost, it,
+     metrics) = jax.jit(_solve)(state, T_C_B, landmarks, obs, obs_mask,
+                                lm_valid, preint, preint_valid)
     return vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                               success=success, status=status,
                               initial_cost=cost0, final_cost=cost,
-                              iterations=it)
+                              iterations=it, metrics=metrics)
 
 
 def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
@@ -234,7 +251,8 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P(), P()),
-        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(), P(),
+                   P()),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
@@ -326,7 +344,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             return S, g_red.reshape(W * D), H_ll_inv, inv_ok
 
-        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag):
             S, g_red, H_ll_inv, inv_ok = reduced(H_ss, H_ll_d, H_pl6, g_s, g_l)
             b = -g_red
 
@@ -344,22 +362,26 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             delta_l = jnp.where(lm_active[:, None], delta_l, 0.0)
             local_ok = (jnp.all(jnp.isfinite(delta_l))
                         & jnp.all(inv_ok | (~lm_active))).astype(jnp.int32)
-            # One packed psum: step-validity vote + landmark step norm.
-            n_bad, dl_sq = jax.lax.psum(
-                (1 - local_ok, jnp.sum(delta_l ** 2)), axis)
+            # One packed psum: step-validity vote + landmark step norm + the
+            # landmark pieces of the observer metrics.
+            n_bad, dl_sq, gl_sq, gl_dl, dl_pred = jax.lax.psum(
+                (1 - local_ok, jnp.sum(delta_l ** 2), jnp.sum(g_l ** 2),
+                 jnp.sum(g_l * delta_l), jnp.sum(dl_diag * delta_l ** 2)),
+                axis)
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
-            return delta_s, delta_l, dl_sq, ok
+            return delta_s, delta_l, dl_sq, ok, (gl_sq, gl_dl, dl_pred)
 
         sys0, cost0 = lin_sys(st0, lms)
 
         def cond(c):
-            return (~c[-2]) & (c[5] < cfg.max_iterations)
+            return (~c[6]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, sys, cost, lam, it, done, status = c
+            st, lms, sys, cost, lam, it, done, status, metrics = c
             H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
-            delta_s, delta_l, dl_sq, ok_step = schur_step(
-                H_ss, H_ll_d, H_pl6, g_s, g_l_m)
+            dl_diag = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
+            delta_s, delta_l, dl_sq, ok_step, lm_pieces = schur_step(
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
@@ -370,6 +392,19 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
             param_conv = accept & (jnp.sqrt(step_sq) <= cfg.param_tol)
+            # Observer columns (replicated; the state gradient g_s already
+            # carries the prior contribution from lin_sys).
+            gl_sq, gl_dl, dl_pred = lm_pieces
+            gate = ok_step.astype(dtype)
+            g_norm = jnp.sqrt(jnp.sum(sys[3] ** 2) + gl_sq)
+            d_s = jnp.maximum(jax.vmap(jnp.diag)(
+                sys[0][jnp.arange(W), jnp.arange(W)]), 1e-8)
+            pred = 0.5 * (lam * (jnp.sum(d_s * delta_s ** 2)
+                                 + gate * dl_pred)
+                          - (jnp.sum(sys[3] * delta_s) + gate * gl_dl))
+            rho = ba_mod.step_quality(cost, new_cost, pred)
+            metrics = metrics.at[it].set(ba_mod.metrics_row(
+                new_cost, g_norm, lam, jnp.sqrt(step_sq), rho, accept))
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a), st, st_new)
             lms = jnp.where(accept, lms_new, lms)
             sys = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
@@ -379,13 +414,14 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, sys, cost, lam, it + 1, done, status
+            return st, lms, sys, cost, lam, it + 1, done, status, metrics
 
         init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
-                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32))
-        st, lms_out, _, cost, lam, it, _, status = jax.lax.while_loop(
-            cond, body, init)
+                jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
+        (st, lms_out, _, cost, lam, it, _, status,
+         metrics) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -397,14 +433,15 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = damp(
             sys_f, jnp.asarray(1e-5, dtype))
         S_f, g_f, _, _ = reduced(H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f)
-        return (st_out, lms_final, success, status, cost0, cost, it, S_f, g_f)
+        return (st_out, lms_final, success, status, cost0, cost, it, S_f, g_f,
+                metrics)
 
     @partial(jax.jit)
     def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
              preint_valid, prior, will_evict):
         (st_out, lms_out, success, status, cost0, cost, it,
-         S_f, g_f) = _solve(state, T_C_B, landmarks, obs, obs_mask, lm_valid,
-                            preint, preint_valid, prior)
+         S_f, g_f, metrics) = _solve(state, T_C_B, landmarks, obs, obs_mask,
+                                     lm_valid, preint, preint_valid, prior)
         new_prior = marginalize_oldest(S_f, g_f, st_out.T_W_B,
                                        _extra(st_out), prior, D)
         do_new = will_evict & success
@@ -412,13 +449,14 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
         out_prior = out_prior._replace(
             valid=jnp.where(do_new, True, prior.valid))
-        return (st_out, lms_out, success, status, cost0, cost, it, out_prior)
+        return (st_out, lms_out, success, status, cost0, cost, it, out_prior,
+                metrics)
 
-    (st_out, lms_out, success, status, cost0, cost, it, out_prior) = _run(
-        state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
-        preint_valid, prior, jnp.asarray(will_evict))
+    (st_out, lms_out, success, status, cost0, cost, it, out_prior,
+     metrics) = _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
+                     preint_valid, prior, jnp.asarray(will_evict))
     result = vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                                 success=success, status=status,
                                 initial_cost=cost0, final_cost=cost,
-                                iterations=it)
+                                iterations=it, metrics=metrics)
     return result, out_prior

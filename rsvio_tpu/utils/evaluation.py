@@ -1,0 +1,165 @@
+"""Run the estimator over a generated synthetic sequence and score it.
+
+The evidence harness behind the accuracy matrix (VERDICT round-1 item 1):
+drives the VO or VIO per-frame step over a data.synthetic sequence and
+reports SE3-aligned ATE RMSE plus displacement drift — the same metrics the
+real-dataset BASELINE rows call for, measured on the adversarial scene
+classes (6-DoF motion, depth structure, photometric drift, occlusion).
+
+No reference counterpart: the reference ships neither benchmarks nor
+fixtures (SURVEY.md §6) — this module GENERATES the baseline numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data import synthetic as syn
+from .trajectory import ate_rmse
+
+
+@dataclasses.dataclass
+class RunResult:
+    positions: np.ndarray       # (n, 3) estimated world positions
+    gt_positions: np.ndarray    # (n, 3)
+    ate_rmse: float             # SE3-aligned, post-fill segment
+    drift_pct: float            # |est - gt| displacement error, % of path
+    n_tracked_mean: float
+    ba_success_rate: float
+    fps: float                  # wall-clock estimator throughput
+    skip: int                   # frames excluded from ATE (window fill)
+
+
+def static_init_imu(traj: syn.Trajectory, seconds: float = 0.5,
+                    rate: float = 200.0, rng: Optional[np.random.Generator] = None,
+                    gyro_bias=None, accel_bias=None,
+                    gyro_noise: float = 0.0, accel_noise: float = 0.0):
+    """IMU samples of a body holding still at the trajectory's START pose —
+    the standard hold-still-before-run initialization protocol. Feeds
+    estimator_vio.initialize_vio_state."""
+    hover = syn.Trajectory(pos_fn=lambda t: traj.pos_fn(0.0),
+                           ang_fn=lambda t: traj.ang_fn(0.0), R0=traj.R0)
+    _, gyro, accel, _ = hover.sample_imu(
+        -seconds, 0.0, rate=rate, gyro_bias=gyro_bias,
+        accel_bias=accel_bias, noise_rng=rng,
+        gyro_noise=gyro_noise, accel_noise=accel_noise)
+    return gyro, accel
+
+
+def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
+                           use_vio: bool = False,
+                           use_marginalization: bool = False,
+                           capacity: int = 256, window: int = 10,
+                           levels: int = 4, max_iterations: int = 20,
+                           translation_threshold: float = 0.04,
+                           rotation_threshold: float = 0.04,
+                           cell_size: int = 50, detect_margin: int = 19,
+                           imu_buf: int = 64,
+                           init_gyro=None, init_accel=None,
+                           backend: str = "auto") -> RunResult:
+    """Drive the (V)IO estimator over a generate_sequence() output.
+
+    For VIO, pass init_gyro/init_accel (e.g. static_init_imu) to engage the
+    gravity-aligned bootstrap; otherwise the state starts at identity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import estimator as est
+    from ..ops import cameras
+    from ..models.frontend import FrontendConfig
+    from ..ops.klt import KLTConfig
+
+    params = cameras.pack_params(
+        cameras.PINHOLE_RADTAN, [scene.fx, scene.fy, scene.cx, scene.cy],
+        [0, 0, 0, 0])
+    rig = est.make_rig(
+        params, params, jnp.eye(4, dtype=jnp.float32),
+        jnp.eye(4, dtype=jnp.float32).at[0, 3].set(scene.baseline))
+    base = est.EstimatorConfig(
+        frontend=FrontendConfig(
+            capacity=capacity, cell_size=cell_size,
+            detect_margin=detect_margin,
+            klt=KLTConfig(levels=levels, max_iterations=max_iterations,
+                          backend=backend)),
+        window_size=window,
+        translation_threshold=translation_threshold,
+        rotation_threshold=rotation_threshold,
+        image_shape=(scene.H, scene.W),
+        use_marginalization=use_marginalization,
+    )
+
+    frames = seq["frames"]
+    ts = seq["ts"]
+    n = len(frames)
+
+    if use_vio:
+        from ..models import estimator_vio as ev
+        cfg = ev.VIOEstimatorConfig(base=base, imu_buf=imu_buf)
+        step = ev.make_vio_estimator_step(cfg)
+        if init_gyro is not None:
+            state = ev.initialize_vio_state(cfg, init_gyro, init_accel)
+        else:
+            state = ev.init_vio_state(cfg)
+
+        imu_ts = seq["imu_ts"]
+
+        def frame_imu(k):
+            lo = ts[k - 1] if k > 0 else ts[0] - (ts[1] - ts[0])
+            sel = np.nonzero((imu_ts > lo) & (imu_ts <= ts[k]))[0][:imu_buf]
+            gy = np.zeros((imu_buf, 3), np.float32)
+            ac = np.zeros((imu_buf, 3), np.float32)
+            dt = np.zeros(imu_buf, np.float32)
+            mk = np.zeros(imu_buf, bool)
+            gy[:len(sel)] = seq["gyro"][sel]
+            ac[:len(sel)] = seq["accel"][sel]
+            dt[:len(sel)] = seq["imu_dts"][sel]
+            mk[:len(sel)] = True
+            return (jnp.asarray(gy), jnp.asarray(ac), jnp.asarray(dt),
+                    jnp.asarray(mk))
+    else:
+        step = est.make_estimator_step(base)
+        state = est.init_state(base)
+
+    positions = np.zeros((n, 3))
+    tracked = np.zeros(n)
+    ba_ok = np.zeros(n, bool)
+    is_kf = np.zeros(n, bool)
+    t0 = time.time()
+    for k in range(n):
+        left, right = frames[k]
+        args = (state, rig, jnp.asarray(left), jnp.asarray(right))
+        if use_vio:
+            args = args + frame_imu(k)
+        state, out = step(*args)
+        positions[k] = np.asarray(out.T_W_B[:3, 3])
+        tracked[k] = int(out.n_tracked)
+        ba_ok[k] = bool(out.ba_success)
+        is_kf[k] = bool(out.is_keyframe)
+    jax.block_until_ready(state)
+    wall = time.time() - t0
+
+    gt = seq["gt_T_W_B"][:, :3, 3]
+    # Score the post-fill segment: the first `window` keyframes bootstrap
+    # the map (every frame is a keyframe until the window fills).
+    fill = int(np.nonzero(np.cumsum(is_kf) >= window)[0][0]) + 1 \
+        if is_kf.sum() >= window else n // 3
+    skip = min(fill, n - 5)
+    rmse, _ = ate_rmse(positions[skip:], gt[skip:])
+    # Displacement drift: compare segment displacement lengths against the
+    # ground-truth path length of the scored segment.
+    d_est = np.linalg.norm(positions[-1] - positions[skip])
+    d_gt = np.linalg.norm(gt[-1] - gt[skip])
+    path = np.sum(np.linalg.norm(np.diff(gt[skip:], axis=0), axis=1))
+    drift = 100.0 * abs(d_est - d_gt) / max(path, 1e-9)
+    kf_frames = is_kf[skip:]
+    return RunResult(
+        positions=positions, gt_positions=gt, ate_rmse=rmse,
+        drift_pct=drift, n_tracked_mean=float(tracked[skip:].mean()),
+        ba_success_rate=float(ba_ok[skip:][kf_frames].mean())
+        if kf_frames.any() else 0.0,
+        fps=n / wall, skip=skip)

@@ -55,11 +55,17 @@ class TestObserver:
         m = np.asarray(res.metrics)
         n = int(res.iterations)
         assert n >= 1
+        assert m.shape[1] == 6            # full observer.rs:40-68 columns
         assert (m[:n, 0] > 0).all()       # costs recorded
-        assert (m[:n, 1] > 0).all()       # lambdas recorded
-        assert m[:n, 3].max() == 1.0      # at least one accepted step
+        assert (m[:n, 1] > 0).all()       # gradient norms recorded
+        assert (m[:n, 2] > 0).all()       # lambdas recorded
+        assert m[:n, 5].max() == 1.0      # at least one accepted step
+        # Accepted steps carry a positive trust-region gain ratio.
+        acc = m[:n, 5] > 0
+        assert (m[:n, 4][acc] > 0).all()
         text = observer.format_metrics(res.metrics, res.iterations)
         assert "iter" in text and "yes" in text
+        assert "grad_norm" in text and "step_quality" in text
         assert len(text.splitlines()) == n + 1
 
 

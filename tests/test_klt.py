@@ -339,3 +339,72 @@ class TestSmoothSceneQuality:
         assert np.isfinite(e_x) and e_x < 0.1, f"xla baseline err {e_x}"
         assert n_p >= 0.8 * n_x, f"pallas survival {n_p} vs xla {n_x}"
         assert e_p < max(2.0 * e_x, 0.1), f"pallas flow err {e_p} vs {e_x}"
+
+
+class TestKernelVariantParity:
+    """Every KLTConfig variant must run on the Pallas kernel (VERDICT round-1
+    item 3: SSD residual, fixed-lambda damping and the exact SE2 rotation
+    warp may not silently fall back to the XLA gather path on TPU) with
+    tracking quality on par with the XLA path."""
+
+    def _both(self, img0, img1, cfg, n=16):
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), cfg.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), cfg.levels)
+        pts = make_points(n)
+        alive = jnp.ones(n, dtype=bool)
+        out = {}
+        for backend in ("xla", "pallas"):
+            pos, _, ok = klt.track_points_bidirectional(
+                pyr0, pyr1, pts, alive, cfg._replace(backend=backend))
+            out[backend] = (np.asarray(pos), np.asarray(ok))
+        return out, np.asarray(pts)
+
+    def _check(self, out, pts, flow, tol=0.25):
+        px, kx = out["xla"]
+        pp, kp = out["pallas"]
+        assert kx.sum() >= pts.shape[0] * 0.6, f"xla baseline {kx.sum()}"
+        e_x = np.median(np.abs((px - pts)[kx] - flow))
+        e_p = np.median(np.abs((pp - pts)[kp] - flow))
+        assert e_x < tol, f"xla err {e_x}"
+        assert kp.sum() >= 0.7 * kx.sum(), f"pallas survival {kp.sum()} vs {kx.sum()}"
+        assert e_p < max(2.0 * e_x, tol), f"pallas err {e_p} vs xla {e_x}"
+
+    def test_ssd_on_kernel(self):
+        img0 = textured_image(seed=21)
+        img1 = shift_image(img0, 2.0, -1.5)
+        cfg = CFG._replace(residual_mode="ssd")
+        out, pts = self._both(img0, img1, cfg)
+        self._check(out, pts, np.array([2.0, -1.5]))
+
+    def test_lm_damped_on_kernel(self):
+        img0 = textured_image(seed=22)
+        img1 = shift_image(img0, -1.5, 2.0)
+        cfg = CFG._replace(lm_lambda=1.0)
+        out, pts = self._both(img0, img1, cfg)
+        self._check(out, pts, np.array([-1.5, 2.0]))
+
+    def test_ssd_rotation_lm_combined_on_kernel(self):
+        """The full variant stack at once (ssd + damping + SE2 rotation)."""
+        img0 = textured_image(seed=23)
+        img1 = shift_image(img0, 1.0, 1.0)
+        cfg = CFG._replace(residual_mode="ssd", lm_lambda=0.5,
+                           track_rotation=True)
+        out, pts = self._both(img0, img1, cfg)
+        self._check(out, pts, np.array([1.0, 1.0]), tol=0.35)
+
+    def test_kernel_lssd_gain_invariance(self):
+        """Brightness-gain drift through the KERNEL path (the round-1 matrix
+        only exercised gain invariance on the XLA path)."""
+        img0 = textured_image(seed=24)
+        img1 = np.clip(shift_image(img0, 1.5, -1.0) * 1.6, 0, 255)
+        cfg = CFG._replace(backend="pallas")
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), cfg.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), cfg.levels)
+        pts = make_points(16)
+        alive = jnp.ones(16, dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                    cfg)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 10, f"{ok.sum()} survived the 1.6x gain"
+        err = np.abs((np.asarray(pos) - np.asarray(pts))[ok] - [1.5, -1.0])
+        assert np.median(err) < 0.3, np.median(err)

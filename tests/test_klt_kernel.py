@@ -114,7 +114,8 @@ def track_se2(img_src, img_dst, pts, theta0=None, iters=25):
     th0 = jnp.zeros(n, jnp.float32) if theta0 is None else jnp.asarray(theta0)
     return K.track_level(
         jnp.asarray(img_src), jnp.asarray(img_dst), jnp.asarray(pts),
-        jnp.asarray(pts), th0, alive, iters, 1e-6, True, True)
+        jnp.asarray(pts), th0, alive, iters, 1e-6,
+        with_rotation=True, interpret=True)
 
 
 class TestKernelRotation:
@@ -164,7 +165,8 @@ class TestKernelRotation:
         pos_b, th_b, ok_b = K.track_level(
             jnp.asarray(img), jnp.asarray(img2), jnp.asarray(pts),
             jnp.asarray(pts), jnp.zeros(8, jnp.float32),
-            jnp.ones(8, bool), 15, 1e-5, False, True)
+            jnp.ones(8, bool), 15, 1e-5, with_rotation=False,
+            interpret=True)
         np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
         np.testing.assert_allclose(np.asarray(pos_a), np.asarray(pos_b))
         assert np.all(np.asarray(th_b) == 0)
@@ -193,8 +195,63 @@ class TestCameraBatched:
         alive = jnp.ones(16, dtype=bool)
         pos, _, ok = K.track_level(src, dst, pts, pts,
                                    jnp.zeros(16, jnp.float32), alive,
-                                   15, 1e-5, False, True, cam=cam)
+                                   15, 1e-5, with_rotation=False,
+                                   interpret=True, cam=cam)
         np.testing.assert_array_equal(np.asarray(ok),
                                       np.concatenate([ok_a, ok_b]))
         np.testing.assert_allclose(np.asarray(pos),
                                    np.concatenate([pos_a, pos_b]), atol=1e-6)
+
+
+class TestKernelRotationExact:
+    """The rotated-position sampling is exact bilinear (not first-order), so
+    large in-plane angles — up to the |theta| < 0.346 rad gate — must be
+    recovered with the same quality as small ones."""
+
+    def test_recovers_14deg_rotation(self):
+        img = textured(H=160, W=224, seed=7)
+        deg = 14.0
+        cx, cy = 112.0, 80.0
+        img2 = rotate(img, deg, (cx, cy))
+        pts = RNG.uniform([70, 45], [155, 115], size=(16, 2)).astype(np.float32)
+        a = np.deg2rad(deg)
+        R = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]],
+                     np.float32)
+        gt = (pts - [cx, cy]) @ R.T + [cx, cy]
+        pos, th, ok = track_se2(img, img2, pts, iters=40)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 10, ok.sum()
+        perr = np.linalg.norm(np.asarray(pos)[ok] - gt[ok], axis=1)
+        assert np.median(perr) < 0.35, perr
+        th_ok = np.asarray(th)[ok]
+        assert np.abs(np.median(th_ok) + a) < np.deg2rad(1.5), (
+            np.rad2deg(th_ok))
+
+    def test_ssd_variant_on_kernel_level(self):
+        """SSD residual runs in-kernel and recovers a known shift."""
+        img = textured(seed=8)
+        img2 = shift(img, 1.2, -0.8)
+        pts = RNG.uniform([15, 15], [128, 80], size=(12, 2)).astype(np.float32)
+        pos, _, ok = K.track_level(
+            jnp.asarray(img), jnp.asarray(img2), jnp.asarray(pts),
+            jnp.asarray(pts), jnp.zeros(12, jnp.float32),
+            jnp.ones(12, bool), 20, 1e-5, residual_mode="ssd",
+            interpret=True)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 9
+        err = np.abs((np.asarray(pos) - pts)[ok] - [1.2, -0.8])
+        assert np.median(err) < 0.15, np.median(err)
+
+    def test_lm_damped_on_kernel_level(self):
+        """Fixed-lambda damping shrinks steps but still converges."""
+        img = textured(seed=9)
+        img2 = shift(img, -0.9, 0.6)
+        pts = RNG.uniform([15, 15], [128, 80], size=(12, 2)).astype(np.float32)
+        pos, _, ok = K.track_level(
+            jnp.asarray(img), jnp.asarray(img2), jnp.asarray(pts),
+            jnp.asarray(pts), jnp.zeros(12, jnp.float32),
+            jnp.ones(12, bool), 30, 1e-6, lm_lambda=0.5, interpret=True)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 9
+        err = np.abs((np.asarray(pos) - pts)[ok] - [-0.9, 0.6])
+        assert np.median(err) < 0.15, np.median(err)

@@ -1,0 +1,145 @@
+"""On-device accuracy matrix: {VO, VO+marg, VIO, VIO+marg} x adversarial
+synthetic scenes (6-DoF motion, depth structure, photometric drift, moving
+occluder) -> ATE RMSE + drift table (VERDICT round-1 item 1).
+
+Real datasets are not mountable in this environment (zero egress); this is
+the honest substitute for the BASELINE real-dataset rows. The scenes come
+from rsvio_tpu.data.synthetic (exact ground truth), the metrics from
+rsvio_tpu.utils.evaluation.
+
+Usage:
+  python tools/accuracy_matrix.py                      # TPU (axon), full res
+  python tools/accuracy_matrix.py --platform cpu --frames 40 --width 320
+  python tools/accuracy_matrix.py --scenes depth_6dof occlusion_6dof
+
+Writes a markdown table to stdout and a JSON blob to --json (default
+accuracy_matrix.json).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = [
+    ("vo_fifo", dict(use_vio=False, use_marginalization=False)),
+    ("vo_marg", dict(use_vio=False, use_marginalization=True)),
+    ("vio_fifo", dict(use_vio=True, use_marginalization=False)),
+    ("vio_marg", dict(use_vio=True, use_marginalization=True)),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="cpu | axon (default: whatever JAX picks)")
+    ap.add_argument("--frames", type=int, default=160)
+    ap.add_argument("--fps", type=float, default=20.0)
+    ap.add_argument("--width", type=int, default=752)
+    ap.add_argument("--height", type=int, default=0,
+                    help="0 = width * 480/752")
+    ap.add_argument("--scenes", nargs="*", default=None)
+    ap.add_argument("--configs", nargs="*", default=None)
+    ap.add_argument("--window", type=int, default=10)
+    ap.add_argument("--capacity", type=int, default=256)
+    ap.add_argument("--levels", type=int, default=6)
+    ap.add_argument("--imu-noise", action="store_true", default=True)
+    ap.add_argument("--json", default="accuracy_matrix.json")
+    args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from rsvio_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from rsvio_tpu.utils.precision import ensure_matmul_precision
+    ensure_matmul_precision()
+
+    import numpy as np
+    from rsvio_tpu.data import synthetic as syn
+    from rsvio_tpu.utils import evaluation as ev_util
+
+    H = args.height or int(args.width * 480 / 752)
+    W = args.width
+    scene_names = args.scenes or list(syn.MATRIX_SCENES)
+    config_names = [c for c, _ in CONFIGS]
+    if args.configs:
+        config_names = [c for c in config_names if c in args.configs]
+
+    rng = np.random.default_rng(7)
+    imu_kwargs = {}
+    if args.imu_noise:
+        imu_kwargs = dict(gyro_bias=[0.003, -0.002, 0.004],
+                          accel_bias=[0.02, -0.015, 0.01],
+                          noise_rng=rng, gyro_noise=1.7e-4,
+                          accel_noise=2.0e-3)
+
+    print(f"device={jax.devices()[0].platform} {W}x{H} "
+          f"frames={args.frames} window={args.window}", file=sys.stderr)
+
+    rows = []
+    for sname in scene_names:
+        scene_fn, traj_fn = syn.MATRIX_SCENES[sname]
+        scene = scene_fn(H=H, W=W)
+        traj = traj_fn()
+        need_imu = any(c.startswith("vio") for c in config_names)
+        print(f"[{sname}] rendering {args.frames} frames...",
+              file=sys.stderr)
+        seq = syn.generate_sequence(
+            scene, traj, args.frames, fps=args.fps,
+            imu_rate=200.0 if need_imu else 0.0,
+            imu_kwargs=imu_kwargs if need_imu else None)
+        init_gyro = init_accel = None
+        if need_imu:
+            init_gyro, init_accel = ev_util.static_init_imu(
+                traj, rng=rng,
+                gyro_bias=imu_kwargs.get("gyro_bias"),
+                accel_bias=imu_kwargs.get("accel_bias"),
+                gyro_noise=imu_kwargs.get("gyro_noise", 0.0),
+                accel_noise=imu_kwargs.get("accel_noise", 0.0))
+        for cname, ckw in CONFIGS:
+            if cname not in config_names:
+                continue
+            res = ev_util.run_synthetic_sequence(
+                seq, scene, capacity=args.capacity, window=args.window,
+                levels=args.levels,
+                init_gyro=init_gyro if ckw["use_vio"] else None,
+                init_accel=init_accel if ckw["use_vio"] else None,
+                **ckw)
+            row = dict(scene=sname, config=cname,
+                       ate_rmse_m=round(res.ate_rmse, 4),
+                       drift_pct=round(res.drift_pct, 3),
+                       tracked=round(res.n_tracked_mean, 1),
+                       ba_success=round(res.ba_success_rate, 3),
+                       fps=round(res.fps, 1), skip=res.skip,
+                       frames=args.frames)
+            rows.append(row)
+            print(f"[{sname}] {cname}: ATE {row['ate_rmse_m']:.4f} m  "
+                  f"drift {row['drift_pct']:.2f}%  "
+                  f"tracked {row['tracked']}  ba {row['ba_success']}  "
+                  f"{row['fps']:.0f} fps", file=sys.stderr)
+
+    # Markdown table
+    print("\n| Scene | Config | ATE RMSE (m) | drift % | tracked | "
+          "BA success | fps |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['scene']} | {r['config']} | {r['ate_rmse_m']:.4f} | "
+              f"{r['drift_pct']:.2f} | {r['tracked']:.0f} | "
+              f"{r['ba_success']:.2f} | {r['fps']:.0f} |")
+
+    meta = dict(width=W, height=H, frames=args.frames, fps=args.fps,
+                window=args.window, capacity=args.capacity,
+                levels=args.levels,
+                device=jax.devices()[0].platform, rows=rows)
+    with open(args.json, "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"\nwrote {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

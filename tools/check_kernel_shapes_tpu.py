@@ -47,7 +47,8 @@ def probe(H, W, n=128, cams=1, seed=0):
     for interp in (True, False):
         pos, _, ok = K.track_level(src, dst, jnp.asarray(pts),
                                    jnp.asarray(pts), th, alive,
-                                   12, 1e-5, False, interp, cam=cam)
+                                   12, 1e-5, with_rotation=False,
+                                   interpret=interp, cam=cam)
         outs[interp] = (np.asarray(pos), np.asarray(ok))
     pos_i, ok_i = outs[True]
     pos_c, ok_c = outs[False]

@@ -69,7 +69,8 @@ def main():
     alive = jnp.ones(16, dtype=bool)
     pos, _, ok = K.track_level(src, dst, pts, pts,
                                jnp.zeros(16, jnp.float32), alive,
-                               15, 1e-5, False, False, cam=cam)
+                               15, 1e-5, with_rotation=False,
+                               interpret=False, cam=cam)
     pos, ok = np.asarray(pos), np.asarray(ok)
     ok_ref = np.concatenate([ok_a, ok_b])
     pos_ref = np.concatenate([pos_a, pos_b])
@@ -107,6 +108,60 @@ def main():
     if not ((ok_f == ok_comp).all() and perr < 1e-5):
         print("FAIL: fused bidirectional diverges on device")
         failures += 1
+
+    # 4. static variants compiled on device: SSD residual, fixed-lambda
+    # damping, and the exact rotated-sampling SE2 mode (all were XLA-only
+    # fallbacks in round 1 — each must COMPILE via Mosaic and track).
+    img = textured(H=128, W=192, seed=21)
+    ptsv = rng.uniform([25, 25], [165, 100], size=(12, 2)).astype(np.float32)
+    alv = jnp.ones(12, dtype=bool)
+    th0 = jnp.zeros(12, jnp.float32)
+
+    def run_variant(name, img_dst, gt_flow=None, gt_pos=None, gt_th=None,
+                    **kw):
+        nonlocal failures
+        pos, th, ok = K.track_level(
+            jnp.asarray(img), jnp.asarray(img_dst), jnp.asarray(ptsv),
+            jnp.asarray(ptsv), th0, alv, 30, 1e-6, interpret=False, **kw)
+        pos, th, ok = np.asarray(pos), np.asarray(th), np.asarray(ok)
+        if gt_pos is None:
+            gt_pos = ptsv + gt_flow
+        err = (np.linalg.norm((pos - gt_pos)[ok], axis=1)
+               if ok.any() else np.array([np.inf]))
+        th_err = (float(np.median(np.abs(th[ok] - gt_th)))
+                  if (gt_th is not None and ok.any()) else 0.0)
+        print(f"{name}: ok={ok.sum()}/{len(ptsv)} "
+              f"med_err={np.median(err):.3f} med_th_err={th_err:.4f}")
+        if not (ok.sum() >= 8 and np.median(err) < 0.3 and th_err < 0.03):
+            print(f"FAIL: variant {name} broken on device")
+            failures += 1
+
+    run_variant("ssd", shift(img, 1.5, -1.0), gt_flow=[1.5, -1.0],
+                residual_mode="ssd")
+    run_variant("lm", shift(img, -1.0, 2.0), gt_flow=[-1.0, 2.0],
+                lm_lambda=1.0)
+    # Single-LEVEL tracking initializes at the un-rotated positions, so keep
+    # features within ~30 px of the rotation center (displacement < 7 px,
+    # within single-level capture range — the pipeline proper is always
+    # coarse-to-fine). This still exercises the exact rotated sampling: 12
+    # deg is far beyond the old first-order warp's accuracy.
+    deg = 12.0
+    a = np.deg2rad(deg)
+    cx, cy = 96.0, 64.0
+    ptsv = rng.uniform([cx - 35, cy - 28], [cx + 35, cy + 28],
+                       size=(12, 2)).astype(np.float32)
+    M = cv2.getRotationMatrix2D((cx, cy), deg, 1.0)
+    img_rot = cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                             flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REFLECT)
+    Rm = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]],
+                  np.float32)
+    gt_rot = (ptsv - [cx, cy]) @ Rm.T + [cx, cy]
+    run_variant("se2_exact_12deg", img_rot, gt_pos=gt_rot, gt_th=-a,
+                with_rotation=True)
+    run_variant("ssd+lm+rot", shift(img, 1.0, 1.0), gt_flow=[1.0, 1.0],
+                gt_th=0.0, residual_mode="ssd", lm_lambda=0.5,
+                with_rotation=True)
 
     print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
     return 0 if failures == 0 else 1
