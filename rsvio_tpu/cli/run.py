@@ -46,6 +46,10 @@ class PlayerConfig:
     # respect the config file): Schur-marginalize evicted keyframes into a
     # dense prior instead of plain FIFO forgetting.
     marginalization: Optional[bool] = None
+    # Per-frame stage-split [Timing] log (ref estimator.rs:252-259): runs the
+    # estimator as four separately-jitted stages with device syncs between
+    # them. Diagnosis mode — slower than the fused step. VO only.
+    stage_timing: bool = False
 
 
 @dataclass
@@ -156,9 +160,16 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             log.info("VIO mode: %d IMU samples loaded", len(samples))
         else:
             log.warning("VIO requested but no IMU data found; running VO")
+    stage_step = None
     if imu_data is None:
+        if pcfg.stage_timing:
+            stage_step = est.make_estimator_split_step(ecfg)
+            log.info("stage-timing mode: separately-jitted estimator stages "
+                     "(%s)", "/".join(est.STAGE_NAMES))
         step = est.make_estimator_step(ecfg)
         state = est.init_state(ecfg, dtype=dtype)
+    elif pcfg.stage_timing:
+        log.warning("--stage-timing is VO-only; ignored in VIO mode")
 
     if pcfg.checkpoint_in:
         from ..utils.checkpoint import load_state
@@ -225,6 +236,13 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                         else np.float32)
                     state, out = step(state, rig, img_l, img_r,
                                       gy, ac, dt_s, msk)
+                elif stage_step is not None:
+                    state, out, stage_ms = stage_step(state, rig,
+                                                      img_l, img_r)
+                    log.debug(
+                        "[Timing] frame %d stages: %s", k,
+                        ", ".join(f"{n}: {stage_ms[n]:.2f} ms"
+                                  for n in est.STAGE_NAMES))
                 else:
                     state, out = step(state, rig, img_l, img_r)
                 jax.block_until_ready(out.T_W_B)
@@ -409,6 +427,9 @@ def make_cli(player_cls, name: str):
                         help="compute ATE vs the dataset ground truth")
         ap.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
+        ap.add_argument("--stage-timing", action="store_true",
+                        help="per-frame 4-stage [Timing] split (separately-"
+                        "jitted stages with device syncs; VO only)")
         ap.add_argument("--quiet", action="store_true")
         args = ap.parse_args(argv)
         setup_logging(verbose=not args.quiet)
@@ -424,7 +445,8 @@ def make_cli(player_cls, name: str):
             checkpoint_every=args.checkpoint_every,
             profile_dir=args.profile_dir,
             evaluate_ate=args.eval_ate,
-            marginalization=args.marginalization)
+            marginalization=args.marginalization,
+            stage_timing=args.stage_timing)
         res = run_player(player, args.config_file, pcfg)
         return 0 if res.success else -1
 

@@ -188,28 +188,40 @@ def reprojection_outliers(T_C_B, kf_T_W_B, lm, obs, eff_mask, lm_valid,
     return lm_valid & (worst > thr_sq)
 
 
-def make_estimator_step(cfg: EstimatorConfig):
-    """Build the jitted per-frame step: (state, rig, img0, img1) -> (state, out)."""
+def _build_stages(cfg: EstimatorConfig):
+    """The per-frame step as four stage functions mirroring the reference's
+    per-frame [Timing] breakdown (ref estimator.rs:252-259):
+
+      frame_creation   -> stage_frames   (pyramid construction)
+      patch_tracking   -> stage_track    (KLT frontend + undistortion)
+      motion_tracking  -> stage_motion   (PnP + keyframe policy)
+      optimization     -> stage_opt      (window roll, triangulation, BA)
+
+    make_estimator_step composes them into ONE jitted step (production);
+    make_estimator_split_step jits each separately and times the boundaries
+    (debug parity mode — the fused step cannot observe stage times).
+    """
 
     W = cfg.window_size
-    N = cfg.frontend.capacity
     levels = cfg.frontend.klt.levels
 
-    def step(state: EstimatorState, rig: CameraRig, img0, img1):
-        pyr0 = pyramid.build_pyramid(img0, levels)
-        pyr1 = pyramid.build_pyramid(img1, levels)
+    def stage_frames(img0, img1):
+        return pyramid.build_pyramid(img0, levels), \
+            pyramid.build_pyramid(img1, levels)
 
-        # --- frontend tracking (two traces: first frame has no prev pyramids;
-        # we fold it into data: prev == cur on frame 0 tracks trivially but
-        # frontend_step(first_frame) needs static flag — instead feed prev
-        # pyramids (zeros initially) and mask survivors by frame_id > 0).
+    def stage_track(state: EstimatorState, rig: CameraRig, pyr0, pyr1):
+        # Frontend tracking (single trace: first frame has no prev pyramids;
+        # we fold it into data: prev pyramids start as zeros and survivors
+        # are masked by frame_id > 0).
         table_in = state.table._replace(
             alive=state.table.alive & (state.frame_id > 0))
         table, fstats = frontend_step(
             table_in, state.pyr0, state.pyr1, pyr0, pyr1, cfg.frontend)
-
         obs_cur, obs_cur_mask = _undistort_table(cfg, rig, table)
+        return table, fstats, obs_cur, obs_cur_mask
 
+    def stage_motion(state: EstimatorState, rig: CameraRig, table,
+                     obs_cur, obs_cur_mask):
         window_full = state.kf_count >= W
         # PnP engages once any landmarks exist (frame 0 anchors the gauge);
         # with track_before_full=False it waits for a full window like the
@@ -239,6 +251,11 @@ def make_estimator_step(cfg: EstimatorConfig):
             window_full,
             (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
             True)  # every frame is a keyframe until the window fills
+        return T_cur, pnp_success, is_kf
+
+    def stage_opt(state: EstimatorState, rig: CameraRig, pyr0, pyr1, table,
+                  fstats, obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf):
+        window_full = state.kf_count >= W
 
         # --- keyframe branch: triangulate, roll window, BA
         def kf_branch(operand):
@@ -336,4 +353,63 @@ def make_estimator_step(cfg: EstimatorConfig):
         )
         return new_state, out
 
+    return stage_frames, stage_track, stage_motion, stage_opt
+
+
+def make_estimator_step(cfg: EstimatorConfig):
+    """Build the jitted per-frame step: (state, rig, img0, img1) -> (state, out)."""
+    stage_frames, stage_track, stage_motion, stage_opt = _build_stages(cfg)
+
+    def step(state: EstimatorState, rig: CameraRig, img0, img1):
+        pyr0, pyr1 = stage_frames(img0, img1)
+        table, fstats, obs_cur, obs_cur_mask = stage_track(
+            state, rig, pyr0, pyr1)
+        T_cur, pnp_success, is_kf = stage_motion(
+            state, rig, table, obs_cur, obs_cur_mask)
+        return stage_opt(state, rig, pyr0, pyr1, table, fstats,
+                         obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf)
+
     return jax.jit(step)
+
+
+STAGE_NAMES = ("frame_creation", "patch_tracking", "motion_tracking",
+               "optimization")
+
+
+def make_estimator_split_step(cfg: EstimatorConfig):
+    """Debug/profiling variant with the reference's per-frame stage split
+    (ref estimator.rs:252-259): each stage is jitted separately and timed
+    with a device sync at every boundary.
+
+    Returns step(state, rig, img0, img1) -> (state, out, times_ms) where
+    times_ms is a dict over STAGE_NAMES (host floats, milliseconds).
+    Numerically identical to make_estimator_step (same stage functions,
+    composed instead of fused); slower due to sync barriers and lost
+    cross-stage fusion — use for diagnosis, not production.
+    """
+    import time
+
+    stage_frames, stage_track, stage_motion, stage_opt = _build_stages(cfg)
+    j_frames = jax.jit(stage_frames)
+    j_track = jax.jit(stage_track)
+    j_motion = jax.jit(stage_motion)
+    j_opt = jax.jit(stage_opt)
+
+    def step(state: EstimatorState, rig: CameraRig, img0, img1):
+        times = {}
+        t0 = time.perf_counter()
+        pyrs = jax.block_until_ready(j_frames(img0, img1))
+        t1 = time.perf_counter()
+        times["frame_creation"] = (t1 - t0) * 1e3
+        tr = jax.block_until_ready(j_track(state, rig, *pyrs))
+        t2 = time.perf_counter()
+        times["patch_tracking"] = (t2 - t1) * 1e3
+        mo = jax.block_until_ready(j_motion(state, rig, tr[0], tr[2], tr[3]))
+        t3 = time.perf_counter()
+        times["motion_tracking"] = (t3 - t2) * 1e3
+        new_state, out = jax.block_until_ready(
+            j_opt(state, rig, *pyrs, *tr, *mo))
+        times["optimization"] = (time.perf_counter() - t3) * 1e3
+        return new_state, out, times
+
+    return step

@@ -133,3 +133,36 @@ class TestReprojectionOutliers:
         bad = est.reprojection_outliers(
             T_C_B, kf_T, lm, obs, mask, jnp.ones(N, dtype=bool), 1e6)
         assert bool(bad[1]) and not bool(bad[0]) and not bool(bad[2])
+
+
+class TestSplitStepParity:
+    """The stage-split debug step (ref estimator.rs:252-259 [Timing] parity)
+    must be numerically identical to the fused production step and report
+    all four stage times."""
+
+    def test_split_matches_fused(self, sequence):
+        params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                     [FX, FY, CX, CY], [0, 0, 0, 0])
+        rig = est.make_rig(params, params,
+                           jnp.eye(4, dtype=jnp.float32),
+                           jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+        cfg = est.EstimatorConfig(
+            frontend=FrontendConfig(capacity=96, cell_size=28,
+                                    detect_margin=10, min_score=5.0,
+                                    klt=KLTConfig(levels=3, max_iterations=12,
+                                                  backend="xla")),
+            window_size=4, translation_threshold=0.012,
+            rotation_threshold=0.05, image_shape=(H, W))
+        fused = est.make_estimator_step(cfg)
+        split = est.make_estimator_split_step(cfg)
+        s_f, s_s = est.init_state(cfg), est.init_state(cfg)
+        for l, r in sequence[:8]:
+            l, r = jnp.asarray(l), jnp.asarray(r)
+            s_f, o_f = fused(s_f, rig, l, r)
+            s_s, o_s, ms = split(s_s, rig, l, r)
+            np.testing.assert_allclose(np.asarray(o_s.T_W_B),
+                                       np.asarray(o_f.T_W_B),
+                                       rtol=1e-5, atol=1e-5)
+            assert set(ms) == set(est.STAGE_NAMES)
+            assert all(v >= 0.0 for v in ms.values())
+        assert int(o_s.n_tracked) == int(o_f.n_tracked)

@@ -44,7 +44,12 @@ def main():
     ap.add_argument("--configs", nargs="*", default=None)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--capacity", type=int, default=256)
-    ap.add_argument("--levels", type=int, default=6)
+    ap.add_argument("--levels", type=int, default=0,
+                    help="0 = auto from width (6 at 752, >=3)")
+    ap.add_argument("--cell", type=int, default=0,
+                    help="detector grid cell px; 0 = auto from width")
+    ap.add_argument("--margin", type=int, default=0,
+                    help="detector border margin px; 0 = auto from width")
     ap.add_argument("--imu-noise", action="store_true", default=True)
     ap.add_argument("--json", default="accuracy_matrix.json")
     args = ap.parse_args()
@@ -65,6 +70,13 @@ def main():
 
     H = args.height or int(args.width * 480 / 752)
     W = args.width
+    # Tracker geometry scales with resolution (reference tunings are for
+    # 752x480; a reduced-width CPU smoke needs proportional cell/margin and
+    # fewer pyramid levels to keep the top level bigger than a patch).
+    scale = W / 752.0
+    levels = args.levels or max(3, min(6, int(np.log2(W / 12))))
+    cell = args.cell or max(16, int(round(50 * scale)))
+    margin = args.margin or max(6, int(round(19 * scale)))
     scene_names = args.scenes or list(syn.MATRIX_SCENES)
     config_names = [c for c, _ in CONFIGS]
     if args.configs:
@@ -79,7 +91,8 @@ def main():
                           accel_noise=2.0e-3)
 
     print(f"device={jax.devices()[0].platform} {W}x{H} "
-          f"frames={args.frames} window={args.window}", file=sys.stderr)
+          f"frames={args.frames} window={args.window} levels={levels} "
+          f"cell={cell} margin={margin}", file=sys.stderr)
 
     rows = []
     for sname in scene_names:
@@ -106,7 +119,7 @@ def main():
                 continue
             res = ev_util.run_synthetic_sequence(
                 seq, scene, capacity=args.capacity, window=args.window,
-                levels=args.levels,
+                levels=levels, cell_size=cell, detect_margin=margin,
                 init_gyro=init_gyro if ckw["use_vio"] else None,
                 init_accel=init_accel if ckw["use_vio"] else None,
                 **ckw)
@@ -134,7 +147,7 @@ def main():
 
     meta = dict(width=W, height=H, frames=args.frames, fps=args.fps,
                 window=args.window, capacity=args.capacity,
-                levels=args.levels,
+                levels=levels, cell=cell, margin=margin,
                 device=jax.devices()[0].platform, rows=rows)
     with open(args.json, "w") as f:
         json.dump(meta, f, indent=1)
