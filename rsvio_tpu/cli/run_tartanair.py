@@ -57,7 +57,7 @@ def main(argv=None):
 
     from ..data.players import TartanAirPlayer, prefetch_frames
     from ..models import mono_tracker as mt
-    from ..ops import pyramid
+    from ..ops import detect, pyramid
     from ..ops.klt import KLTConfig
     from ..viewers import create_viewer
 
@@ -73,6 +73,7 @@ def main(argv=None):
     levels, down, blur, blur_sigma = args.levels, 2.0, False, 0.7
     max_iter, lm_lambda = 30, 0.0
     cell_size, min_score = 30, 1.0
+    detect_mode, nms_radius = "grid", 10
     if args.config:
         y = _load_tracker_yaml(args.config)
         levels = int(y.get("nlevels", levels))
@@ -82,6 +83,11 @@ def main(argv=None):
         max_iter = int(y.get("optical_flow_max_iter", max_iter))
         lm_lambda = float(y.get("optical_flow_lm_lambda", lm_lambda))
         cell_size = int(y.get("detection_min_dist", cell_size))
+        if "detection_min_dist" in y:
+            # True min-dist semantics: block NMS with live-track suppression
+            # (ref feature_detection.rs:172-254, 62-69) instead of the
+            # grid-cell approximation.
+            detect_mode, nms_radius = "nms", int(y["detection_min_dist"])
         # Approximate threshold mapping to reference units: the ref score
         # carries a x500 factor on (tr - disc) = x1000 on the min eigenvalue,
         # and its unnormalized [-1,0,1] gradient kernel yields a ~4x larger
@@ -99,6 +105,7 @@ def main(argv=None):
 
     cfg = mt.MonoTrackerConfig(
         capacity=args.capacity, cell_size=cell_size, min_score=min_score,
+        detect_mode=detect_mode, nms_radius=nms_radius,
         klt=KLTConfig(levels=levels, max_iterations=max_iter,
                       convergence_threshold=0.005, lm_lambda=lm_lambda,
                       pyramid_ratio=1.0 / down))
@@ -126,9 +133,20 @@ def main(argv=None):
         if viewer_on:
             viewer.set_frame(k, frame.timestamp_ns)
             alive = np.asarray(table.alive)
+            pos = np.asarray(table.pos)[alive]
+            fids = np.asarray(table.fid)[alive]
             viewer.log_image_with_features_colored(
-                "tartanair/left", frame.left,
-                np.asarray(table.pos)[alive], np.asarray(table.fid)[alive])
+                "tartanair/left", frame.left, pos, fids)
+            # FT debug surface (ref feature_tracker/src/viewer.rs:6-97):
+            # id-labeled points at pixel centers, pyramid levels with draw
+            # order, and the corner-score float map as a colormapped image.
+            viewer.log_labeled_points("tartanair/labels", pos,
+                                      [str(int(f)) for f in fids])
+            viewer.log_pyramid("tartanair/pyramid",
+                               [np.asarray(lv) for lv in pyr])
+            viewer.log_float_map(
+                "tartanair/shi_tomasi",
+                np.asarray(detect.shi_tomasi_score(pyr[0])))
     if times:
         avg = float(np.mean(times))
         log.info("%d frames, avg %.2f ms (%.1f fps)", len(times), avg,

@@ -36,6 +36,13 @@ class FrontendConfig(NamedTuple):
     min_score: float = 10.0       # floor of ref threshold cascade 40->10
     max_per_cell: int = 1         # ref config max_features_per_grid
     klt: klt.KLTConfig = klt.KLTConfig()
+    # Detection mode: "grid" = per-cell argmax with occupancy (main-crate
+    # semantics, ref image_utilities.rs:108-175); "nms" = block NMS with
+    # min-distance suppression against live tracks (experimental-crate
+    # semantics, ref feature_detection.rs:172-254, 62-69).
+    detect_mode: str = "grid"
+    nms_radius: int = 10          # min distance between features (px)
+    nms_max_new: int = 128        # static candidate capacity in nms mode
 
 
 class FeatureTable(NamedTuple):
@@ -156,10 +163,16 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
 
     # (c) detect new corners in unoccupied cells of cam0 level 0.
     score = detect.fast_score(pyr0[0])
-    cand_xy, cand_ok = detect.select_grid_features(
-        score, table.pos0, table.alive, cfg.cell_size,
-        margin=cfg.detect_margin, min_score=cfg.min_score,
-        max_per_cell=cfg.max_per_cell)
+    if cfg.detect_mode == "nms":
+        cand_xy, cand_ok = detect.nms_select(
+            score, table.pos0, table.alive, cfg.nms_radius,
+            margin=cfg.detect_margin, min_score=cfg.min_score,
+            max_new=cfg.nms_max_new)
+    else:
+        cand_xy, cand_ok = detect.select_grid_features(
+            score, table.pos0, table.alive, cfg.cell_size,
+            margin=cfg.detect_margin, min_score=cfg.min_score,
+            max_per_cell=cfg.max_per_cell)
 
     # (d) stereo-match candidates cam0 -> cam1 (bidirectional KLT).
     cand_pos1, cand_A1, stereo_ok = klt.track_points_bidirectional(

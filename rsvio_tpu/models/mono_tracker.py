@@ -30,6 +30,13 @@ class MonoTrackerConfig(NamedTuple):
     klt: klt.KLTConfig = klt.KLTConfig(max_iterations=30,
                                        convergence_threshold=0.005)
     # ref mono PatchTracker defaults: 30 iterations / 0.005 threshold
+    # Detection mode: "grid" = per-cell argmax occupancy (main-crate
+    # semantics, image_utilities.rs:108-175); "nms" = block NMS + min-dist
+    # suppression against live tracks (experimental-crate semantics,
+    # feature_detection.rs:172-254, 62-69).
+    detect_mode: str = "grid"
+    nms_radius: int = 10          # ref min_dist between features (px)
+    nms_max_new: int = 128        # static candidate capacity in nms mode
 
 
 class MonoTable(NamedTuple):
@@ -66,9 +73,15 @@ def mono_tracker_step(table: MonoTable, pyr_prev, pyr_cur,
                            age=jnp.where(survived, table.age + 1, 0))
 
     score = detect.shi_tomasi_score(pyr_cur[0])
-    cand_xy, cand_ok = detect.select_grid_features(
-        score, table.pos, table.alive, cfg.cell_size,
-        margin=cfg.detect_margin, min_score=cfg.min_score)
+    if cfg.detect_mode == "nms":
+        cand_xy, cand_ok = detect.nms_select(
+            score, table.pos, table.alive, cfg.nms_radius,
+            margin=cfg.detect_margin, min_score=cfg.min_score,
+            max_new=cfg.nms_max_new)
+    else:
+        cand_xy, cand_ok = detect.select_grid_features(
+            score, table.pos, table.alive, cfg.cell_size,
+            margin=cfg.detect_margin, min_score=cfg.min_score)
 
     # compact births into free slots (shared machinery with the stereo
     # frontend — dummy-row scatter avoids duplicate-index hazards)

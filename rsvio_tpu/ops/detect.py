@@ -163,3 +163,57 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
             # Suppress the winner before picking the next one.
             cells = cells.at[jnp.arange(gh * gw), best].set(-jnp.inf)
     return jnp.concatenate(xy_all, axis=0), jnp.concatenate(ok_all, axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("radius", "margin", "max_new"))
+def nms_select(score, occupied_xy, occupied_mask, radius: int,
+               margin: int = 19, min_score: float = 10.0,
+               max_new: int = 128):
+    """Block non-max-suppression corner selection with min-distance
+    suppression against existing tracks.
+
+    Capability of ref feature_tracker/src/feature_tracker/feature_detection.rs:
+      * :172-254 — block-based NMS (imageproc-style): a pixel survives only
+        if it is the maximum within `radius` and above threshold
+      * :62-69 — existing tracked features are injected as maximum-score
+        corners, so every new detection keeps at least `radius` px distance
+        from every live track
+
+    TPU-first design: the per-block scan of the reference becomes ONE
+    lax.reduce_window max-pool over a (2r+1)² window; peaks are pixels equal
+    to their pooled max. Injected +inf scores at live track positions
+    suppress any candidate within the radius. Survivors are ranked by score
+    with one top_k (the reference sorts candidates by score too).
+
+    Returns:
+      cand_xy: (max_new, 2) float (x, y) positions, score-descending.
+      cand_ok: (max_new,) bool validity.
+    """
+    H, W = score.shape
+    dtype = score.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    # Inject live tracks as untouchable maxima (ref :62-69).
+    occ_x = jnp.clip(jnp.round(occupied_xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    occ_y = jnp.clip(jnp.round(occupied_xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    inject = jnp.zeros((H, W), dtype).at[occ_y, occ_x].max(
+        jnp.where(occupied_mask, big, jnp.asarray(0, dtype)))
+    s_inj = jnp.maximum(score, inject)
+
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        s_inj, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_border = ((yy >= margin) & (yy < H - margin) &
+                 (xx >= margin) & (xx < W - margin))
+    is_peak = ((score >= pooled) & (score > min_score) & in_border
+               & (inject <= 0))
+
+    flat = jnp.where(is_peak, score, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_new)
+    cand_xy = jnp.stack([(idx % W).astype(dtype),
+                         (idx // W).astype(dtype)], axis=1)
+    return cand_xy, vals > -jnp.inf

@@ -90,6 +90,13 @@ class TrackerConfig:
     # "pallas" (kernel; interpret mode off-TPU), or "xla" (gather-based
     # path — exact arbitrary-angle SE2 warp, any device).
     backend: str = "auto"
+    # Detection mode: "grid" = per-cell argmax with cell occupancy (main
+    # crate, ref image_utilities.rs:108-175); "nms" = block NMS + min-dist
+    # suppression vs live tracks (experimental crate,
+    # ref feature_detection.rs:172-254, 62-69).
+    detect_mode: str = "grid"
+    nms_radius: int = 10
+    nms_max_new: int = 128
 
 
 @dataclasses.dataclass
@@ -219,6 +226,9 @@ def make_estimator_config(cfg: Config):
         min_score=cfg.tracker.min_corner_score,
         max_per_cell=cfg.feature_detection.max_features_per_grid,
         klt=klt_cfg,
+        detect_mode=cfg.tracker.detect_mode,
+        nms_radius=cfg.tracker.nms_radius,
+        nms_max_new=cfg.tracker.nms_max_new,
     )
     ecfg = est.EstimatorConfig(
         frontend=fe_cfg,

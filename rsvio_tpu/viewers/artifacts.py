@@ -129,6 +129,42 @@ class ArtifactViewer(Viewer):
         except OSError:
             pass
 
+    # --- feature-tracker debug surface (ref feature_tracker/src/viewer.rs:6-97)
+
+    def log_labeled_points(self, path: str, uv: np.ndarray, labels) -> None:
+        try:
+            fname = os.path.join(self.out_dir,
+                                 f"{_sanitize(path)}_labels.txt")
+            with open(fname, "a") as f:
+                # +0.5: pixel-center convention (ref log_feature_points).
+                for (x, y), lab in zip(np.asarray(uv), labels):
+                    f.write(f"{self._frame} {x + 0.5:.2f} {y + 0.5:.2f} "
+                            f"{lab}\n")
+        except OSError:
+            pass
+
+    def log_pyramid(self, path: str, pyramid) -> None:
+        if not self._want_image():
+            return
+        for i, level in enumerate(pyramid):
+            self._write_image(f"{path}_level{i}", np.asarray(level))
+
+    def log_float_map(self, path: str, arr: np.ndarray) -> None:
+        if not self._want_image():
+            return
+        try:
+            import cv2
+            a = np.asarray(arr, dtype=np.float32)
+            lo, hi = float(a.min()), float(a.max())
+            u8 = ((a - lo) / max(hi - lo, 1e-9) * 255.0).astype(np.uint8)
+            vis = cv2.applyColorMap(u8, cv2.COLORMAP_TURBO)
+            fname = os.path.join(self.out_dir, "frames",
+                                 f"{_sanitize(path)}_{self._frame:06d}.png")
+            cv2.imwrite(fname, vis)
+            self._n_images += 1
+        except Exception:
+            pass
+
     def log_trajectory(self, path: str, positions: np.ndarray) -> None:
         positions = np.asarray(positions)
         try:

@@ -59,6 +59,21 @@ class Viewer:
 
     def log_trajectory(self, path: str, positions: np.ndarray) -> None: ...
 
+    # --- feature-tracker debug surface (ref feature_tracker/src/viewer.rs:6-97)
+
+    def log_labeled_points(self, path: str, uv: np.ndarray,
+                           labels: Sequence[str]) -> None:
+        """2D feature points with text labels, logged at pixel CENTERS
+        (+0.5 offset like ref viewer.rs log_feature_points)."""
+
+    def log_pyramid(self, path: str, pyramid: Sequence[np.ndarray]) -> None:
+        """All pyramid levels under `path`/level_<i>, coarser levels drawn
+        on top (ref viewer.rs pyramid draw-order semantics)."""
+
+    def log_float_map(self, path: str, arr: np.ndarray) -> None:
+        """A float-valued map (corner scores, depth, residuals) rendered
+        with a colormap (ref viewer.rs DepthImage logging)."""
+
 
 class NullViewer(Viewer):
     """No-op viewer (used when rerun is unavailable or disabled; degrades the

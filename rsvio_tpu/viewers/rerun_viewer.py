@@ -155,3 +155,47 @@ class RerunViewer(Viewer):
                 [np.asarray(positions)], colors=[[255, 165, 0]]))  # orange
         except Exception:
             self._initialized = False
+
+    # --- feature-tracker debug surface (ref feature_tracker/src/viewer.rs:6-97)
+
+    def log_labeled_points(self, path: str, uv: np.ndarray, labels) -> None:
+        if not self._guard():
+            return
+        try:
+            # +0.5: log at pixel centers (ref viewer.rs log_feature_points).
+            self._rr.log(path, self._rr.Points2D(
+                np.asarray(uv, dtype=np.float32) + 0.5,
+                labels=[str(s) for s in labels], radii=2.0))
+        except Exception:
+            self._initialized = False
+
+    def log_pyramid(self, path: str, pyramid) -> None:
+        if not self._guard():
+            return
+        try:
+            for i, level in enumerate(pyramid):
+                u8 = np.clip(np.asarray(level), 0, 255).astype(np.uint8)
+                # Coarser levels drawn on top (ref viewer.rs draw-order).
+                self._rr.log(f"{path}/level_{i}",
+                             self._rr.Image(u8, draw_order=float(i))
+                             .compress(jpeg_quality=75))
+        except Exception:
+            self._initialized = False
+
+    def log_float_map(self, path: str, arr: np.ndarray) -> None:
+        if not self._guard():
+            return
+        # Float maps as DepthImage with a colormap (ref viewer.rs:6-97);
+        # colormap support varies by SDK version, so its absence must not
+        # be treated as connection loss.
+        cmap = None
+        try:
+            cmap = self._rr.components.Colormap.Turbo
+        except Exception:
+            pass
+        try:
+            a = np.asarray(arr, dtype=np.float32)
+            self._rr.log(path, self._rr.DepthImage(a) if cmap is None
+                         else self._rr.DepthImage(a, colormap=cmap))
+        except Exception:
+            self._initialized = False

@@ -91,3 +91,79 @@ class TestGridSelect:
             score, jnp.zeros((1, 2)), jnp.zeros(1, dtype=bool),
             cell_size=32, margin=8, min_score=10.0)
         assert not np.asarray(cand_ok).any()
+
+
+class TestNMSSelect:
+    """Block NMS + min-dist suppression (ref experimental crate
+    feature_detection.rs:172-254 block NMS, :62-69 live-track injection)."""
+
+    @staticmethod
+    def _score(H=128, W=128, peaks=((40, 40, 100.0), (40, 46, 80.0),
+                                    (90, 100, 60.0))):
+        s = np.zeros((H, W), np.float32)
+        for y, x, v in peaks:
+            s[y, x] = v
+        return jnp.asarray(s)
+
+    def test_min_dist_and_score_order(self):
+        score = self._score()
+        xy, ok = detect.nms_select(
+            score, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            radius=8, margin=4, min_score=1.0, max_new=8)
+        xy, ok = np.asarray(xy), np.asarray(ok)
+        got = [tuple(p) for p, o in zip(xy, ok) if o]
+        # (40,46) is within radius 8 of the stronger (40,40): suppressed.
+        assert got == [(40.0, 40.0), (100.0, 90.0)]
+
+    def test_separated_peaks_both_survive_at_small_radius(self):
+        score = self._score()
+        xy, ok = detect.nms_select(
+            score, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            radius=3, margin=4, min_score=1.0, max_new=8)
+        got = {tuple(p) for p, o in zip(np.asarray(xy), np.asarray(ok)) if o}
+        assert got == {(40.0, 40.0), (46.0, 40.0), (100.0, 90.0)}
+
+    def test_live_track_suppresses_neighborhood(self):
+        score = self._score()
+        # Live track right next to the strongest peak.
+        xy, ok = detect.nms_select(
+            score, jnp.asarray([[38.0, 41.0]]), jnp.ones(1, bool),
+            radius=8, margin=4, min_score=1.0, max_new=8)
+        got = {tuple(p) for p, o in zip(np.asarray(xy), np.asarray(ok)) if o}
+        assert (40.0, 40.0) not in got and (46.0, 40.0) not in got
+        assert (100.0, 90.0) in got
+
+    def test_dead_track_does_not_suppress(self):
+        score = self._score()
+        xy, ok = detect.nms_select(
+            score, jnp.asarray([[38.0, 41.0]]), jnp.zeros(1, bool),
+            radius=8, margin=4, min_score=1.0, max_new=8)
+        got = {tuple(p) for p, o in zip(np.asarray(xy), np.asarray(ok)) if o}
+        assert (40.0, 40.0) in got
+
+    def test_margin_and_threshold(self):
+        score = self._score(peaks=((2, 2, 500.0), (64, 64, 0.5)))
+        _, ok = detect.nms_select(
+            score, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            radius=5, margin=10, min_score=1.0, max_new=8)
+        assert not np.asarray(ok).any()
+
+    def test_frontend_runs_in_nms_mode(self):
+        from rsvio_tpu.models.frontend import (FrontendConfig, frontend_step,
+                                               init_table)
+        from rsvio_tpu.ops import pyramid
+        from rsvio_tpu.ops.klt import KLTConfig
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+        cfg = FrontendConfig(capacity=64, detect_mode="nms", nms_radius=6,
+                             nms_max_new=32, detect_margin=8, min_score=5.0,
+                             klt=KLTConfig(levels=2, backend="xla"))
+        pyr = pyramid.build_pyramid(img, 2)
+        table = init_table(64)
+        table, stats = frontend_step(table, pyr, pyr, pyr, pyr, cfg)
+        assert int(stats["alive"]) > 0
+        # births respect min-dist: pairwise distance >= radius
+        pos = np.asarray(table.pos0)[np.asarray(table.alive)]
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        np.fill_diagonal(d, 1e9)
+        assert d.min() > 6.0 - 1e-3

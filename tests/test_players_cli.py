@@ -271,8 +271,13 @@ class TestTartanAirCLI:
         rc = main([str(seq), "--max-frames", "5", "--levels", "3",
                    "--capacity", "64", "--quiet", "--viewer-dir", vdir])
         assert rc == 0
-        assert any(f.startswith("tartanair_left")
-                   for f in os.listdir(os.path.join(vdir, "frames")))
+        frames = os.listdir(os.path.join(vdir, "frames"))
+        assert any(f.startswith("tartanair_left") for f in frames)
+        # FT debug surface (ref feature_tracker/src/viewer.rs:6-97):
+        # pyramid levels, colormapped score map, labeled points.
+        assert any("tartanair_pyramid_level" in f for f in frames), frames
+        assert any(f.startswith("tartanair_shi_tomasi") for f in frames)
+        assert os.path.exists(os.path.join(vdir, "tartanair_labels_labels.txt"))
 
     def test_run_tartanair_with_config_file(self, tmp_path):
         """--config drives the experimental-crate tracker schema (arbitrary

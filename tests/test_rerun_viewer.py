@@ -53,8 +53,8 @@ def _make_stub(recorder):
             self.kwargs = k
 
     class Image(_Archetype):
-        def __init__(self, data):
-            super().__init__(data)
+        def __init__(self, data, **k):
+            super().__init__(data, **k)
             self.data = data
             self.compressed = None
 
@@ -71,6 +71,7 @@ def _make_stub(recorder):
     rr.Quaternion = _Archetype
     rr.Pinhole = _Archetype
     rr.LineStrips3D = _Archetype
+    rr.DepthImage = _Archetype
     return rr
 
 
@@ -148,3 +149,39 @@ class TestRerunViewer:
         v.initialize()
         v.log_pose("pose_current", np.eye(4))
         assert isinstance(v, NullViewer) or not v._initialized
+
+
+class TestFTDebugSurface:
+    """Feature-tracker debug logging (ref feature_tracker/src/viewer.rs:6-97):
+    labeled points at pixel centers, pyramid levels with draw order, float
+    maps as DepthImage."""
+
+    def test_labeled_points_pixel_center_offset(self, viewer_and_recorder):
+        v, rec = viewer_and_recorder
+        v.log_labeled_points("ft/pts", np.array([[3.0, 7.0]]), ["42"])
+        (_, path, obj), = [c for c in rec.calls
+                           if c[0] == "log" and c[1] == "ft/pts"]
+        np.testing.assert_allclose(obj.args[0], [[3.5, 7.5]])
+        assert obj.kwargs["labels"] == ["42"]
+
+    def test_pyramid_levels_draw_order(self, viewer_and_recorder):
+        v, rec = viewer_and_recorder
+        pyr = [np.zeros((16, 16)), np.zeros((8, 8)), np.zeros((4, 4))]
+        v.log_pyramid("ft/pyr", pyr)
+        logged = [(c[1], c[2]) for c in rec.calls if c[0] == "log"
+                  and c[1].startswith("ft/pyr/level_")]
+        assert [p for p, _ in logged] == ["ft/pyr/level_0", "ft/pyr/level_1",
+                                          "ft/pyr/level_2"]
+        # Coarser level on top (higher draw order), all JPEG-compressed.
+        orders = [o.kwargs["draw_order"] for _, o in logged]
+        assert orders == [0.0, 1.0, 2.0]
+        assert all(o.compressed == 75 for _, o in logged)
+
+    def test_float_map_is_depth_image(self, viewer_and_recorder):
+        v, rec = viewer_and_recorder
+        v.log_float_map("ft/score", np.random.rand(8, 8))
+        (_, path, obj), = [c for c in rec.calls
+                           if c[0] == "log" and c[1] == "ft/score"]
+        assert obj.args[0].dtype == np.float32
+        # Missing colormap support must NOT degrade the viewer.
+        assert v._initialized
