@@ -1,0 +1,76 @@
+"""Distributed per-frame estimator (landmark-sharded window BA inside the
+full VO pipeline) must reproduce the single-device estimator's trajectory
+on a rendered synthetic sequence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvio_tpu.models import estimator as est
+from rsvio_tpu.models.frontend import FrontendConfig
+from rsvio_tpu.ops import cameras
+from rsvio_tpu.ops.klt import KLTConfig
+from rsvio_tpu.parallel import mesh as mesh_mod
+from rsvio_tpu.parallel.dist_estimator import make_distributed_estimator_step
+
+from test_estimator import (BASELINE, CX, CY, FX, FY, H, STEP_M, W,
+                            sequence)  # noqa: F401  (fixture)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_mod.make_mesh(8)
+
+
+def _cfg(use_marg: bool) -> est.EstimatorConfig:
+    return est.EstimatorConfig(
+        frontend=FrontendConfig(capacity=96, cell_size=28, detect_margin=10,
+                                min_score=5.0,
+                                klt=KLTConfig(levels=3, max_iterations=12,
+                                              backend="xla")),
+        window_size=4, translation_threshold=0.012,
+        rotation_threshold=0.05, image_shape=(H, W),
+        use_marginalization=use_marg)
+
+
+def _rig():
+    params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                 [FX, FY, CX, CY], [0, 0, 0, 0])
+    return est.make_rig(params, params,
+                        jnp.eye(4, dtype=jnp.float32),
+                        jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+
+
+@pytest.mark.parametrize("use_marg", [False, True],
+                         ids=["fifo", "marginalized"])
+def test_matches_single_device_trajectory(sequence, mesh8, use_marg):  # noqa: F811
+    cfg = _cfg(use_marg)
+    rig = _rig()
+    local = est.make_estimator_step(cfg)
+    dist = make_distributed_estimator_step(cfg, mesh8)
+    s_l, s_d = est.init_state(cfg), est.init_state(cfg)
+    xs_l, xs_d = [], []
+    for l, r in sequence:
+        l, r = jnp.asarray(l), jnp.asarray(r)
+        s_l, o_l = local(s_l, rig, l, r)
+        s_d, o_d = dist(s_d, rig, l, r)
+        assert bool(o_d.is_keyframe) == bool(o_l.is_keyframe)
+        xs_l.append(float(o_l.T_W_B[0, 3]))
+        xs_d.append(float(o_d.T_W_B[0, 3]))
+    xs_l, xs_d = np.asarray(xs_l), np.asarray(xs_d)
+    # Same trajectory up to solver-ordering noise (dist BA matches local to
+    # ~1e-3; per-frame compounding stays within a few mm on this scene).
+    np.testing.assert_allclose(xs_d, xs_l, atol=5e-3)
+    # And it actually tracks the motion.
+    d_gt = STEP_M * (len(xs_l) - 1 - 6)
+    assert abs((xs_d[-1] - xs_d[6]) - d_gt) < 0.3 * d_gt
+
+
+def test_capacity_must_divide_mesh(mesh8):
+    cfg = _cfg(False)
+    bad = cfg._replace(frontend=cfg.frontend._replace(capacity=100))
+    with pytest.raises(ValueError):
+        make_distributed_estimator_step(bad, mesh8)

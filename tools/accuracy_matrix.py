@@ -74,7 +74,7 @@ def main():
     # 752x480; a reduced-width CPU smoke needs proportional cell/margin and
     # fewer pyramid levels to keep the top level bigger than a patch).
     scale = W / 752.0
-    levels = args.levels or max(3, min(6, int(np.log2(W / 12))))
+    levels = args.levels or max(3, min(6, int(round(np.log2(W / 12)))))
     cell = args.cell or max(16, int(round(50 * scale)))
     margin = args.margin or max(6, int(round(19 * scale)))
     scene_names = args.scenes or list(syn.MATRIX_SCENES)
