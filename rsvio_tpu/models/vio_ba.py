@@ -515,20 +515,30 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), state, st)
     lms_out = jnp.where(success, lms, landmarks)
 
-    # ---- next prior: marginalize state 0 of the final linearized,
-    # landmark-eliminated system (small damping keeps weakly-observed
-    # landmark blocks invertible; mirrors ba.solve_ba_marginalized) ----
-    sys_f, _ = lin_sys(st_out, lms_out)
-    H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = damp(
-        sys_f, jnp.asarray(1e-5, dtype))
-    H_ll_inv_f, _ = ba_mod._inv3x3(H_ll_f)
-    A_f = jnp.einsum("wlij,ljk->wlik", H_pl6_f, H_ll_inv_f)
-    S6_f = jnp.einsum("wlik,vljk->wvij", A_f, H_pl6_f)
-    S_f = H_ss_f.at[:, :, :6, :6].add(-S6_f) \
-        .transpose(0, 2, 1, 3).reshape(W * D, W * D)
-    g_f = g_s_f.at[:, :6].add(
-        -jnp.einsum("wlik,lk->wi", A_f, g_l_f)).reshape(W * D)
-    new_prior = marginalize_oldest(S_f, g_f, st_out.T_W_B, _extra(st_out),
+    # ---- next prior: marginalize state 0 of the EVICTION system — only the
+    # information that actually LEAVES the active window: the current prior
+    # (which involves state 0) plus the IMU factor joining states 0-1 (its
+    # preintegrated interval rolls out with the evicted keyframe). Folding
+    # the FULL final window system here (all visual + all IMU factors +
+    # prior) re-counts every surviving factor at every eviction; the
+    # compounding overconfidence pins biases/velocities to early estimates
+    # and measurably wrecks the trajectory (device accuracy matrix before
+    # this fix: vio_marg 0.53 m vs vio_fifo 0.06 m ATE on depth_6dof).
+    # Visual information is used only while its observations are in the
+    # window — counted exactly once.
+    H_add_f, g_add_f, _ = prior_terms(prior, st_out.T_W_B, _extra(st_out))
+    r0, J0_i, J0_j = _imu_linearize_one(
+        jax.tree.map(lambda x: x[0], preint), st_out, 0, cfg, sqrt_infos[0])
+    w0 = preint_valid[0].astype(dtype)
+    H_ev = H_add_f
+    H_ev = H_ev.at[:D, :D].add(w0 * (J0_i.T @ J0_i))
+    H_ev = H_ev.at[D:2 * D, D:2 * D].add(w0 * (J0_j.T @ J0_j))
+    H_ev = H_ev.at[:D, D:2 * D].add(w0 * (J0_i.T @ J0_j))
+    H_ev = H_ev.at[D:2 * D, :D].add(w0 * (J0_j.T @ J0_i))
+    g_ev = g_add_f
+    g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
+    g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
+    new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B, _extra(st_out),
                                    prior, D)
     do_new = will_evict & success
     out_prior = jax.tree.map(

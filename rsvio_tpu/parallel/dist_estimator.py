@@ -25,9 +25,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models import ba as ba_mod
+from ..models import ba as ba_mod  # noqa: F401  (re-export convenience)
 from ..models import estimator as est
-from . import dist_ba
+from . import dist_ba, dist_vio_ba
 
 
 def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
@@ -138,6 +138,231 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 obs_fid=state.obs_fid,
                 lm=state.lm, lm_fid=state.lm_fid, marg_prior=marg_prior,
                 T_W_B=T_cur, last_kf_T_W_B=state.last_kf_T_W_B,
+                frame_id=state.frame_id + 1)
+
+        out = est.FrameOutput(
+            T_W_B=new_state.T_W_B, is_keyframe=is_kf,
+            pnp_success=pnp_success, ba_success=ba_ok, ba_iterations=ba_it,
+            ba_final_cost=ba_cost, n_tracked=fstats["tracked"],
+            n_landmarks=jnp.sum(
+                ((new_state.lm_fid == table.fid)
+                 & (new_state.lm_fid >= 0)).astype(jnp.int32)),
+            n_alive=fstats["alive"])
+        return new_state, out
+
+    return step
+
+
+def make_distributed_vio_estimator_step(vcfg, mesh):
+    """Distributed VISUAL-INERTIAL per-frame step: the full VIO pipeline
+    (IMU buffering + prediction, frontend, PnP, keyframe policy) with the
+    joint 15-dim-state window solve landmark-sharded over `mesh` via
+    parallel.dist_vio_ba. Same host-orchestrated structure and rationale as
+    make_distributed_estimator_step; parity with the fused single-device
+    VIO step is asserted by tests/test_dist_estimator.py.
+
+    vcfg: models.estimator_vio.VIOEstimatorConfig.
+    Signature matches make_vio_estimator_step:
+    (state, rig, img0, img1, gyro, accel, dts, imu_mask) -> (state, out).
+    """
+    from ..models import estimator_vio as ev
+    from ..models import imu as imu_mod
+    from ..models import vio_ba
+    from ..ops import lie, pyramid
+    from ..models.frontend import frontend_step
+
+    b = vcfg.base
+    W = b.window_size
+    N = b.frontend.capacity
+    n_dev = mesh.devices.size
+    if N % n_dev:
+        raise ValueError(f"capacity {N} not divisible by mesh size {n_dev}")
+    B_cap = vcfg.interval_buf
+
+    @jax.jit
+    def j_front(state: ev.VIOEstimatorState, rig, img0, img1, gyro, accel,
+                dts, imu_mask):
+        """Frame work before the keyframe branch (identical algebra to the
+        fused step, ref models/estimator_vio.py make_vio_estimator_step)."""
+        pyr0 = pyramid.build_pyramid(img0, b.frontend.klt.levels)
+        pyr1 = pyramid.build_pyramid(img1, b.frontend.klt.levels)
+
+        frame_pre = imu_mod.preintegrate(gyro, accel, dts, imu_mask,
+                                         state.bg, state.ba, vcfg.imu_params)
+        have_samples = jnp.any(imu_mask)
+        n_new = jnp.sum(imu_mask.astype(jnp.int32))
+        tgt = state.buf_count + jnp.cumsum(imu_mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(imu_mask, jnp.clip(tgt, 0, B_cap - 1), B_cap)
+
+        def buf_scatter(buf, vals):
+            padded = jnp.concatenate([buf, buf[-1:]], axis=0)
+            return padded.at[tgt].set(vals)[:B_cap]
+
+        buf_gyro = buf_scatter(state.buf_gyro, gyro)
+        buf_accel = buf_scatter(state.buf_accel, accel)
+        buf_dts = buf_scatter(state.buf_dts, dts)
+        buf_count = jnp.minimum(state.buf_count + n_new, B_cap)
+
+        table_in = state.table._replace(
+            alive=state.table.alive & (state.frame_id > 0))
+        table, fstats = frontend_step(
+            table_in, state.pyr0, state.pyr1, pyr0, pyr1, b.frontend)
+        obs_cur, obs_cur_mask = est._undistort_table(b, rig, table)
+
+        window_full = state.kf_count >= W
+        pnp_ready = window_full if not b.track_before_full else (
+            state.kf_count >= 1)
+
+        T_pred, v_pred = ev._imu_predict(state.T_W_B, state.vel, frame_pre)
+        T_pred = jax.tree.map(
+            lambda a, b_: jnp.where(have_samples, a, b_), T_pred,
+            state.T_W_B)
+        v_pred = jnp.where(have_samples, v_pred, state.vel)
+
+        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
+        pnp_mask = obs_cur_mask & lm_ok[None, :]
+
+        from ..models import pnp as pnp_mod
+
+        def run_pnp(_):
+            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
+                                    obs_cur, pnp_mask, b.pnp)
+            return res.T_W_B, res.success
+
+        T_pnp, pnp_success = jax.lax.cond(
+            pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
+        T_cur = jnp.where(pnp_success, T_pnp, T_pred)
+
+        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
+        is_kf = jnp.where(
+            window_full,
+            (jnp.linalg.norm(T_rel[:3, 3]) > b.translation_threshold)
+            | (lie.rotation_angle(T_rel[:3, :3]) > b.rotation_threshold),
+            True)
+        return (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
+                buf_gyro, buf_accel, buf_dts, buf_count,
+                T_cur, v_pred, pnp_success, is_kf)
+
+    @jax.jit
+    def j_kf_pre(state: ev.VIOEstimatorState, rig, table, obs_cur,
+                 obs_cur_mask, buf_gyro, buf_accel, buf_dts, buf_count,
+                 T_cur, v_cur):
+        """Keyframe prologue: triangulation, window/preint rolls, interval
+        re-preintegration at the current bias (same as the fused kf_branch
+        pre-BA)."""
+        window_full = state.kf_count >= W
+        lm, lm_fid = est._triangulate_new(rig, T_cur, obs_cur, table,
+                                          state.lm, state.lm_fid)
+        ins = jnp.minimum(state.kf_count, W - 1)
+
+        def roll_if_full(arr):
+            return jnp.where(window_full, jnp.roll(arr, -1, axis=0), arr)
+
+        kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
+        kf_v = roll_if_full(state.kf_vel).at[ins].set(v_cur)
+        kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
+        kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
+        obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
+        obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
+        obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+
+        buf_mask = jnp.arange(B_cap) < buf_count
+        run_pre = imu_mod.preintegrate(
+            buf_gyro, buf_accel, buf_dts, buf_mask,
+            state.bg, state.ba, vcfg.imu_params)
+        run_valid = (buf_count > 0) & (buf_count < B_cap)
+        pre_roll = jax.tree.map(
+            lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
+            state.kf_preint)
+        pv_roll = jnp.where(window_full,
+                            jnp.roll(state.kf_preint_valid, -1),
+                            state.kf_preint_valid)
+        slot = jnp.clip(ins - 1, 0, W - 2)
+        kf_pre = jax.tree.map(
+            lambda arr, v: arr.at[slot].set(
+                jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
+        kf_pv = pv_roll.at[slot].set(
+            jnp.where(ins > 0, run_valid, pv_roll[slot]))
+        kf_count = jnp.minimum(state.kf_count + 1, W)
+
+        eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
+        kf_valid = jnp.arange(W) < kf_count
+        eff_mask = eff_mask & kf_valid[:, None, None]
+        lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+        return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
+                kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid)
+
+    @jax.jit
+    def j_apply(kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid, kf_count,
+                res_st, res_lm, success, rig, obs_w, eff_mask, lm_valid):
+        kf_T = jnp.where(success, res_st.T_W_B, kf_T)
+        kf_v = jnp.where(success, res_st.vel, kf_v)
+        kf_bg = jnp.where(success, res_st.bg, kf_bg)
+        kf_ba_ = jnp.where(success, res_st.ba, kf_ba_)
+        lm = jnp.where(success, res_lm, lm)
+        if b.cull_reproj_threshold > 0.0:
+            bad = est.reprojection_outliers(
+                rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
+                b.cull_reproj_threshold ** 2) & success
+            lm_fid = jnp.where(bad, -1, lm_fid)
+        return kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid
+
+    def step(state: ev.VIOEstimatorState, rig, img0, img1, gyro, accel,
+             dts, imu_mask):
+        (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
+         buf_gyro, buf_accel, buf_dts, buf_count,
+         T_cur, v_pred, pnp_success, is_kf) = j_front(
+            state, rig, img0, img1, gyro, accel, dts, imu_mask)
+
+        ba_ok = jnp.asarray(False)
+        ba_it = jnp.asarray(0, jnp.int32)
+        ba_cost = jnp.asarray(0.0, T_cur.dtype)
+        marg_prior = state.marg_prior
+
+        if bool(is_kf):    # host-level branch (see module docstring)
+            (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
+             kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid) = j_kf_pre(
+                state, rig, table, obs_cur, obs_cur_mask,
+                buf_gyro, buf_accel, buf_dts, buf_count, T_cur, v_pred)
+            kfc = int(kf_count)
+            full_now = (kfc >= W) if not b.track_before_full else (kfc >= 2)
+            if full_now:
+                st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg,
+                                     ba=kf_ba_)
+                if b.use_marginalization:
+                    res, marg_prior = \
+                        dist_vio_ba.solve_vio_ba_marginalized_distributed(
+                            mesh, st, rig.T_C_B, lm, obs_w, eff_mask,
+                            lm_valid, kf_pre, kf_pv, state.marg_prior,
+                            jnp.asarray(kfc >= W), vcfg.vio)
+                else:
+                    res = dist_vio_ba.solve_vio_ba_distributed(
+                        mesh, st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
+                        kf_pre, kf_pv, vcfg.vio)
+                ba_ok, ba_it, ba_cost = (res.success, res.iterations,
+                                         res.final_cost)
+                kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid = j_apply(
+                    kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid, kf_count,
+                    res.state, res.landmarks, res.success, rig, obs_w,
+                    eff_mask, lm_valid)
+            newest = min(kfc, W) - 1
+            new_state = ev.VIOEstimatorState(
+                table=table, pyr0=pyr0, pyr1=pyr1,
+                kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
+                kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+                kf_preint=kf_pre, kf_preint_valid=kf_pv,
+                buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
+                buf_count=jnp.zeros_like(buf_count),  # keyframe resets buffer
+                lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
+                T_W_B=kf_T[newest], vel=kf_v[newest], bg=kf_bg[newest],
+                ba=kf_ba_[newest], last_kf_T_W_B=kf_T[newest],
+                frame_id=state.frame_id + 1)
+        else:
+            new_state = state._replace(
+                table=table, pyr0=pyr0, pyr1=pyr1,
+                buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
+                buf_count=buf_count,
+                T_W_B=T_cur, vel=v_pred,
                 frame_id=state.frame_id + 1)
 
         out = est.FrameOutput(

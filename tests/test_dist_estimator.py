@@ -74,3 +74,39 @@ def test_capacity_must_divide_mesh(mesh8):
     bad = cfg._replace(frontend=cfg.frontend._replace(capacity=100))
     with pytest.raises(ValueError):
         make_distributed_estimator_step(bad, mesh8)
+
+
+@pytest.mark.parametrize("use_marg", [False, True],
+                         ids=["fifo", "marginalized"])
+def test_vio_matches_single_device(sequence, mesh8, use_marg):  # noqa: F811
+    """Distributed VIO estimator (15-dim states + IMU factors, landmark-
+    sharded window solve) reproduces the fused single-device VIO step."""
+    from rsvio_tpu.models import estimator_vio as ev
+    from rsvio_tpu.models import imu as imu_mod
+    from rsvio_tpu.parallel.dist_estimator import (
+        make_distributed_vio_estimator_step)
+
+    cfg = ev.VIOEstimatorConfig(base=_cfg(use_marg))
+    rig = _rig()
+    local = ev.make_vio_estimator_step(cfg)
+    dist = make_distributed_vio_estimator_step(cfg, mesh8)
+    s_l = ev.init_vio_state(cfg)
+    s_d = ev.init_vio_state(cfg)
+
+    S = 10
+    gyro = jnp.zeros((S, 3))
+    accel = jnp.zeros((S, 3)).at[:, 2].set(imu_mod.GRAVITY)
+    dts = jnp.full((S,), 0.005)
+    msk = jnp.ones((S,), dtype=bool)
+
+    xs_l, xs_d = [], []
+    for l, r in sequence[:10]:
+        l, r = jnp.asarray(l), jnp.asarray(r)
+        s_l, o_l = local(s_l, rig, l, r, gyro, accel, dts, msk)
+        s_d, o_d = dist(s_d, rig, l, r, gyro, accel, dts, msk)
+        assert bool(o_d.is_keyframe) == bool(o_l.is_keyframe)
+        xs_l.append(float(o_l.T_W_B[0, 3]))
+        xs_d.append(float(o_d.T_W_B[0, 3]))
+    np.testing.assert_allclose(np.asarray(xs_d), np.asarray(xs_l), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s_d.vel), np.asarray(s_l.vel),
+                               atol=1e-2)
