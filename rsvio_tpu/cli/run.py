@@ -149,7 +149,20 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             # IMU stream (first ~0.5 s): initial attitude + gyro bias.
             ts0 = imu_data["ts"][0]
             init_sel = imu_data["ts"] <= ts0 + int(0.5e9)
+            static_ok = False
             if init_sel.sum() >= 5:
+                # Stillness gate: on a dataset that starts in motion the
+                # sample means are wrong bias/gravity seeds and the bootstrap
+                # would tilt the attitude — fall back to identity init.
+                static_ok, info = ev.quasi_static_check(
+                    imu_data["gyro"][init_sel], imu_data["accel"][init_sel])
+                if not static_ok:
+                    log.warning(
+                        "VIO init: first 0.5 s of IMU not quasi-static "
+                        "(gyro_std=%.4f accel_std=%.3f |accel|=%.3f) — "
+                        "using identity init", info["gyro_std"],
+                        info["accel_std"], info["accel_norm"])
+            if static_ok:
                 state = ev.initialize_vio_state(
                     vcfg, imu_data["gyro"][init_sel],
                     imu_data["accel"][init_sel], dtype=dtype)

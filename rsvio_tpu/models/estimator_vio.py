@@ -170,6 +170,34 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
     )
 
 
+def quasi_static_check(gyro, accel, gyro_std_max: float = 0.05,
+                       accel_std_max: float = 0.3,
+                       gravity_tol: float = 0.05):
+    """Validate that an IMU sample window is quasi-static, i.e. usable for
+    the gravity-aligned bootstrap.
+
+    On a dataset that starts in motion, mean(gyro) is a WRONG gyro-bias seed
+    and mean(accel) includes inertial acceleration, so the bootstrap would
+    produce a tilted attitude — actively worse than the identity init. Gate:
+
+      * per-axis gyro sample std below `gyro_std_max` (rad/s),
+      * per-axis accel sample std below `accel_std_max` (m/s^2),
+      * |mean(accel)| within `gravity_tol` (relative) of 9.81.
+
+    Returns (ok: bool, info: dict) — host-side (numpy), called once at init.
+    """
+    import numpy as _np
+    gyro = _np.asarray(gyro, _np.float64)
+    accel = _np.asarray(accel, _np.float64)
+    gyro_std = float(_np.max(gyro.std(axis=0))) if len(gyro) > 1 else 0.0
+    accel_std = float(_np.max(accel.std(axis=0))) if len(accel) > 1 else 0.0
+    acc_norm = float(_np.linalg.norm(accel.mean(axis=0)))
+    ok = (gyro_std <= gyro_std_max and accel_std <= accel_std_max
+          and abs(acc_norm - imu_mod.GRAVITY) <= gravity_tol * imu_mod.GRAVITY)
+    return ok, {"gyro_std": gyro_std, "accel_std": accel_std,
+                "accel_norm": acc_norm}
+
+
 def initialize_vio_state(cfg: VIOEstimatorConfig, gyro, accel,
                          dtype=jnp.float32) -> VIOEstimatorState:
     """Gravity-aligned VIO bootstrap (VINS-style static initialization).

@@ -89,7 +89,7 @@ def prior_terms(prior: MargPrior, T_W_B, extra):
 
 
 def marginalize_oldest(H_full, g_full, T_W_B, extra, prior_in: MargPrior,
-                       B: int, eps: float = 1e-8) -> MargPrior:
+                       B: int, eps: float = 1e-5) -> MargPrior:
     """Absorb state 0 of a linearized window system into a new prior and
     shift the result down one slot (matching the window roll).
 
@@ -98,12 +98,23 @@ def marginalize_oldest(H_full, g_full, T_W_B, extra, prior_in: MargPrior,
       g_full: (W*B,) gradient at the linearization point (dx = 0).
       T_W_B, extra: the linearization point (current window states).
       prior_in: used only for dtype/shape.
+      eps: RELATIVE ridge on the marginalized block, scaled by the largest
+        diagonal entry of H_mm. An absolute ridge is meaningless here: H_mm
+        entries reach O(1e5) (whitened IMU Jacobians are O(1e2), squared),
+        so a fixed 1e-8 leaves an effective condition number ~1e13 — far
+        beyond f32 (2^-24) — and the Schur complement amplifies last-bit
+        noise into percent-level prior differences (this was the round-2
+        distributed-parity killer AND destabilized the marginalized-VIO
+        accuracy). The relative ridge bounds cond(H_mm) near 1/eps; it only
+        WEAKENS the prior along weakly-determined directions — exactly where
+        the first-order FEJ approximation is least trustworthy.
     Returns the new MargPrior over the rolled window (last slot empty).
     """
     WB = H_full.shape[0]
     W = WB // B
     dtype = H_full.dtype
-    H_mm = H_full[:B, :B] + eps * jnp.eye(B, dtype=dtype)
+    mm_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(H_full[:B, :B]))), 1.0)
+    H_mm = H_full[:B, :B] + (eps * mm_scale) * jnp.eye(B, dtype=dtype)
     H_mr = H_full[:B, B:]
     H_rr = H_full[B:, B:]
     g_m = g_full[:B]

@@ -209,8 +209,20 @@ def nms_select(score, occupied_xy, occupied_mask, radius: int,
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     in_border = ((yy >= margin) & (yy < H - margin) &
                  (xx >= margin) & (xx < W - margin))
-    is_peak = ((score >= pooled) & (score > min_score) & in_border
-               & (inject <= 0))
+    pre_peak = ((score >= pooled) & (score > min_score) & in_border
+                & (inject <= 0))
+    # Deterministic tie-break: `score >= pooled` passes EVERY pixel tied for
+    # the window maximum (score plateaus, saturated FAST margins), which
+    # would emit two corners closer than `radius`. Two pre-peaks inside one
+    # window necessarily have equal scores (otherwise the smaller one fails
+    # its own pooled test), so resolving ties = keeping, per window, only
+    # the pre-peak with the lowest linear index: one more reduce_window max
+    # over -index restricted to pre-peaks.
+    lin = yy * W + xx
+    neg_idx = jnp.where(pre_peak, (-lin).astype(score.dtype), -jnp.inf)
+    pooled_neg_idx = jax.lax.reduce_window(
+        neg_idx, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    is_peak = pre_peak & (neg_idx >= pooled_neg_idx)
 
     flat = jnp.where(is_peak, score, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_new)

@@ -93,6 +93,14 @@ class KLTConfig(NamedTuple):
     # experimental crate's precomputed (lambda I + J^T J)^-1 LM-KLT,
     # ref feature_tracker/src/patch.rs:239-255). 0 = pure Gauss-Newton.
     lm_lambda: float = 0.0
+    # Patch sampling during BOTH template construction and tracking:
+    # "bilinear" (the main tracker's Pattern52 behavior) or "bicubic"
+    # (Catmull-Rom with analytic gradients — the experimental crate tracks
+    # WITH bicubic sampling, ref
+    # feature_tracker/src/feature_tracker/feature_tracking.rs:129-192 calling
+    # d_interpolate_bicubic, image_operations.rs:140-229). Bicubic runs on
+    # the XLA gather path; backend "auto" routes there automatically.
+    interpolation: str = "bilinear"
     # Per-level downscale of the pyramid the tracker is fed (parity with the
     # experimental crate's arbitrary-ratio pyramids, ref
     # feature_tracker/src/image_operations.rs:47-78 + the per-level
@@ -111,7 +119,8 @@ class PatchData(NamedTuple):
 
 
 def build_patch(img, center, residual_mode: str = "lssd",
-                lm_lambda: float = 0.0, n_dof: int = 3):
+                lm_lambda: float = 0.0, n_dof: int = 3,
+                interpolation: str = "bilinear"):
     """Extract a patch template + precomputed IC step operator at `center`.
 
     Equivalent capability to Pattern52::new (ref src/feature_tracker/patch.rs:75-161):
@@ -132,7 +141,9 @@ def build_patch(img, center, residual_mode: str = "lssd",
     texture.
     """
     pts = center[None, :] + PATTERN  # (P, 2)
-    vals, grads, valid = jax.vmap(interp.bilinear_with_grad, in_axes=(None, 0))(img, pts)
+    sample_grad = (interp.bicubic_with_grad if interpolation == "bicubic"
+                   else interp.bilinear_with_grad)
+    vals, grads, valid = jax.vmap(sample_grad, in_axes=(None, 0))(img, pts)
     validf = valid.astype(img.dtype)
     n_valid = jnp.sum(validf)
     n_safe = jnp.maximum(n_valid, 1.0)
@@ -187,7 +198,8 @@ def build_patch(img, center, residual_mode: str = "lssd",
                      valid_pts=valid, ok=ok)
 
 
-def _patch_residual(img, patch: PatchData, M, residual_mode: str = "lssd"):
+def _patch_residual(img, patch: PatchData, M, residual_mode: str = "lssd",
+                    interpolation: str = "bilinear"):
     """Residual of target samples vs template ("lssd": mean-normalized;
     "ssd": raw difference).
 
@@ -195,7 +207,8 @@ def _patch_residual(img, patch: PatchData, M, residual_mode: str = "lssd"):
     M is the 3x3 SE2 warp whose translation IS the target position.
     """
     pts = PATTERN @ M[:2, :2].T + M[:2, 2][None, :]  # (P, 2)
-    vals, valid = jax.vmap(interp.bilinear, in_axes=(None, 0))(img, pts)
+    sample = interp.bicubic if interpolation == "bicubic" else interp.bilinear
+    vals, valid = jax.vmap(sample, in_axes=(None, 0))(img, pts)
     valid = valid & patch.valid_pts
     validf = valid.astype(img.dtype)
     n_valid = jnp.sum(validf)
@@ -217,7 +230,8 @@ def _track_at_level(img_target, patch: PatchData, M0, cfg: KLTConfig):
 
     def body(_, carry):
         M, active, ok = carry
-        r, r_ok = _patch_residual(img_target, patch, M, cfg.residual_mode)
+        r, r_ok = _patch_residual(img_target, patch, M, cfg.residual_mode,
+                                  cfg.interpolation)
         inc = -(patch.hinv_jt @ r)  # (3,)
         inc_norm_sq = jnp.dot(inc, inc)
         finite = jnp.all(jnp.isfinite(inc)) & (inc_norm_sq < 1e12)
@@ -253,7 +267,8 @@ def _track_one_point(pyr_src, pyr_dst, pos_src, pos_dst0, A0, cfg: KLTConfig):
     for lvl in reversed(range(levels)):
         scale = jnp.asarray((1.0 / cfg.pyramid_ratio)**lvl, dtype=dtype)
         patch = build_patch(pyr_src[lvl], pos_src / scale,
-                            cfg.residual_mode, cfg.lm_lambda, n_dof)
+                            cfg.residual_mode, cfg.lm_lambda, n_dof,
+                            cfg.interpolation)
         M0 = jnp.eye(3, dtype=dtype)
         M0 = M0.at[:2, :2].set(A)
         M0 = M0.at[:2, 2].set(pos / scale)
@@ -374,7 +389,15 @@ def resolve_backend(cfg: KLTConfig) -> str:
     """The backend a KLTConfig will actually run on for the current device
     ("pallas" or "xla"). Every tracker configuration (lssd/ssd residuals,
     fixed-lambda LM damping, SE2 rotation) runs on the kernel — nothing
-    silently falls back to the slow XLA gather path on TPU."""
+    silently falls back to the slow XLA gather path on TPU, EXCEPT bicubic
+    sampling, which only the gather path implements (requesting it with an
+    explicit "pallas" backend is an error rather than a silent downgrade)."""
+    if cfg.interpolation == "bicubic":
+        if cfg.backend == "pallas":
+            raise ValueError(
+                "bicubic interpolation is not implemented in the Pallas "
+                "kernel; use backend='xla' (or 'auto', which routes there)")
+        return "xla"
     if cfg.backend != "auto":
         return cfg.backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"

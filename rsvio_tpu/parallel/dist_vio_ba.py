@@ -251,8 +251,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P(), P()),
-        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(), P(),
-                   P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
@@ -427,22 +426,38 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         success = attempt & (status != ba_mod.STATUS_FAILED)
         st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
         lms_final = jnp.where(success, lms_out, lms)
-
-        # Final linearized, landmark-eliminated system for the next prior.
-        sys_f, _ = lin_sys(st_out, lms_final)
-        H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f = damp(
-            sys_f, jnp.asarray(1e-5, dtype))
-        S_f, g_f, _, _ = reduced(H_ss_f, H_ll_f, H_pl6_f, g_s_f, g_l_f)
-        return (st_out, lms_final, success, status, cost0, cost, it, S_f, g_f,
+        return (st_out, lms_final, success, status, cost0, cost, it,
                 metrics)
 
     @partial(jax.jit)
     def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
              preint_valid, prior, will_evict):
         (st_out, lms_out, success, status, cost0, cost, it,
-         S_f, g_f, metrics) = _solve(state, T_C_B, landmarks, obs, obs_mask,
-                                     lm_valid, preint, preint_valid, prior)
-        new_prior = marginalize_oldest(S_f, g_f, st_out.T_W_B,
+         metrics) = _solve(state, T_C_B, landmarks, obs, obs_mask,
+                           lm_valid, preint, preint_valid, prior)
+        # ---- next prior: EVICTION system only — identical semantics to the
+        # single-device solve_vio_ba_marginalized (models/vio_ba.py): the
+        # current prior plus the single IMU factor joining states 0-1 (the
+        # information actually leaving the window). No visual factors touch
+        # this system, so it is fully replicated and runs OUTSIDE the
+        # shard_map with zero communication. (Round-2 bug: this path folded
+        # the FULL final window system, re-counting every surviving factor at
+        # each eviction and diverging from single-device semantics.)
+        sqrt_info0 = vio_ba._imu_sqrt_info(
+            jax.tree.map(lambda x: x[0], preint), cfg)
+        H_add_f, g_add_f, _ = prior_terms(prior, st_out.T_W_B, _extra(st_out))
+        r0, J0_i, J0_j = vio_ba._imu_linearize_one(
+            jax.tree.map(lambda x: x[0], preint), st_out, 0, cfg, sqrt_info0)
+        w0 = preint_valid[0].astype(dtype)
+        H_ev = H_add_f
+        H_ev = H_ev.at[:D, :D].add(w0 * (J0_i.T @ J0_i))
+        H_ev = H_ev.at[D:2 * D, D:2 * D].add(w0 * (J0_j.T @ J0_j))
+        H_ev = H_ev.at[:D, D:2 * D].add(w0 * (J0_i.T @ J0_j))
+        H_ev = H_ev.at[D:2 * D, :D].add(w0 * (J0_j.T @ J0_i))
+        g_ev = g_add_f
+        g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
+        g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
+        new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B,
                                        _extra(st_out), prior, D)
         do_new = will_evict & success
         out_prior = jax.tree.map(

@@ -86,6 +86,11 @@ class TrackerConfig:
     # precomputed (lambda I + J^T J)^-1 LM-KLT, ref patch.rs:239-255);
     # 0 = pure Gauss-Newton. Non-default values route to the XLA backend.
     lm_lambda: float = 0.0
+    # Patch sampling: "bilinear" (main tracker) or "bicubic" (Catmull-Rom
+    # with analytic gradients — the experimental crate tracks with bicubic,
+    # ref feature_tracker/src/feature_tracker/feature_tracking.rs:129-192,
+    # image_operations.rs:140-229). Bicubic routes to the XLA backend.
+    interpolation: str = "bilinear"
     # Tracking backend: "auto" (Pallas kernel on TPU, XLA elsewhere),
     # "pallas" (kernel; interpret mode off-TPU), or "xla" (gather-based
     # path — exact arbitrary-angle SE2 warp, any device).
@@ -217,6 +222,7 @@ def make_estimator_config(cfg: Config):
         track_rotation=cfg.tracker.track_rotation,
         residual_mode=cfg.tracker.residual_mode,
         lm_lambda=cfg.tracker.lm_lambda,
+        interpolation=cfg.tracker.interpolation,
         backend=cfg.tracker.backend,
     )
     fe_cfg = FrontendConfig(

@@ -123,6 +123,18 @@ class TestNMSSelect:
         got = {tuple(p) for p, o in zip(np.asarray(xy), np.asarray(ok)) if o}
         assert got == {(40.0, 40.0), (46.0, 40.0), (100.0, 90.0)}
 
+    def test_equal_score_ties_respect_min_dist(self):
+        # Two EXACTLY equal peaks closer than the radius: `score >= pooled`
+        # passes both; the deterministic tie-break must emit only one
+        # (lowest linear index), preserving the min-distance guarantee.
+        score = self._score(peaks=((40, 40, 100.0), (40, 46, 100.0),
+                                   (44, 43, 100.0), (90, 100, 60.0)))
+        xy, ok = detect.nms_select(
+            score, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            radius=8, margin=4, min_score=1.0, max_new=8)
+        got = [tuple(p) for p, o in zip(np.asarray(xy), np.asarray(ok)) if o]
+        assert got == [(40.0, 40.0), (100.0, 90.0)]
+
     def test_live_track_suppresses_neighborhood(self):
         score = self._score()
         # Live track right next to the strongest peak.

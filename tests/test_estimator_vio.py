@@ -132,3 +132,42 @@ class TestVIOEstimator:
         assert abs(d_est - d_gt) < 0.35 * abs(d_gt), (
             f"displacement {d_est:.3f} vs gt {d_gt:.3f}; xs={np.round(xs,3)}")
         assert bool(state.marg_prior.valid)
+
+
+class TestQuasiStaticCheck:
+    """Stillness gate for the gravity bootstrap: moving or tilt-ambiguous IMU
+    head windows must be rejected (identity init is then safer)."""
+
+    def test_accepts_static_window(self):
+        rng = np.random.default_rng(0)
+        gyro = rng.normal(0.002, 0.005, (100, 3))
+        accel = np.tile([0.1, -0.2, 9.80], (100, 1)) + rng.normal(
+            0, 0.05, (100, 3))
+        ok, info = ev.quasi_static_check(gyro, accel)
+        assert ok, info
+
+    def test_rejects_rotating_start(self):
+        rng = np.random.default_rng(1)
+        t = np.linspace(0, 0.5, 100)
+        gyro = np.stack([np.sin(8 * t), 0.4 * np.cos(5 * t),
+                         np.zeros_like(t)], axis=1)
+        accel = np.tile([0.0, 0.0, 9.81], (100, 1)) + rng.normal(
+            0, 0.02, (100, 3))
+        ok, _ = ev.quasi_static_check(gyro, accel)
+        assert not ok
+
+    def test_rejects_accelerating_start(self):
+        # Constant-rate gyro but strong specific-force transient: |mean a|
+        # far from g.
+        gyro = np.zeros((100, 3))
+        accel = np.tile([4.0, 0.0, 9.81], (100, 1))
+        ok, _ = ev.quasi_static_check(gyro, accel)
+        assert not ok
+
+    def test_rejects_vibrating_accel(self):
+        t = np.linspace(0, 0.5, 200)
+        gyro = np.zeros((200, 3))
+        accel = np.stack([2.0 * np.sin(60 * t), np.zeros_like(t),
+                          9.81 + 2.0 * np.cos(60 * t)], axis=1)
+        ok, _ = ev.quasi_static_check(gyro, accel)
+        assert not ok

@@ -5,6 +5,7 @@ ref src/feature_tracker/feature_tracker.rs:252-291)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rsvio_tpu.ops import klt, pyramid
 
@@ -408,3 +409,52 @@ class TestKernelVariantParity:
         assert ok.sum() >= 10, f"{ok.sum()} survived the 1.6x gain"
         err = np.abs((np.asarray(pos) - np.asarray(pts))[ok] - [1.5, -1.0])
         assert np.median(err) < 0.3, np.median(err)
+
+
+class TestBicubicInterpolation:
+    """Bicubic-sampled tracking (ref experimental crate tracks WITH bicubic:
+    feature_tracker/src/feature_tracker/feature_tracking.rs:129-192 via
+    d_interpolate_bicubic, image_operations.rs:140-229)."""
+
+    def test_bicubic_recovers_subpixel_shift(self):
+        img0 = textured_image(seed=7)
+        dx, dy = 1.6, -0.9
+        img1 = shift_image(img0, dx, dy)
+        cfg = CFG._replace(interpolation="bicubic")
+        assert klt.resolve_backend(cfg) == "xla"
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), cfg.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), cfg.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        pos, _, ok = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                    cfg)
+        ok = np.asarray(ok)
+        assert ok.sum() >= pts.shape[0] * 0.75, f"only {ok.sum()} survived"
+        flow = np.asarray(pos) - np.asarray(pts)
+        err = np.abs(flow[ok] - np.array([dx, dy]))
+        assert np.median(err) < 0.3, f"median err {np.median(err)}"
+
+    def test_bicubic_close_to_bilinear_on_same_scene(self):
+        # Same scene through both samplers: results agree to a fraction of a
+        # pixel on converged tracks (they solve the same alignment).
+        img0 = textured_image(seed=8)
+        img1 = shift_image(img0, 0.8, 1.1)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], dtype=bool)
+        out = {}
+        for mode in ("bilinear", "bicubic"):
+            cfg = CFG._replace(interpolation=mode, backend="xla")
+            pyr0 = pyramid.build_pyramid(jnp.asarray(img0), cfg.levels)
+            pyr1 = pyramid.build_pyramid(jnp.asarray(img1), cfg.levels)
+            pos, _, ok = klt.track_points_bidirectional(
+                pyr0, pyr1, pts, alive, cfg)
+            out[mode] = (np.asarray(pos), np.asarray(ok))
+        both = out["bilinear"][1] & out["bicubic"][1]
+        assert both.sum() >= pts.shape[0] * 0.6
+        d = np.abs(out["bilinear"][0][both] - out["bicubic"][0][both])
+        assert d.max() < 0.5, f"max sampler disagreement {d.max()}"
+
+    def test_pallas_backend_with_bicubic_is_an_error(self):
+        cfg = CFG._replace(interpolation="bicubic", backend="pallas")
+        with pytest.raises(ValueError):
+            klt.resolve_backend(cfg)

@@ -50,7 +50,8 @@ def main():
                     help="detector grid cell px; 0 = auto from width")
     ap.add_argument("--margin", type=int, default=0,
                     help="detector border margin px; 0 = auto from width")
-    ap.add_argument("--imu-noise", action="store_true", default=True)
+    ap.add_argument("--imu-noise", action=argparse.BooleanOptionalAction, default=True,
+                    help="inject IMU noise/bias (disable: --no-imu-noise)")
     ap.add_argument("--json", default="accuracy_matrix.json")
     args = ap.parse_args()
 
