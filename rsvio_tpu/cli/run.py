@@ -142,8 +142,14 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 "accel": np.asarray([s.accel for s in samples], np.float32),
             }
             from ..utils.config import make_imu_params
-            vcfg = ev.VIOEstimatorConfig(base=ecfg,
-                                         imu_params=make_imu_params(cfg))
+            from ..models.vio_ba import VIOBAConfig
+            vcfg = ev.VIOEstimatorConfig(
+                base=ecfg, imu_params=make_imu_params(cfg),
+                vio=VIOBAConfig(huber_delta=cfg.solver.huber_delta,
+                                cost_tol=cfg.solver.cost_tol,
+                                param_tol=cfg.solver.param_tol,
+                                chi2_gate=cfg.solver.chi2_gate,
+                                chi2_gate_iter=cfg.solver.chi2_gate_iter))
             step = ev.make_vio_estimator_step(vcfg)
             # Gravity-aligned bootstrap from the quasi-static head of the
             # IMU stream (first ~0.5 s): initial attitude + gyro bias.
@@ -220,6 +226,12 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
         profile_ctx = _prof.jax_trace(pcfg.profile_dir)
         profile_ctx.__enter__()
         log.info("jax.profiler trace -> %s", pcfg.profile_dir)
+
+    from .playback import PlaybackController
+    playback = PlaybackController(pcfg.step_mode, log=log)
+    if pcfg.step_mode:
+        log.info("step mode: <enter> = next frame, a<enter> = toggle "
+                 "auto-play, q<enter> = quit")
 
     frame_it = iter(frame_iter)
     k = -1
@@ -326,8 +338,12 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                 time.sleep(remaining)
         prev_ts = frame.timestamp_ns
 
-        if pcfg.step_mode:
-            input("press enter for next frame...")
+        # Interactive playback gate (ref FrameContext step_mode/auto_play/
+        # advance_frame semantics, src/datasets/mod.rs:30-50) — non-blocking
+        # in auto-play, polling single keys when stepping.
+        if not playback.wait_for_advance():
+            log.info("playback quit at frame %d", k)
+            break
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)

@@ -68,6 +68,16 @@ class BAConfig(NamedTuple):
     # development variant the reference ships as
     # BundleAdjustmentFactorTranslationOnly (ref factors.rs:147-271).
     translation_only: bool = False
+    # Per-observation chi^2 gate (normalized-coordinate residual NORM; 0 =
+    # off, the reference-parity behavior). After `chi2_gate_iter` accepted LM
+    # iterations, observations whose whitened residual norm exceeds the gate
+    # are dropped from the remaining iterations (branchless mask update
+    # inside the solve) and landmark stereo-observability is re-derived from
+    # the surviving set. Robustness upgrade over the reference's Huber-only
+    # defense (ref sliding_window.rs:295): moving occluders put gross
+    # outliers in the window that Huber down-weights but never removes.
+    chi2_gate: float = 0.0
+    chi2_gate_iter: int = 1
 
 
 class BAResult(NamedTuple):
@@ -259,30 +269,33 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     dtype = T_W_B.dtype
     W = T_W_B.shape[0]
 
-    lm_active = stereo_observability_mask(obs_mask, lm_valid)
-    mask = obs_mask & lm_active[None, None, :]
-    n_blocks = jnp.sum(mask)
+    lm_active0 = stereo_observability_mask(obs_mask, lm_valid)
+    mask0 = obs_mask & lm_active0[None, None, :]
+    n_blocks = jnp.sum(mask0)
     # Validation: enough residual blocks vs variables (ref :309-319).
-    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
+    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active0)
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
 
     T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
 
-    def lin_sys(T_B_W, lms):
+    def lin_sys(T_B_W, lms, mask):
         """ONE pass over observations: normal-equation blocks AND the robust
         cost at the same point (the separate cost pass is fused away; the LM
-        loop carries the blocks and relinearizes only at accepted points)."""
+        loop carries the blocks and relinearizes only at accepted points).
+        Also returns the per-observation whitened squared residual norms
+        (W,2,L) for the chi^2 gate."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
-        return build_normal_equations(lin), jnp.sum(lin.cost)
+        r_sq = jnp.sum(lin.r ** 2, axis=-1)
+        return build_normal_equations(lin), jnp.sum(lin.cost), r_sq
 
-    sys0, cost0 = lin_sys(T_B_W0, landmarks)
+    sys0, cost0, _ = lin_sys(T_B_W0, landmarks, mask0)
 
     def cond(state):
-        _, _, _, cost, lam, it, done, status, _m = state
-        return (~done) & (it < cfg.max_iterations)
+        return (~state[6]) & (state[5] < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
+        (T_B_W, lms, sys, cost, lam, it, done, status, metrics, mask,
+         lm_active, n_acc) = state
         H_pp, H_ll, H_pl, g_p, g_l = sys
         delta_p, delta_l, ok_step = schur_solve(
             H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first)
@@ -292,8 +305,30 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
         lms_new = lms + delta_l
-        sys_new, new_cost = lin_sys(T_new, lms_new)
+        sys_new, new_cost, r_sq_new = lin_sys(T_new, lms_new, mask)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        if cfg.chi2_gate > 0.0:
+            # Outlier gate: after chi2_gate_iter ACCEPTED iterations, drop
+            # observations whose whitened residual norm still exceeds the
+            # gate, re-derive stereo observability, and rebuild the system
+            # at the accepted point so later iterations never see them.
+            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+
+            def regate(_):
+                m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                act = stereo_observability_mask(m, lm_valid)
+                m = m & act[None, None, :]
+                sys_g, cost_g, _ = lin_sys(T_new, lms_new, m)
+                return m, act, sys_g, cost_g
+
+            def keep(_):
+                return mask, lm_active, sys_new, new_cost
+
+            mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                do_gate, regate, keep, None)
+        n_acc = n_acc + accept.astype(jnp.int32)
+
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
@@ -320,15 +355,17 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = lm_status(cost_conv, param_conv, hard_fail)
-        return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
+        return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics,
+                mask, lm_active, n_acc)
 
     init = (T_B_W0, landmarks, sys0, cost0,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype))
-    (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype),
+            mask0, lm_active0, jnp.asarray(0, jnp.int32))
+    (T_B_W, lms, _, cost, lam, it, _, status, metrics,
+     _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
     # Every LM terminus (MaxIterations, CostTol, ParamTol, TrustRegion)
@@ -371,21 +408,22 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     dtype = T_W_B.dtype
     W = T_W_B.shape[0]
 
-    lm_active = stereo_observability_mask(obs_mask, lm_valid)
-    mask = obs_mask & lm_active[None, None, :]
-    n_blocks = jnp.sum(mask)
-    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active)
+    lm_active0 = stereo_observability_mask(obs_mask, lm_valid)
+    mask0 = obs_mask & lm_active0[None, None, :]
+    n_blocks = jnp.sum(mask0)
+    n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active0)
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
     # With a valid prior the gauge is anchored by it; otherwise fix pose 0.
     fix_first = ~prior.valid
 
     no_extra = jnp.zeros((W, 0), dtype=dtype)
 
-    def lin_sys(T_B_W, lms):
+    def lin_sys(T_B_W, lms, mask, lm_active):
         """ONE pass over observations per point: masked normal-equation
         blocks + prior terms AND the total (visual + prior) cost. The LM loop
         carries this system and re-damps it on rejected steps instead of
-        relinearizing."""
+        relinearizing. Also returns per-observation whitened squared
+        residual norms for the chi^2 gate."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
         H_pp, H_ll, H_pl, g_p, g_l = build_normal_equations(lin)
         T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
@@ -393,9 +431,10 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
         H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
         sys = (H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add)
-        return sys, jnp.sum(lin.cost) + pcost
+        r_sq = jnp.sum(lin.r ** 2, axis=-1)
+        return sys, jnp.sum(lin.cost) + pcost, r_sq
 
-    def damp_reduce(sys, lam):
+    def damp_reduce(sys, lam, lm_active):
         """Damped, prior-augmented reduced camera system + landmark pieces
         (cheap relative to lin_sys — safe to redo per lambda retry)."""
         H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add = sys
@@ -431,14 +470,16 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
 
     T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
-    sys0, cost0 = lin_sys(T_B_W0, landmarks)
+    sys0, cost0, _ = lin_sys(T_B_W0, landmarks, mask0, lm_active0)
 
     def cond(state):
         return (~state[6]) & (state[5] < cfg.max_iterations)
 
     def body(state):
-        T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
-        S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = damp_reduce(sys, lam)
+        (T_B_W, lms, sys, cost, lam, it, done, status, metrics, mask,
+         lm_active, n_acc) = state
+        S, b, H_ll_inv, H_pl_m, g_l_m, A, inv_ok = damp_reduce(
+            sys, lam, lm_active)
         delta_p = solve_from_system(S, b)
         rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
         delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
@@ -450,8 +491,27 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
         lms_new = lms + delta_l
-        sys_new, new_cost = lin_sys(T_new, lms_new)
+        sys_new, new_cost, r_sq_new = lin_sys(T_new, lms_new, mask, lm_active)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        if cfg.chi2_gate > 0.0:
+            # Outlier gate (see solve_ba): excise gross outliers after the
+            # first accepted iterations; the final prior is then built from
+            # the gated system, so outliers never enter the marginal.
+            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+
+            def regate(_):
+                m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                act = stereo_observability_mask(m, lm_valid)
+                m = m & act[None, None, :]
+                sys_g, cost_g, _ = lin_sys(T_new, lms_new, m, act)
+                return m, act, sys_g, cost_g
+
+            mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                do_gate, regate,
+                lambda _: (mask, lm_active, sys_new, new_cost), None)
+        n_acc = n_acc + accept.astype(jnp.int32)
+
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_p ** 2) + jnp.sum(delta_l ** 2))
@@ -478,15 +538,17 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = lm_status(cost_conv, param_conv, hard_fail)
-        return T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics
+        return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics,
+                mask, lm_active, n_acc)
 
     init = (T_B_W0, landmarks, sys0, cost0,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype))
-    (T_B_W, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((cfg.max_iterations, N_METRIC_COLS), dtype),
+            mask0, lm_active0, jnp.asarray(0, jnp.int32))
+    (T_B_W, lms, _, cost, lam, it, _, status, metrics, mask_f, lm_active_f,
+     _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
     success = attempt & (status != STATUS_FAILED)
@@ -494,9 +556,11 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     lms_out = jnp.where(success, lms, landmarks)
 
     # ---- next prior: marginalize pose 0 of the final linearized system ----
-    # (small damping keeps weakly-observed landmark blocks invertible)
-    sys_f, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_W_B_out), lms_out)
-    S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype))
+    # (small damping keeps weakly-observed landmark blocks invertible; built
+    # from the chi^2-gated observation set when the gate is on)
+    sys_f, _, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_W_B_out), lms_out,
+                          mask_f, lm_active_f)
+    S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype), lm_active_f)
     # reduced_system returns b = -(gradient); marginalize expects +gradient.
     new_prior = marginalize_oldest(S_f, -b_f, T_W_B_out, no_extra, prior, 6)
     do_new = will_evict & success

@@ -43,6 +43,15 @@ class FrontendConfig(NamedTuple):
     detect_mode: str = "grid"
     nms_radius: int = 10          # min distance between features (px)
     nms_max_new: int = 128        # static candidate capacity in nms mode
+    # Adaptive corner-score floor on weak texture: when the live-track count
+    # after temporal tracking falls below `relax_floor_below`, detection
+    # accepts per-cell winners down to `relaxed_min_score` instead of
+    # `min_score`. Generalizes the reference's 40->10 re-detection cascade
+    # (ref image_utilities.rs:151-160) one step further — only when the
+    # tracker is actually starving, so well-textured scenes keep the strict
+    # floor. 0 = off (reference-parity fixed floor).
+    relax_floor_below: int = 0
+    relaxed_min_score: float = 1.0
 
 
 class FeatureTable(NamedTuple):
@@ -163,15 +172,22 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
 
     # (c) detect new corners in unoccupied cells of cam0 level 0.
     score = detect.fast_score(pyr0[0])
+    if cfg.relax_floor_below > 0:
+        # Starvation-adaptive floor (see FrontendConfig.relax_floor_below).
+        floor = jnp.where(jnp.sum(table.alive) < cfg.relax_floor_below,
+                          jnp.asarray(cfg.relaxed_min_score, score.dtype),
+                          jnp.asarray(cfg.min_score, score.dtype))
+    else:
+        floor = cfg.min_score
     if cfg.detect_mode == "nms":
         cand_xy, cand_ok = detect.nms_select(
             score, table.pos0, table.alive, cfg.nms_radius,
-            margin=cfg.detect_margin, min_score=cfg.min_score,
+            margin=cfg.detect_margin, min_score=floor,
             max_new=cfg.nms_max_new)
     else:
         cand_xy, cand_ok = detect.select_grid_features(
             score, table.pos0, table.alive, cfg.cell_size,
-            margin=cfg.detect_margin, min_score=cfg.min_score,
+            margin=cfg.detect_margin, min_score=floor,
             max_per_cell=cfg.max_per_cell)
 
     # (d) stereo-match candidates cam0 -> cam1 (bidirectional KLT).

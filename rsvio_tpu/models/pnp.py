@@ -45,6 +45,12 @@ class PnPConfig(NamedTuple):
     lambda_init: float = 1e-4
     lambda_max: float = 1e8
     min_observations: int = 6     # under-constrained refusal (ref :309-319)
+    # Per-observation chi^2 gate (normalized residual NORM; 0 = off, the
+    # reference-parity behavior): after `chi2_gate_iter` accepted iterations,
+    # observations whose residual norm exceeds the gate are dropped from the
+    # remaining iterations (see ba.BAConfig.chi2_gate).
+    chi2_gate: float = 0.0
+    chi2_gate_iter: int = 1
 
 
 class PnPResult(NamedTuple):
@@ -77,28 +83,28 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
     n_obs = jnp.sum(mask)
     enough = n_obs >= cfg.min_observations
 
-    def linearize(T_B_W):
+    def linearize(T_B_W, m):
         # vmap over cams (2) x landmarks (L); T_B_W closed over per call
         f = jax.vmap(jax.vmap(
-            lambda Tcb, p, o, m: linearize_projection(
-                Tcb, T_B_W, p, o, m, cfg.huber_delta),
+            lambda Tcb, p, o, mm: linearize_projection(
+                Tcb, T_B_W, p, o, mm, cfg.huber_delta),
             in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
-        lin = f(T_C_B, landmarks, obs, mask)
+        lin = f(T_C_B, landmarks, obs, m)
         J = lin.J_pose.reshape(-1, 6)          # (2L*2, 6)
         r = lin.r.reshape(-1)                  # (2L*2,)
         H = J.T @ J                            # (6,6)
         g = J.T @ r                            # (6,)
         cost = jnp.sum(lin.cost)
-        return H, g, cost
+        r_sq = jnp.sum(lin.r ** 2, axis=-1)    # (2, L)
+        return H, g, cost, r_sq
 
-    H0, g0, cost0 = linearize(T_B_W0)
+    H0, g0, cost0, _ = linearize(T_B_W0, mask)
 
     def cond(state):
-        T, H, g, cost, lam, it, done, status, _m = state
-        return (~done) & (it < cfg.max_iterations)
+        return (~state[6]) & (state[5] < cfg.max_iterations)
 
     def body(state):
-        T, H, g, cost, lam, it, done, status, metrics = state
+        T, H, g, cost, lam, it, done, status, metrics, m, n_acc = state
         D = jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         delta = -jnp.linalg.solve(H + lam * D, g)
         # A non-finite step is treated as a rejected iteration (damping gets
@@ -111,8 +117,26 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         # ONE pass over observations per iteration: the linearization at the
         # candidate yields the acceptance cost AND (if accepted) the next
         # iteration's normal equations; a reject keeps the carried system.
-        H_new, g_new, new_cost = linearize(T_new)
+        H_new, g_new, new_cost, r_sq_new = linearize(T_new, m)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        if cfg.chi2_gate > 0.0:
+            # Outlier gate: drop observations whose residual norm still
+            # exceeds the gate after chi2_gate_iter accepted iterations
+            # (guarding min_observations so the solve stays constrained).
+            def regate(_):
+                m_g = m & (r_sq_new <= cfg.chi2_gate ** 2)
+                keep_enough = jnp.sum(m_g) >= cfg.min_observations
+                m_g = jnp.where(keep_enough, m_g, m)
+                H_g, g_g, cost_g, _ = linearize(T_new, m_g)
+                return m_g, H_g, g_g, cost_g
+
+            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            m, H_new, g_new, new_cost = jax.lax.cond(
+                do_gate, regate,
+                lambda _: (m, H_new, g_new, new_cost), None)
+        n_acc = n_acc + accept.astype(jnp.int32)
+
         # Convergence checks on the accepted step
         cost_conv = accept & (jnp.abs(cost - new_cost) <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         param_conv = accept & (jnp.linalg.norm(delta) <= cfg.param_tol)
@@ -131,14 +155,15 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         cost = jnp.where(accept, new_cost, cost)
         done = cost_conv | param_conv | hard_fail
         status = ba_lm_status(cost_conv, param_conv, hard_fail)
-        return T, H, g, cost, lam, it + 1, done, status, metrics
+        return T, H, g, cost, lam, it + 1, done, status, metrics, m, n_acc
 
     init = (T_B_W0, H0, g0, cost0,
             jnp.asarray(cfg.lambda_init, dtype), jnp.asarray(0, jnp.int32),
             ~enough, jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-    (T_B_W, _, _, cost, _, it, _, status, metrics) = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+            mask, jnp.asarray(0, jnp.int32))
+    (T_B_W, _, _, cost, _, it, _, status, metrics, _m,
+     _n) = jax.lax.while_loop(cond, body, init)
 
     # MaxIterations counts as success (ref sliding_window.rs:383-395);
     # only a hard numeric failure or an under-constrained problem fails.

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
+from ..ops.projection import linearize_projection
 from . import ba as ba_mod
 from .imu import Preintegrated, imu_residual
 
@@ -42,6 +43,39 @@ class VIOBAConfig(NamedTuple):
     lambda_init: float = 1e-4
     lambda_max: float = 1e8
     min_residual_blocks: int = 6
+    # Per-observation chi^2 gate on the VISUAL blocks (normalized residual
+    # norm; 0 = off — see ba.BAConfig.chi2_gate). IMU factors are never
+    # gated.
+    chi2_gate: float = 0.0
+    chi2_gate_iter: int = 1
+    # Exponential information decay applied to the marginalization prior at
+    # each eviction (marginalized solvers only). Without it the prior's
+    # information grows WITHOUT BOUND (measured: |H|max 12 -> 3760 over 90
+    # evictions) while its first-order (FEJ) linearization points go stale —
+    # an early wrong bias estimate gets pinned with ever-growing weight and
+    # the trajectory collapses (the round-2 vio_marg accuracy bug). Decay
+    # bounds the steady-state prior at ~1/(1-decay) eviction-steps of
+    # information: recent inertial continuity is kept, stale certainty
+    # fades. 1.0 = no forgetting (the broken round-2 behavior).
+    prior_decay: float = 0.7
+    # Restrict the marginalization prior to the velocity/bias subspace
+    # (pose rows/cols zeroed after each eviction). Measured HARMFUL when the
+    # eviction system is inertial-only (velocity is only relatively
+    # observable; an absolute velocity prior without its pose
+    # cross-correlations pins stale values) — kept as an ablation knob.
+    prior_velocity_bias_only: bool = False
+    # Include the evicted frame's VISUAL factors (observations of window
+    # landmarks from state 0, landmarks held fixed) in the eviction system.
+    # This is what anchors the marginal in absolute pose — the standard
+    # marginalization recipe (cf. VINS/OKVIS) folds the evicted frame's
+    # visual information; without it the prior is a pure relative-inertial
+    # chain whose pose block is spurious re-linearization certainty and
+    # whose velocity block lacks the cross-correlations that make it
+    # meaningful (both variants measured to collapse the trajectory).
+    # Holding the landmarks fixed (instead of co-marginalizing them) keeps
+    # actively-tracked landmarks out of the prior; the mild overconfidence
+    # is bounded by prior_decay.
+    prior_visual_anchor: bool = True
     bias_gyro_weight: float = 1e3    # sqrt-info for bias random-walk residuals
     bias_accel_weight: float = 1e2
     # Cap on the preintegration sqrt-information scale. Mixing 1e4-weighted
@@ -169,14 +203,14 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
 
-    lm_active = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
-    mask = obs_mask & lm_active[None, None, :]
-    n_blocks = jnp.sum(mask) + jnp.sum(preint_valid)
+    lm_active0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+    mask0 = obs_mask & lm_active0[None, None, :]
+    n_blocks = jnp.sum(mask0) + jnp.sum(preint_valid)
     # Under-constrained refusal (ref sliding_window.rs:309-319): residual
     # rows (2 per visual block, 15 per IMU interval) must cover the free
     # variables (15 per state minus the fixed first pose, 3 per landmark).
-    n_rows = 2 * jnp.sum(mask) + 15 * jnp.sum(preint_valid)
-    n_vars = W * D - 6 + 3 * jnp.sum(lm_active)
+    n_rows = 2 * jnp.sum(mask0) + 15 * jnp.sum(preint_valid)
+    n_vars = W * D - 6 + 3 * jnp.sum(lm_active0)
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
 
     # Whitening of each IMU interval depends only on the (fixed)
@@ -185,10 +219,11 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
         jnp.arange(W - 1))
 
-    def lin_sys(st: VIOState, lms):
+    def lin_sys(st: VIOState, lms, mask, lm_active):
         """ONE pass over observations + IMU intervals per point: undamped
         normal-equation blocks AND the total robust cost. The LM loop carries
-        this system and re-damps it on rejected steps.
+        this system and re-damps it on rejected steps. Also returns the
+        per-observation whitened squared residual norms for the chi^2 gate.
 
         Visual factors never touch velocity/bias, so the state-landmark
         coupling H_pl6 stays in 6-dim pose space: rows 6:15 of the (D,3)
@@ -227,9 +262,10 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
         H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
         sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
-        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs)
+        r_sq = jnp.sum(lin.r ** 2, axis=-1)
+        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs), r_sq
 
-    def damp(sys, lam):
+    def damp(sys, lam, lm_active):
         """Marquardt damping on the state/landmark diagonal blocks (cheap —
         redone per lambda retry without relinearizing)."""
         H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
@@ -243,7 +279,7 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
         return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
-    def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
+    def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, lm_active):
         H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
         A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)   # (W,L,6,3)
         S6 = jnp.einsum("wlik,vljk->wvij", A6, H_pl6)        # (W,W,6,6)
@@ -265,22 +301,41 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
               & jnp.all(inv_ok | (~lm_active)))
         return delta_s, delta_l, ok
 
-    sys0, cost0 = lin_sys(state, landmarks)
+    sys0, cost0, _ = lin_sys(state, landmarks, mask0, lm_active0)
 
     def cond(c):
         return (~c[6]) & (c[5] < cfg.max_iterations)
 
     def body(c):
-        st, lms, sys, cost, lam, it, done, status, metrics = c
-        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+        (st, lms, sys, cost, lam, it, done, status, metrics, mask,
+         lm_active, n_acc) = c
+        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam, lm_active)
         delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_pl6, g_s,
-                                               g_l_m)
+                                               g_l_m, lm_active)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         st_new = _retract_state(st, delta_s)
         lms_new = lms + delta_l
-        sys_new, new_cost = lin_sys(st_new, lms_new)
+        sys_new, new_cost, r_sq_new = lin_sys(st_new, lms_new, mask,
+                                              lm_active)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        if cfg.chi2_gate > 0.0:
+            # Visual outlier gate (see ba.solve_ba); IMU factors untouched.
+            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+
+            def regate(_):
+                m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                act = ba_mod.stereo_observability_mask(m, lm_valid)
+                m = m & act[None, None, :]
+                sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
+                return m, act, sys_g, cost_g
+
+            mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                do_gate, regate,
+                lambda _: (mask, lm_active, sys_new, new_cost), None)
+        n_acc = n_acc + accept.astype(jnp.int32)
+
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
@@ -308,15 +363,17 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, sys, cost, lam, it + 1, done, status, metrics
+        return (st, lms, sys, cost, lam, it + 1, done, status, metrics,
+                mask, lm_active, n_acc)
 
     init = (state, landmarks, sys0, cost0,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-    (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+            mask0, lm_active0, jnp.asarray(0, jnp.int32))
+    (st, lms, _, cost, lam, it, _, status, metrics,
+     _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
     success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -360,14 +417,25 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
 
-    lm_active = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
-    mask = obs_mask & lm_active[None, None, :]
-    n_blocks = jnp.sum(mask) + jnp.sum(preint_valid)
-    n_rows = 2 * jnp.sum(mask) + 15 * jnp.sum(preint_valid)
-    n_vars = W * D - 6 + 3 * jnp.sum(lm_active)
+    lm_active0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+    mask0 = obs_mask & lm_active0[None, None, :]
+    n_blocks = jnp.sum(mask0) + jnp.sum(preint_valid)
+    n_rows = 2 * jnp.sum(mask0) + 15 * jnp.sum(preint_valid)
+    n_vars = W * D - 6 + 3 * jnp.sum(lm_active0)
     attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
-    # With a valid prior the gauge is anchored by it; otherwise fix pose 0.
-    fix_first = ~prior.valid
+    # ALWAYS hard-fix the first pose. The VIO prior is built from the
+    # EVICTION system only (current prior + one relative IMU factor — see the
+    # next-prior comment below), so it carries almost no absolute pose
+    # information; treating it as the gauge anchor (fix_first = ~prior.valid,
+    # the round-2 behavior) leaves the window anchored by a near-zero
+    # quadratic and the trajectory free to wander — measured on the device
+    # accuracy matrix as the vio_marg collapse (0.33-1.9 m ATE vs
+    # 0.01-1.1 m vio_fifo on every scene). With the gauge fixed like the
+    # FIFO solve, the prior contributes exactly what eviction preserved:
+    # velocity/bias/gravity continuity. (The VO-marg solver keeps the
+    # prior-anchored gauge: its prior folds the full visual system and DOES
+    # carry absolute pose info, ref models/ba.py.)
+    fix_first = jnp.asarray(True)
 
     def _extra(st: VIOState):
         return jnp.concatenate([st.vel, st.bg, st.ba], axis=1)  # (W,9)
@@ -378,7 +446,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         lambda i: _imu_sqrt_info(jax.tree.map(lambda x: x[i], preint), cfg))(
         jnp.arange(W - 1))
 
-    def lin_sys(st: VIOState, lms):
+    def lin_sys(st: VIOState, lms, mask, lm_active):
         """ONE pass per point: undamped prior-augmented state system AND the
         total (visual + IMU + prior) cost (mirrors solve_vio_ba.lin_sys with
         the prior injected on the (W·15) state block)."""
@@ -421,9 +489,10 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
         H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
         sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
-        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs) + pcost
+        r_sq = jnp.sum(lin.r ** 2, axis=-1)
+        return sys, jnp.sum(lin.cost) + jnp.sum(imu_costs) + pcost, r_sq
 
-    def damp(sys, lam):
+    def damp(sys, lam, lm_active):
         H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
         diag_ss = jnp.maximum(
             jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
@@ -435,7 +504,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
         return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
-    def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l):
+    def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, lm_active):
         H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
         A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
         S6 = jnp.einsum("wlik,vljk->wvij", A6, H_pl6)
@@ -459,22 +528,41 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
               & jnp.all(inv_ok | (~lm_active)))
         return delta_s, delta_l, ok
 
-    sys0, cost0 = lin_sys(state, landmarks)
+    sys0, cost0, _ = lin_sys(state, landmarks, mask0, lm_active0)
 
     def cond(c):
         return (~c[6]) & (c[5] < cfg.max_iterations)
 
     def body(c):
-        st, lms, sys, cost, lam, it, done, status, metrics = c
-        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+        (st, lms, sys, cost, lam, it, done, status, metrics, mask,
+         lm_active, n_acc) = c
+        H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam, lm_active)
         delta_s, delta_l, ok_step = schur_step(H_ss, H_ll_d, H_pl6, g_s,
-                                               g_l_m)
+                                               g_l_m, lm_active)
         delta_s = jnp.where(ok_step, delta_s, 0.0)
         delta_l = jnp.where(ok_step, delta_l, 0.0)
         st_new = _retract_state(st, delta_s)
         lms_new = lms + delta_l
-        sys_new, new_cost = lin_sys(st_new, lms_new)
+        sys_new, new_cost, r_sq_new = lin_sys(st_new, lms_new, mask,
+                                              lm_active)
         accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        if cfg.chi2_gate > 0.0:
+            # Visual outlier gate (see ba.solve_ba); IMU + prior untouched.
+            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+
+            def regate(_):
+                m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                act = ba_mod.stereo_observability_mask(m, lm_valid)
+                m = m & act[None, None, :]
+                sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
+                return m, act, sys_g, cost_g
+
+            mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                do_gate, regate,
+                lambda _: (mask, lm_active, sys_new, new_cost), None)
+        n_acc = n_acc + accept.astype(jnp.int32)
+
         cost_conv = accept & (jnp.abs(cost - new_cost)
                               <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
         step_norm = jnp.sqrt(jnp.sum(delta_s ** 2) + jnp.sum(delta_l ** 2))
@@ -500,15 +588,17 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         hard_fail = lam > cfg.lambda_max
         done = cost_conv | param_conv | hard_fail
         status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-        return st, lms, sys, cost, lam, it + 1, done, status, metrics
+        return (st, lms, sys, cost, lam, it + 1, done, status, metrics,
+                mask, lm_active, n_acc)
 
     init = (state, landmarks, sys0, cost0,
             jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(0, jnp.int32), ~attempt,
             jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-    (st, lms, _, cost, lam, it, _, status, metrics) = jax.lax.while_loop(
-        cond, body, init)
+            jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+            mask0, lm_active0, jnp.asarray(0, jnp.int32))
+    (st, lms, _, cost, lam, it, _, status, metrics,
+     mask_f, _act, _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
     success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -538,8 +628,32 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     g_ev = g_add_f
     g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
     g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
+    if cfg.prior_visual_anchor:
+        # Evicted frame's visual factors (landmarks fixed): the absolute-
+        # pose anchor of the marginal (see VIOBAConfig.prior_visual_anchor).
+        T_B_W0 = lie.se3_inverse(st_out.T_W_B[0])
+        lin0 = jax.vmap(jax.vmap(
+            lambda Tcb, p, o, m: linearize_projection(
+                Tcb, T_B_W0, p, o, m, cfg.huber_delta),
+            in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
+            T_C_B, lms_out, obs[0], mask_f[0])
+        Jv = lin0.J_pose.reshape(-1, 6)
+        rv = lin0.r.reshape(-1)
+        H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
+        g_ev = g_ev.at[:6].add(Jv.T @ rv)
     new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B, _extra(st_out),
                                    prior, D)
+    # Information forgetting (see VIOBAConfig.prior_decay).
+    H_new = new_prior.H * cfg.prior_decay
+    g_new = new_prior.g * cfg.prior_decay
+    if cfg.prior_velocity_bias_only:
+        # Velocity/bias subspace only (see VIOBAConfig docstring): zero the
+        # pose rows/cols (dims 0:6 of every 15-dim block).
+        keep = jnp.tile(jnp.concatenate(
+            [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
+        H_new = H_new * keep[:, None] * keep[None, :]
+        g_new = g_new * keep
+    new_prior = new_prior._replace(H=H_new, g=g_new)
     do_new = will_evict & success
     out_prior = jax.tree.map(
         lambda new, old: jnp.where(do_new, new, old), new_prior, prior)

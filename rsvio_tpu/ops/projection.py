@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .lie import so3_hat
@@ -147,3 +148,72 @@ def triangulate_stereo(T_W_Cl, T_W_Cr, xy_l, xy_r):
     p = 0.5 * ((o1 + s * d1) + (o2 + t * d2))
     valid = (jnp.abs(det) > 1e-6) & (s > 1e-3) & (t > 1e-3)
     return p, valid
+
+
+def refine_landmarks(T_C_B, T_B_W, landmarks, obs, mask,
+                     iterations: int = 5, huber_delta: float = 2.0,
+                     lm_lambda: float = 1e-6):
+    """N-view point-only refinement: Gauss-Newton over each landmark with all
+    camera poses FIXED.
+
+    Capability of the reference's PinholeProjectionFactor — a landmark
+    optimized against >=2 fixed cameras (ref src/optimization/factors.rs:
+    27-133, exercised in tests.rs:16-127 as triangulation-style recovery).
+    TPU-first: each landmark's normal equations are a closed-form damped 3x3
+    solve; the whole table refines as ONE vmapped fori_loop (no factor
+    graph, no per-landmark host loop). Typical use: polish triangulated
+    births with every window observation before they enter BA.
+
+    Args:
+      T_C_B: (2,4,4) stereo extrinsics (camera-from-body).
+      T_B_W: (W,4,4) body-from-world poses (FIXED).
+      landmarks: (L,3) initial world points.
+      obs: (W,2,L,2) normalized observations.
+      mask: (W,2,L) bool observation validity.
+      iterations: GN iterations (static).
+      huber_delta: robust whitening threshold (normalized units).
+      lm_lambda: fixed Levenberg damping on the 3x3 system.
+
+    Returns (landmarks (L,3), ok (L,)) — ok requires >=2 observations and a
+    well-conditioned final system; landmarks with ok=False are returned
+    unchanged.
+    """
+    from ..models.ba import _inv3x3
+
+    L = landmarks.shape[0]
+    dtype = landmarks.dtype
+    n_obs = jnp.sum(mask, axis=(0, 1))                     # (L,)
+
+    def lin_one(p, o_wc, m_wc):
+        """All (W,2) observations of one landmark -> (H (3,3), g (3,), cost)."""
+        f = jax.vmap(jax.vmap(
+            lambda T, Tcb, o, mm: linearize_projection(
+                Tcb, T, p, o, mm, huber_delta),
+            in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
+        lin = f(T_B_W, T_C_B, o_wc, m_wc)
+        J = lin.J_lm.reshape(-1, 3)
+        r = lin.r.reshape(-1)
+        return J.T @ J, J.T @ r, jnp.sum(lin.cost)
+
+    def refine_one(p0, o_wc, m_wc, n):
+        def body(_, carry):
+            p, cost = carry
+            H, g, _ = lin_one(p, o_wc, m_wc)
+            H = H + lm_lambda * jnp.eye(3, dtype=dtype)
+            H_inv, inv_ok = _inv3x3(H)
+            step = -(H_inv @ g)
+            p_new = p + step
+            _, _, new_cost = lin_one(p_new, o_wc, m_wc)
+            ok = inv_ok & jnp.all(jnp.isfinite(p_new)) & (new_cost <= cost)
+            return jnp.where(ok, p_new, p), jnp.where(ok, new_cost, cost)
+
+        _, _, cost0 = lin_one(p0, o_wc, m_wc)
+        p, cost = jax.lax.fori_loop(0, iterations, body, (p0, cost0))
+        H_f, _, _ = lin_one(p, o_wc, m_wc)
+        _, cond_ok = _inv3x3(H_f + lm_lambda * jnp.eye(3, dtype=dtype))
+        ok = (n >= 2) & cond_ok & jnp.all(jnp.isfinite(p))
+        return jnp.where(ok, p, p0), ok
+
+    obs_l = jnp.moveaxis(obs, 2, 0)    # (L,W,2,2)
+    mask_l = jnp.moveaxis(mask, 2, 0)  # (L,W,2)
+    return jax.vmap(refine_one)(landmarks, obs_l, mask_l, n_obs)

@@ -57,20 +57,22 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid):
-        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
-        mask = mask_in & lm_active[None, None, :]
-        n_blocks = jax.lax.psum(jnp.sum(mask), axis)
-        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active), axis)
+        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask0 = mask_in & lm_active0[None, None, :]
+        n_blocks = jax.lax.psum(jnp.sum(mask0), axis)
+        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active0), axis)
         attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
 
         T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
 
-        def lin_sys(T_B_W, lms):
+        def lin_sys(T_B_W, lms, mask, lm_active):
             """ONE pass over the local observation shard per point: global
             pose blocks + local landmark blocks AND the global robust cost,
             with the pose-block reduction and the cost packed into a single
             psum. The LM loop carries this system and re-damps it on rejected
-            steps instead of relinearizing."""
+            steps instead of relinearizing. Also returns the LOCAL shard's
+            per-observation whitened squared residual norms for the chi^2
+            gate."""
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
             H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
@@ -78,16 +80,17 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
                 (H_pp, g_p, jnp.sum(lin.cost)), axis)
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
             H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
-            return (H_pp, H_ll, H_pl_m, g_p, g_l_m), cost
+            r_sq = jnp.sum(lin.r ** 2, axis=-1)
+            return (H_pp, H_ll, H_pl_m, g_p, g_l_m), cost, r_sq
 
-        sys0, cost0 = lin_sys(T_B_W0, lms)
+        sys0, cost0, _ = lin_sys(T_B_W0, lms, mask0, lm_active0)
 
         def cond(state):
-            _, _, _, cost, lam, it, done, status, _m = state
-            return (~done) & (it < cfg.max_iterations)
+            return (~state[6]) & (state[5] < cfg.max_iterations)
 
         def body(state):
-            T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
+            (T_B_W, lms, sys, cost, lam, it, done, status, metrics, mask,
+             lm_active, n_acc) = state
             H_pp, H_ll, H_pl_m, g_p, g_l_m = sys
 
             # Damping (must mirror ba.schur_solve semantics).
@@ -135,8 +138,29 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
             lms_new = lms + delta_l
-            sys_new, new_cost = lin_sys(T_new, lms_new)
+            sys_new, new_cost, r_sq_new = lin_sys(T_new, lms_new, mask,
+                                                  lm_active)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+            if cfg.chi2_gate > 0.0:
+                # Outlier gate (semantics of ba.solve_ba): the mask update
+                # and observability re-derivation are shard-local; the
+                # replicated accept/n_acc make do_gate consistent across
+                # devices, and the rebuild psums as usual.
+                do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+
+                def regate(_):
+                    m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                    act = ba_mod.stereo_observability_mask(m, lm_valid)
+                    m = m & act[None, None, :]
+                    sys_g, cost_g, _ = lin_sys(T_new, lms_new, m, act)
+                    return m, act, sys_g, cost_g
+
+                mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                    do_gate, regate,
+                    lambda _: (mask, lm_active, sys_new, new_cost), None)
+            n_acc = n_acc + accept.astype(jnp.int32)
+
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
@@ -158,15 +182,17 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics,
+                    mask, lm_active, n_acc)
 
         init = (T_B_W0, lms, sys0, cost0,
                 jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-        (T_B_W, lms_out, _, cost, lam, it, _, status,
-         metrics) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+                mask0, lm_active0, jnp.asarray(0, jnp.int32))
+        (T_B_W, lms_out, _, cost, lam, it, _, status, metrics,
+         _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)

@@ -264,7 +264,10 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         n_rows = 2 * n_vis + 15 * jnp.sum(preint_valid)
         n_vars = W * D - 6 + 3 * n_lm_act
         attempt = (n_blocks >= cfg.min_residual_blocks) & (n_rows >= n_vars)
-        fix_first = ~prior.valid
+        # ALWAYS hard-fix the gauge — must mirror
+        # models.vio_ba.solve_vio_ba_marginalized (the eviction-only prior
+        # carries no absolute pose info; see the comment there).
+        fix_first = jnp.asarray(True)
 
         # Hoisted per-interval whitening (fixed during the solve).
         sqrt_infos = jax.vmap(
@@ -457,8 +460,38 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         g_ev = g_add_f
         g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
         g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
+        if cfg.prior_visual_anchor:
+            # Evicted frame's visual factors, landmarks fixed (see
+            # models.vio_ba.VIOBAConfig.prior_visual_anchor). Runs on the
+            # replicated/global arrays outside the shard_map. (Uses the
+            # ungated observation mask; the chi^2-gated mask lives inside
+            # the sharded solve — identical to local semantics whenever the
+            # gate is off.)
+            from ..ops.projection import linearize_projection
+            lm_act0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+            m0 = (obs_mask & lm_act0[None, None, :])[0]
+            T_B_W0 = lie.se3_inverse(st_out.T_W_B[0])
+            lin0 = jax.vmap(jax.vmap(
+                lambda Tcb, p, o, m: linearize_projection(
+                    Tcb, T_B_W0, p, o, m, cfg.huber_delta),
+                in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
+                T_C_B, lms_out, obs[0], m0)
+            Jv = lin0.J_pose.reshape(-1, 6)
+            rv = lin0.r.reshape(-1)
+            H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
+            g_ev = g_ev.at[:6].add(Jv.T @ rv)
         new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B,
                                        _extra(st_out), prior, D)
+        # Information forgetting + velocity/bias-subspace restriction (must
+        # mirror the single-device solver; see models.vio_ba.VIOBAConfig).
+        H_new = new_prior.H * cfg.prior_decay
+        g_new = new_prior.g * cfg.prior_decay
+        if cfg.prior_velocity_bias_only:
+            keep = jnp.tile(jnp.concatenate(
+                [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
+            H_new = H_new * keep[:, None] * keep[None, :]
+            g_new = g_new * keep
+        new_prior = new_prior._replace(H=H_new, g=g_new)
         do_new = will_evict & success
         out_prior = jax.tree.map(
             lambda new, old: jnp.where(do_new, new, old), new_prior, prior)

@@ -72,6 +72,12 @@ class TrackerConfig:
     detect_margin: int = 19          # ref image_utilities.rs EDGE_THRESHOLD
     min_corner_score: float = 10.0   # floor of ref threshold cascade 40->10
     feature_capacity: int = 256
+    # Starvation-adaptive detection floor: when live tracks drop below this,
+    # per-cell winners are accepted down to `relaxed_min_score` (one step
+    # beyond the ref 40->10 cascade, engaged only when starving).
+    # -1 = auto (feature_capacity // 2); 0 = off (reference-parity).
+    relax_floor_below: int = -1
+    relaxed_min_score: float = 1.0
     # Track in-plane patch rotation (3-dof SE2 like the reference's Affine2
     # track states, ref feature_tracker.rs:91-100; XLA backend = exact
     # arbitrary-angle warp, Pallas kernel = first-order rotation warp).
@@ -126,6 +132,16 @@ class SolverConfig:
     # (gross-outlier) threshold: tight values cull drift-displaced good
     # landmarks and the retriangulation churn degrades long-run scale.
     cull_reproj_threshold: float = 0.0
+    # Per-observation chi^2 gate inside the PnP and BA solves (normalized
+    # residual norm; 0 = off = reference-parity Huber-only robustness).
+    # After `chi2_gate_iter` accepted LM iterations, observations whose
+    # residual still exceeds the gate are dropped from the remaining
+    # iterations — the defense against moving occluders the reference lacks
+    # (its only guards are Huber 2.0 + the bidirectional track gate,
+    # ref sliding_window.rs:295, feature_tracker.rs:280). Use gross-outlier
+    # scale, e.g. 5-10 px / fx.
+    chi2_gate: float = 0.0
+    chi2_gate_iter: int = 1
     # Schur-marginalize evicted keyframes into a dense prior instead of
     # plain FIFO forgetting (the capability the reference defers — ref
     # README.md:70,79 lists marginalization as future work). Default off =
@@ -231,6 +247,10 @@ def make_estimator_config(cfg: Config):
         detect_margin=cfg.tracker.detect_margin,
         min_score=cfg.tracker.min_corner_score,
         max_per_cell=cfg.feature_detection.max_features_per_grid,
+        relax_floor_below=(cfg.tracker.feature_capacity // 2
+                           if cfg.tracker.relax_floor_below < 0
+                           else cfg.tracker.relax_floor_below),
+        relaxed_min_score=cfg.tracker.relaxed_min_score,
         klt=klt_cfg,
         detect_mode=cfg.tracker.detect_mode,
         nms_radius=cfg.tracker.nms_radius,
@@ -246,11 +266,15 @@ def make_estimator_config(cfg: Config):
         pnp=pnp_mod.PnPConfig(
             max_iterations=cfg.optimization.pnp_max_iterations,
             huber_delta=cfg.solver.huber_delta,
-            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
+            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol,
+            chi2_gate=cfg.solver.chi2_gate,
+            chi2_gate_iter=cfg.solver.chi2_gate_iter),
         ba=ba_mod.BAConfig(
             max_iterations=cfg.optimization.bundle_adjustment_max_iterations,
             huber_delta=cfg.solver.huber_delta,
-            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol),
+            cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol,
+            chi2_gate=cfg.solver.chi2_gate,
+            chi2_gate_iter=cfg.solver.chi2_gate_iter),
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
         cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
         use_marginalization=cfg.solver.marginalization,

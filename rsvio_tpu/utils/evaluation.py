@@ -80,10 +80,20 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
     rig = est.make_rig(
         params, params, jnp.eye(4, dtype=jnp.float32),
         jnp.eye(4, dtype=jnp.float32).at[0, 3].set(scene.baseline))
+    from ..models import ba as ba_mod
+    from ..models import pnp as pnp_mod
+
+    # Per-observation chi^2 outlier gate at gross-outlier scale (~6 px in
+    # normalized units) — the defense against moving occluders the
+    # reference lacks (Huber 2.0 + bidirectional gate only).
+    chi2 = 6.0 / float(scene.fx)
     base = est.EstimatorConfig(
         frontend=FrontendConfig(
             capacity=capacity, cell_size=cell_size,
             detect_margin=detect_margin,
+            # Starvation-adaptive detection floor: keeps weak-texture scenes
+            # (e.g. easy_plane) from idling at a handful of tracks.
+            relax_floor_below=capacity // 2,
             klt=KLTConfig(levels=levels, max_iterations=max_iterations,
                           backend=backend)),
         window_size=window,
@@ -91,6 +101,8 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         rotation_threshold=rotation_threshold,
         image_shape=(scene.H, scene.W),
         use_marginalization=use_marginalization,
+        pnp=pnp_mod.PnPConfig(chi2_gate=chi2),
+        ba=ba_mod.BAConfig(chi2_gate=chi2),
     )
 
     frames = seq["frames"]
@@ -99,7 +111,10 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
 
     if use_vio:
         from ..models import estimator_vio as ev
-        cfg = ev.VIOEstimatorConfig(base=base, imu_buf=imu_buf)
+        from ..models import vio_ba
+        cfg = ev.VIOEstimatorConfig(
+            base=base, imu_buf=imu_buf,
+            vio=vio_ba.VIOBAConfig(chi2_gate=chi2))
         step = ev.make_vio_estimator_step(cfg)
         if init_gyro is not None:
             state = ev.initialize_vio_state(cfg, init_gyro, init_accel)

@@ -186,3 +186,72 @@ class TestTranslationOnly:
         t_err = np.abs(np.asarray(res.T_W_B[:, :3, 3])
                        - np.asarray(T_gt[:, :3, 3])).max()
         assert t_err < 1e-2, t_err
+
+
+class TestChi2Gate:
+    """Per-observation chi^2 outlier gating (robustness upgrade over the
+    reference's Huber-only defense, ref sliding_window.rs:295): gross
+    outliers injected into the observation set must be excised after the
+    first accepted iteration instead of dragging the solution."""
+
+    @staticmethod
+    def _corrupt(obs, mask, frac=0.15, mag=0.3, seed=5):
+        rng = np.random.default_rng(seed)
+        obs = np.asarray(obs).copy()
+        m = np.asarray(mask)
+        w, c, l, _ = obs.shape
+        hits = 0
+        for i in range(w):
+            for j in range(l):
+                if m[i, 0, j] and m[i, 1, j] and rng.uniform() < frac:
+                    # Occluder: both cameras of this frame see a wrong,
+                    # consistent offset (a foreground object).
+                    d = rng.normal(size=2) * mag
+                    obs[i, 0, j] += d
+                    obs[i, 1, j] += d
+                    hits += 1
+        assert hits > 5
+        return jnp.asarray(obs)
+
+    def test_gate_recovers_under_gross_outliers(self):
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=9, pose_noise=0.03, lm_noise=0.05)
+        obs_bad = self._corrupt(obs, mask)
+        cfg_off = ba.BAConfig()
+        cfg_on = ba.BAConfig(chi2_gate=0.03)
+        res_off = ba.solve_ba(T_init, T_C_B, lms, obs_bad, mask, lm_valid,
+                              cfg_off)
+        res_on = ba.solve_ba(T_init, T_C_B, lms, obs_bad, mask, lm_valid,
+                             cfg_on)
+        assert bool(res_off.success) and bool(res_on.success)
+        err_off = float(jnp.abs(res_off.T_W_B[:, :3, 3]
+                                - T_gt[:, :3, 3]).max())
+        err_on = float(jnp.abs(res_on.T_W_B[:, :3, 3]
+                               - T_gt[:, :3, 3]).max())
+        # The gate must materially improve pose recovery...
+        assert err_on < 0.5 * err_off, (err_on, err_off)
+        # ...and land close to ground truth despite 15% outliers.
+        assert err_on < 0.02, err_on
+
+    def test_gate_off_is_default_and_identical(self):
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=10)
+        res_a = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                            ba.BAConfig())
+        res_b = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                            ba.BAConfig(chi2_gate=0.0))
+        np.testing.assert_array_equal(np.asarray(res_a.T_W_B),
+                                      np.asarray(res_b.T_W_B))
+
+    def test_gate_noop_on_clean_data(self):
+        # On inlier-only data a gross-scale gate must not change the result
+        # beyond roundoff.
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=11)
+        res_off = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                              ba.BAConfig())
+        res_on = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                             ba.BAConfig(chi2_gate=0.05))
+        assert bool(res_on.success)
+        d = float(jnp.abs(res_on.T_W_B - res_off.T_W_B).max())
+        assert d < 1e-4, d

@@ -98,3 +98,54 @@ class TestFrontend:
         table, stats = frontend.frontend_step(table, pA, pA, pA, pA, cfg)
         assert int(stats["alive"]) <= 8
         assert int(table.next_id) >= int(stats["alive"])
+
+
+class TestAdaptiveFloor:
+    """Starvation-adaptive detection floor (one step beyond the ref 40->10
+    cascade, image_utilities.rs:151-160): weak-texture frames must still
+    populate the table when the tracker is starving, and the strict floor
+    must stay in force when tracks are plentiful."""
+
+    @staticmethod
+    def _weak(H=120, W=160, seed=3, amp=1.2):
+        # Low-contrast texture: FAST margins land between ~1 and ~5.
+        img = textured(H, W, seed=seed)
+        return ((img - img.mean()) * (amp / 25.0) + 100.0).astype(np.float32)
+
+    def test_relaxed_floor_populates_weak_scene(self):
+        img0 = self._weak()
+        img1 = shift(img0, -6.0, 0.0)
+        p0, p1 = build_pyrs(img0), build_pyrs(img1)
+
+        strict = CFG._replace(min_score=10.0)
+        table, stats = frontend.frontend_step(
+            frontend.init_table(CFG.capacity), p0, p1, p0, p1, strict)
+        n_strict = int(stats["born"])
+
+        relaxed = CFG._replace(min_score=10.0, relax_floor_below=32,
+                               relaxed_min_score=0.5)
+        table, stats = frontend.frontend_step(
+            frontend.init_table(CFG.capacity), p0, p1, p0, p1, relaxed)
+        n_relaxed = int(stats["born"])
+        assert n_strict == 0, f"weak scene unexpectedly passed strict floor ({n_strict})"
+        assert n_relaxed > 5, f"relaxed floor still starved ({n_relaxed})"
+
+    def test_strict_floor_kept_when_not_starving(self):
+        img0 = textured(seed=4)
+        img1 = shift(img0, -6.0, 0.0)
+        p0, p1 = build_pyrs(img0), build_pyrs(img1)
+        # Fill the table well above the starvation threshold first.
+        cfg = CFG._replace(relax_floor_below=4, relaxed_min_score=0.5)
+        table = frontend.init_table(CFG.capacity)
+        table, _ = frontend.frontend_step(table, p0, p1, p0, p1, cfg)
+        assert int(np.asarray(table.alive).sum()) > 4
+        # Second frame: alive count over threshold -> floor stays strict;
+        # births on a weak overlay region must NOT appear.
+        img0b = shift(img0, 0.5, 0.0)
+        img1b = shift(img1, 0.5, 0.0)
+        p0b, p1b = build_pyrs(img0b), build_pyrs(img1b)
+        strict_table, s_strict = frontend.frontend_step(
+            table, p0, p1, p0b, p1b, cfg._replace(relax_floor_below=0))
+        adapt_table, s_adapt = frontend.frontend_step(
+            table, p0, p1, p0b, p1b, cfg)
+        assert int(s_adapt["born"]) == int(s_strict["born"])

@@ -89,3 +89,41 @@ class TestPnP:
         res = pnp.solve_pnp(T_gt, T_C_B, p_W, obs, mask)
         assert bool(res.success)
         assert float(res.final_cost) < 1e-8
+
+
+class TestChi2Gate:
+    """PnP chi^2 gating: gross outliers excised after the first accepted
+    iteration (see ba.BAConfig.chi2_gate)."""
+
+    def test_gate_improves_gross_outlier_recovery(self):
+        T_init, T_C_B, p_W, obs, mask, T_W_B_gt = make_problem(seed=31)
+        rng = np.random.default_rng(3)
+        obs_bad = np.asarray(obs).copy()
+        m = np.asarray(mask)
+        n_bad = 0
+        for i in range(obs_bad.shape[1]):
+            if m[0, i] and m[1, i] and rng.uniform() < 0.25:
+                d = rng.normal(size=2) * 0.4
+                obs_bad[0, i] += d
+                obs_bad[1, i] += d
+                n_bad += 1
+        assert n_bad >= 4
+        res_off = pnp.solve_pnp(T_init, T_C_B, p_W, jnp.asarray(obs_bad),
+                                mask, pnp.PnPConfig())
+        res_on = pnp.solve_pnp(T_init, T_C_B, p_W, jnp.asarray(obs_bad),
+                               mask, pnp.PnPConfig(chi2_gate=0.1))
+        assert bool(res_on.success)
+        err_off = float(jnp.linalg.norm(res_off.T_W_B[:3, 3]
+                                        - T_W_B_gt[:3, 3]))
+        err_on = float(jnp.linalg.norm(res_on.T_W_B[:3, 3]
+                                       - T_W_B_gt[:3, 3]))
+        assert err_on < err_off and err_on < 0.01, (err_on, err_off)
+
+    def test_gate_noop_on_clean_data(self):
+        T_init, T_C_B, p_W, obs, mask, T_W_B_gt = make_problem(seed=32)
+        res_off = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask,
+                                pnp.PnPConfig())
+        res_on = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask,
+                               pnp.PnPConfig(chi2_gate=0.05))
+        d = float(jnp.abs(res_on.T_W_B - res_off.T_W_B).max())
+        assert d < 1e-5, d

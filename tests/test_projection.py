@@ -118,3 +118,64 @@ class TestTriangulation:
         xy_r = jnp.asarray([0.2, 0.0], dtype=jnp.float32)
         _, valid = projection.triangulate_stereo(T_W_Cl, T_W_Cr, xy_l, xy_r)
         assert not bool(valid)
+
+
+class TestRefineLandmarks:
+    """N-view point-only refinement (ref PinholeProjectionFactor,
+    factors.rs:27-133; test pattern of ref tests.rs:16-127 — synthetic
+    cameras, analytic observations, point recovery)."""
+
+    @staticmethod
+    def _setup(n_lm=24, w=5, noise=0.08, seed=13):
+        rng = np.random.default_rng(seed)
+        T_C_B = jnp.stack([
+            jnp.eye(4, dtype=jnp.float32),
+            lie.se3_from_rt(jnp.eye(3, dtype=jnp.float32),
+                            jnp.asarray([-0.11, 0, 0], dtype=jnp.float32)),
+        ])
+        poses = []
+        for i in range(w):
+            R = lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.03,
+                                        dtype=jnp.float32))
+            poses.append(lie.se3_from_rt(
+                R, jnp.asarray([0.25 * i, 0.02 * i, 0.0], jnp.float32)))
+        T_W_B = jnp.stack(poses)
+        T_B_W = jnp.stack([lie.se3_inverse(T) for T in poses])
+        p_gt = np.stack([rng.uniform(-2, 3, n_lm), rng.uniform(-2, 2, n_lm),
+                         rng.uniform(3, 8, n_lm)], axis=1).astype(np.float32)
+        obs = np.zeros((w, 2, n_lm, 2), np.float32)
+        mask = np.zeros((w, 2, n_lm), bool)
+        for i in range(w):
+            Tbw = np.asarray(T_B_W[i])
+            for c in range(2):
+                Tcb = np.asarray(T_C_B[c])
+                pC = (Tcb[:3, :3] @ (Tbw[:3, :3] @ p_gt.T + Tbw[:3, 3:4])
+                      + Tcb[:3, 3:4]).T
+                ok = pC[:, 2] > 0.5
+                obs[i, c, ok] = pC[ok, :2] / pC[ok, 2:3]
+                mask[i, c] = ok
+        p_init = (p_gt + rng.normal(size=p_gt.shape).astype(np.float32)
+                  * noise)
+        return (T_C_B, T_B_W, jnp.asarray(p_init), jnp.asarray(obs),
+                jnp.asarray(mask), p_gt)
+
+    def test_recovers_points_from_noisy_init(self):
+        T_C_B, T_B_W, p_init, obs, mask, p_gt = self._setup()
+        p, ok = projection.refine_landmarks(T_C_B, T_B_W, p_init, obs, mask)
+        ok = np.asarray(ok)
+        assert ok.all()
+        err = np.abs(np.asarray(p) - p_gt).max()
+        err0 = np.abs(np.asarray(p_init) - p_gt).max()
+        assert err < 1e-3, f"refined err {err} (init {err0})"
+
+    def test_underobserved_points_unchanged(self):
+        T_C_B, T_B_W, p_init, obs, mask, p_gt = self._setup()
+        mask = mask.at[:, :, 0].set(False)          # zero observations
+        mask = mask.at[1:, :, 1].set(False)
+        mask = mask.at[0, 1, 1].set(False)           # one observation left
+        p, ok = projection.refine_landmarks(T_C_B, T_B_W, p_init, obs, mask)
+        ok = np.asarray(ok)
+        assert not ok[0] and not ok[1]
+        np.testing.assert_array_equal(np.asarray(p[0]), np.asarray(p_init[0]))
+        np.testing.assert_array_equal(np.asarray(p[1]), np.asarray(p_init[1]))
+        assert ok[2:].all()

@@ -185,3 +185,42 @@ class TestFTDebugSurface:
         assert obj.args[0].dtype == np.float32
         # Missing colormap support must NOT degrade the viewer.
         assert v._initialized
+
+
+class TestCapabilityProbe:
+    """SDK-drift hardening: initialize() runs a construction probe of every
+    rerun symbol/keyword used; an incompatible SDK disables the viewer
+    LOUDLY at startup instead of silently no-op-ing mid-run."""
+
+    def test_probe_passes_on_compatible_stub(self, monkeypatch):
+        rec = _Recorder()
+        rr = _make_stub(rec)
+        from rsvio_tpu.viewers.rerun_viewer import probe_capabilities
+        assert probe_capabilities(rr) == []
+
+    def test_probe_names_missing_capability(self, monkeypatch):
+        rec = _Recorder()
+        rr = _make_stub(rec)
+        del rr.LineStrips3D
+        from rsvio_tpu.viewers.rerun_viewer import probe_capabilities
+        missing = probe_capabilities(rr)
+        assert len(missing) == 1 and missing[0].startswith("LineStrips3D")
+
+    def test_incompatible_sdk_disables_viewer(self, monkeypatch, caplog):
+        import logging
+        rec = _Recorder()
+        rr = _make_stub(rec)
+
+        class BadPoints3D:  # signature drift: rejects the radii kwarg
+            def __init__(self, pts, colors=None):
+                pass
+
+        rr.Points3D = BadPoints3D
+        monkeypatch.setitem(sys.modules, "rerun", rr)
+        from rsvio_tpu.viewers.rerun_viewer import RerunViewer
+        v = RerunViewer(spawn=False)
+        with caplog.at_level(logging.WARNING):
+            assert not v.initialize()
+        assert any("Points3D" in r.message for r in caplog.records)
+        # ...and nothing was ever logged to the SDK.
+        assert rec.calls == []
