@@ -58,11 +58,18 @@ class VIOBAConfig(NamedTuple):
     # information: recent inertial continuity is kept, stale certainty
     # fades. 1.0 = no forgetting (the broken round-2 behavior).
     prior_decay: float = 0.7
-    # Restrict the marginalization prior to the velocity/bias subspace
-    # (pose rows/cols zeroed after each eviction). Measured HARMFUL when the
-    # eviction system is inertial-only (velocity is only relatively
-    # observable; an absolute velocity prior without its pose
-    # cross-correlations pins stale values) — kept as an ablation knob.
+    # Drop the BIAS rows/cols (dims 9:15 of every block) from the
+    # marginalization prior. Solver-only sliding-window bisection (24 KFs,
+    # per-block ablation at identical noise): the bias block alone degrades
+    # position 8x (it accretes an absolute bias anchor pinned at stale FEJ
+    # estimates; slightly-wrong-but-locked biases poison every IMU factor),
+    # while the pose+velocity blocks HELP (pos_end 0.017-0.020 vs fifo
+    # 0.019-0.081 across seeds; velocity error 4x better). Biases remain
+    # estimated per-window, tied across it by the in-window random-walk
+    # factors — exactly the fifo behavior that measures well.
+    prior_drop_bias: bool = True
+    # Ablation knob (measured HARMFUL — pose cross-correlations are what
+    # make the velocity info meaningful): keep ONLY velocity/bias blocks.
     prior_velocity_bias_only: bool = False
     # Include the evicted frame's VISUAL factors (observations of window
     # landmarks from state 0, landmarks held fixed) in the eviction system.
@@ -646,11 +653,15 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     # Information forgetting (see VIOBAConfig.prior_decay).
     H_new = new_prior.H * cfg.prior_decay
     g_new = new_prior.g * cfg.prior_decay
+    keep = None
     if cfg.prior_velocity_bias_only:
-        # Velocity/bias subspace only (see VIOBAConfig docstring): zero the
-        # pose rows/cols (dims 0:6 of every 15-dim block).
         keep = jnp.tile(jnp.concatenate(
             [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
+    elif cfg.prior_drop_bias:
+        # Pose+velocity prior only (see VIOBAConfig.prior_drop_bias).
+        keep = jnp.tile(jnp.concatenate(
+            [jnp.ones(9, dtype), jnp.zeros(D - 9, dtype)]), W)
+    if keep is not None:
         H_new = H_new * keep[:, None] * keep[None, :]
         g_new = g_new * keep
     new_prior = new_prior._replace(H=H_new, g=g_new)

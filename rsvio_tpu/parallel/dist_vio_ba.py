@@ -482,13 +482,18 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             g_ev = g_ev.at[:6].add(Jv.T @ rv)
         new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B,
                                        _extra(st_out), prior, D)
-        # Information forgetting + velocity/bias-subspace restriction (must
-        # mirror the single-device solver; see models.vio_ba.VIOBAConfig).
+        # Information forgetting + subspace restriction (must mirror the
+        # single-device solver; see models.vio_ba.VIOBAConfig).
         H_new = new_prior.H * cfg.prior_decay
         g_new = new_prior.g * cfg.prior_decay
+        keep = None
         if cfg.prior_velocity_bias_only:
             keep = jnp.tile(jnp.concatenate(
                 [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
+        elif cfg.prior_drop_bias:
+            keep = jnp.tile(jnp.concatenate(
+                [jnp.ones(9, dtype), jnp.zeros(D - 9, dtype)]), W)
+        if keep is not None:
             H_new = H_new * keep[:, None] * keep[None, :]
             g_new = g_new * keep
         new_prior = new_prior._replace(H=H_new, g=g_new)
