@@ -18,7 +18,8 @@ the driver budget and cost round 2 its headline number. So:
   * the kernel-vs-XLA flow-agreement check (two extra multi-MB compiles in
     round 2) moved to stderr, runs at a small configuration (3 levels, 8
     iters), and is skipped entirely when the elapsed budget is spent —
-    the full-size agreement guard lives in tests/test_kernel_quality.py;
+    the full-size agreement guard lives in tests/test_klt.py (kernel-vs-XLA
+    parity + survival classes);
   * per-phase wall times go to stderr so cache hits/misses are auditable.
 Quality floors are asserted so a device-only kernel regression that raises
 fps by killing tracks shows up as a failure instead of a better score.

@@ -66,6 +66,12 @@ class EstimatorConfig(NamedTuple):
     # long-run accuracy (measured: -40% vs +3% displacement error on the
     # 186-frame synthetic bench scene at 0.005).
     cull_reproj_threshold: float = 0.0
+    # Polish freshly triangulated landmarks with an N-view point-only GN
+    # (poses fixed) over all their window observations before BA — the
+    # reference's PinholeProjectionFactor (ref factors.rs:27-133) as a
+    # birth-quality upgrade. Off by default (BA refines landmarks anyway;
+    # measured neutral on the synthetic matrix).
+    refine_births: bool = False
 
 
 class CameraRig(NamedTuple):
@@ -152,7 +158,10 @@ def _undistort_table(cfg: EstimatorConfig, rig: CameraRig, table: FeatureTable):
 
 def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
                      lm, lm_fid):
-    """Triangulate landmarks for alive slots without a valid landmark."""
+    """Triangulate landmarks for alive slots without a valid landmark.
+
+    Returns (lm, lm_fid, born) — born marks slots triangulated THIS call
+    (used by the optional N-view birth refinement)."""
     T_W_C = jnp.einsum("ij,cjk->cik", T_W_B, rig.T_B_C)  # (2,4,4)
     tri = jax.vmap(lambda xl, xr: triangulate_stereo(T_W_C[0], T_W_C[1], xl, xr))
     p, tri_ok = tri(obs_cur[0], obs_cur[1])
@@ -163,7 +172,7 @@ def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
     # Invalidate landmarks whose slot was recycled or died.
     stale = (lm_fid != table.fid) | (~table.alive)
     lm_fid = jnp.where(stale & ~want, -1, lm_fid)
-    return lm, lm_fid
+    return lm, lm_fid, want
 
 
 def reprojection_outliers(T_C_B, kf_T_W_B, lm, obs, eff_mask, lm_valid,
@@ -260,7 +269,8 @@ def _build_stages(cfg: EstimatorConfig):
         # --- keyframe branch: triangulate, roll window, BA
         def kf_branch(operand):
             table, T_cur, lm, lm_fid = operand
-            lm, lm_fid = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+            lm, lm_fid, born = _triangulate_new(rig, T_cur, obs_cur, table,
+                                                lm, lm_fid)
 
             # FIFO roll: if full, shift left; insert at min(kf_count, W-1).
             ins = jnp.minimum(state.kf_count, W - 1)
@@ -290,6 +300,18 @@ def _build_stages(cfg: EstimatorConfig):
             kf_valid = jnp.arange(W) < kf_count
             eff_mask = eff_mask & kf_valid[:, None, None]
             lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+
+            if cfg.refine_births:
+                # Polish freshly triangulated landmarks against EVERY window
+                # observation of their feature (poses fixed) before they
+                # enter BA — the reference's PinholeProjectionFactor as a
+                # birth-quality upgrade (ref factors.rs:27-133).
+                from ..ops.projection import refine_landmarks
+                T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
+                mask_b = eff_mask & born[None, None, :]
+                lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                                  obs_w, mask_b)
+                lm = jnp.where((born & ok_ref)[:, None], lm_ref, lm)
 
             def run_ba(_):
                 if cfg.use_marginalization:

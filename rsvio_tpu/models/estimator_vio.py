@@ -312,7 +312,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
 
         def kf_branch(operand):
             (table, T_cur, v_cur, lm, lm_fid) = operand
-            lm, lm_fid = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+            lm, lm_fid, _born = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
             ins = jnp.minimum(state.kf_count, W - 1)
 
             def roll_if_full(arr):

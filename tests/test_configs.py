@@ -82,3 +82,53 @@ solver:
     assert ecfg.frontend.klt.backend == "xla"
     assert ecfg.frontend.klt.track_rotation is True
     assert ecfg.frontend.klt.lm_lambda == pytest.approx(0.25)
+
+
+def test_round3_knobs_reach_estimator_config(tmp_path):
+    """Round-3 surfaced knobs: bicubic sampling, chi^2 gate, adaptive
+    detection floor."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""%YAML:1.0
+camera:
+  image_width: 160
+  image_height: 120
+  left_intrinsics: [100, 100, 80, 60]
+  left_distortion: [0, 0, 0, 0]
+  right_intrinsics: [100, 100, 80, 60]
+  right_distortion: [0, 0, 0, 0]
+tracker:
+  interpolation: bicubic
+  feature_capacity: 128
+  relax_floor_below: 40
+  relaxed_min_score: 2.5
+solver:
+  chi2_gate: 0.015
+  chi2_gate_iter: 2
+""")
+    cfg = load_config(str(p))
+    ecfg, _ = make_estimator_config(cfg)
+    assert ecfg.frontend.klt.interpolation == "bicubic"
+    assert ecfg.frontend.relax_floor_below == 40
+    assert ecfg.frontend.relaxed_min_score == pytest.approx(2.5)
+    assert ecfg.ba.chi2_gate == pytest.approx(0.015)
+    assert ecfg.ba.chi2_gate_iter == 2
+    assert ecfg.pnp.chi2_gate == pytest.approx(0.015)
+
+
+def test_relax_floor_auto_default(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""%YAML:1.0
+camera:
+  image_width: 160
+  image_height: 120
+  left_intrinsics: [100, 100, 80, 60]
+  left_distortion: [0, 0, 0, 0]
+  right_intrinsics: [100, 100, 80, 60]
+  right_distortion: [0, 0, 0, 0]
+tracker:
+  feature_capacity: 200
+""")
+    cfg = load_config(str(p))
+    ecfg, _ = make_estimator_config(cfg)
+    # -1 (auto) resolves to capacity // 2
+    assert ecfg.frontend.relax_floor_below == 100

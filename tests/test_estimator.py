@@ -166,3 +166,37 @@ class TestSplitStepParity:
             assert set(ms) == set(est.STAGE_NAMES)
             assert all(v >= 0.0 for v in ms.values())
         assert int(o_s.n_tracked) == int(o_f.n_tracked)
+
+
+def test_refine_births_runs_and_stays_accurate(sequence):
+    """refine_births polishes triangulated births with the N-view point
+    solver (ref PinholeProjectionFactor, factors.rs:27-133); the pipeline
+    must stay functional and as accurate with it enabled."""
+    params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                 [FX, FY, CX, CY], [0, 0, 0, 0])
+    rig = est.make_rig(params, params,
+                       jnp.eye(4, dtype=jnp.float32),
+                       jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+    outs = {}
+    for name, refine in (("off", False), ("on", True)):
+        cfg = est.EstimatorConfig(
+            frontend=FrontendConfig(capacity=96, cell_size=28,
+                                    detect_margin=10, min_score=5.0,
+                                    klt=KLTConfig(levels=3, max_iterations=12,
+                                                  backend="xla")),
+            window_size=4, translation_threshold=0.012,
+            rotation_threshold=0.05, image_shape=(H, W),
+            refine_births=refine)
+        step = est.make_estimator_step(cfg)
+        state = est.init_state(cfg)
+        xs = []
+        for left, right in sequence:
+            state, out = step(state, rig, jnp.asarray(left),
+                              jnp.asarray(right))
+            xs.append(float(out.T_W_B[0, 3]))
+        outs[name] = np.asarray(xs)
+    gt = STEP_M * np.arange(len(outs["on"]))
+    # Accurate vs GT and close to the unrefined pipeline.
+    assert np.abs(outs["on"] - gt)[-1] < 0.01, outs["on"][-5:]
+    assert np.abs(outs["on"] - outs["off"]).max() < 5e-3, (
+        outs["on"][-5:], outs["off"][-5:])
