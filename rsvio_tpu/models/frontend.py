@@ -46,12 +46,16 @@ class FrontendConfig(NamedTuple):
     # Adaptive corner-score floor on weak texture: when the live-track count
     # after temporal tracking falls below `relax_floor_below`, detection
     # accepts per-cell winners down to `relaxed_min_score` instead of
-    # `min_score`. Generalizes the reference's 40->10 re-detection cascade
-    # (ref image_utilities.rs:151-160) one step further — only when the
-    # tracker is actually starving, so well-textured scenes keep the strict
-    # floor. 0 = off (reference-parity fixed floor).
+    # `min_score`, AND takes up to `relax_max_per_cell` spaced candidates
+    # per cell (sparse scenes often have most cells featureless — e.g. the
+    # easy_plane matrix scene has corners in only 32 of 112 cells, so a
+    # lower floor alone cannot fill the table). Generalizes the reference's
+    # 40->10 re-detection cascade (ref image_utilities.rs:151-160) — only
+    # when the tracker is actually starving, so well-textured scenes keep
+    # the strict single-winner floor. 0 = off (reference-parity).
     relax_floor_below: int = 0
     relaxed_min_score: float = 1.0
+    relax_max_per_cell: int = 3
 
 
 class FeatureTable(NamedTuple):
@@ -174,10 +178,12 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
     score = detect.fast_score(pyr0[0])
     if cfg.relax_floor_below > 0:
         # Starvation-adaptive floor (see FrontendConfig.relax_floor_below).
-        floor = jnp.where(jnp.sum(table.alive) < cfg.relax_floor_below,
+        starving = jnp.sum(table.alive) < cfg.relax_floor_below
+        floor = jnp.where(starving,
                           jnp.asarray(cfg.relaxed_min_score, score.dtype),
                           jnp.asarray(cfg.min_score, score.dtype))
     else:
+        starving = None
         floor = cfg.min_score
     if cfg.detect_mode == "nms":
         cand_xy, cand_ok = detect.nms_select(
@@ -185,10 +191,31 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
             margin=cfg.detect_margin, min_score=floor,
             max_new=cfg.nms_max_new)
     else:
-        cand_xy, cand_ok = detect.select_grid_features(
-            score, table.pos0, table.alive, cfg.cell_size,
-            margin=cfg.detect_margin, min_score=floor,
-            max_per_cell=cfg.max_per_cell)
+        if starving is None:
+            cand_xy, cand_ok = detect.select_grid_features(
+                score, table.pos0, table.alive, cfg.cell_size,
+                margin=cfg.detect_margin, min_score=floor,
+                max_per_cell=cfg.max_per_cell)
+        else:
+            # Starvation mode computes BOTH selections (cheap relative to
+            # the score map) and picks dynamically: strict = reference
+            # cell-occupancy semantics; relaxed = distance-based occupancy
+            # with multi-candidate cells and the lowered floor.
+            k = max(cfg.max_per_cell, cfg.relax_max_per_cell)
+            xy_s, ok_s = detect.select_grid_features(
+                score, table.pos0, table.alive, cfg.cell_size,
+                margin=cfg.detect_margin, min_score=cfg.min_score,
+                max_per_cell=k, cell_occupancy=True)
+            n_cells = ok_s.shape[0] // k
+            rnd = jnp.arange(ok_s.shape[0]) // n_cells
+            ok_s = ok_s & (rnd < cfg.max_per_cell)
+            xy_r, ok_r = detect.select_grid_features(
+                score, table.pos0, table.alive, cfg.cell_size,
+                margin=cfg.detect_margin,
+                min_score=cfg.relaxed_min_score,
+                max_per_cell=k, cell_occupancy=False)
+            cand_xy = jnp.where(starving, xy_r, xy_s)
+            cand_ok = jnp.where(starving, ok_r, ok_s)
 
     # (d) stereo-match candidates cam0 -> cam1 (bidirectional KLT).
     cand_pos1, cand_A1, stereo_ok = klt.track_points_bidirectional(

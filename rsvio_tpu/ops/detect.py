@@ -105,10 +105,12 @@ def shi_tomasi_score(img):
     return 0.5 * (tr - disc)
 
 
-@partial(jax.jit, static_argnames=("cell_size", "margin", "max_per_cell"))
+@partial(jax.jit, static_argnames=("cell_size", "margin", "max_per_cell",
+                                   "min_dist", "cell_occupancy"))
 def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
                          margin: int = 19, min_score: float = 10.0,
-                         max_per_cell: int = 1):
+                         max_per_cell: int = 1, min_dist: int = 5,
+                         cell_occupancy: bool = True):
     """Pick the top-k scoring pixels in each unoccupied grid cell.
 
     Capability of ref src/feature_tracker/image_utilities.rs:108-175: cells
@@ -124,9 +126,18 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
       margin: border exclusion in px (ref EDGE_THRESHOLD = 19).
       min_score: minimum corner score (floor of the reference's 40->10 cascade).
       max_per_cell: corners per cell (static).
+      min_dist: in-cell suppression radius between multi-candidates (px) —
+        without it the 2nd pick would be the 1st winner's neighboring pixel.
+      cell_occupancy: True = the reference's cell-level gate (any live track
+        claims its whole cell). False = DISTANCE-based occupancy: live
+        tracks suppress only a min_dist neighborhood of the score map, so
+        multi-candidate cells can keep filling around existing tracks
+        (the starvation-mode behavior; sparse scenes concentrate texture in
+        few cells and the cell gate caps them at one track each).
 
     Returns:
-      cand_xy: (C * max_per_cell, 2) float candidate positions.
+      cand_xy: (C * max_per_cell, 2) float candidate positions, grouped by
+        pick round (first all cells' 1st picks, then all 2nd picks, ...).
       cand_ok: (C * max_per_cell,) bool validity.
     """
     H, W = score.shape
@@ -137,22 +148,43 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
     in_border = ((yy >= margin) & (yy < H - margin) &
                  (xx >= margin) & (xx < W - margin))
     s = jnp.where(in_border, score, -jnp.inf)
+    if not cell_occupancy:
+        # Suppress a (2*min_dist+1)^2 neighborhood around every live track
+        # (same mechanism as nms_select's live-track injection).
+        occ_x = jnp.clip(jnp.round(occupied_xy[:, 0]).astype(jnp.int32),
+                         0, W - 1)
+        occ_y = jnp.clip(jnp.round(occupied_xy[:, 1]).astype(jnp.int32),
+                         0, H - 1)
+        hit = jnp.zeros((H, W), score.dtype).at[occ_y, occ_x].max(
+            occupied_mask.astype(score.dtype))
+        k2 = 2 * min_dist + 1
+        near = jax.lax.reduce_window(hit, -jnp.inf, jax.lax.max,
+                                     (k2, k2), (1, 1), "SAME") > 0
+        s = jnp.where(near, -jnp.inf, s)
     s = s[: gh * cell_size, : gw * cell_size]
     cells = s.reshape(gh, cell_size, gw, cell_size).transpose(0, 2, 1, 3)
-    cells = cells.reshape(gh * gw, cell_size * cell_size)
+    cells = cells.reshape(gh * gw, cell_size, cell_size)
 
-    # Occupancy: scatter existing features into the cell grid.
-    occ_col = jnp.clip((occupied_xy[:, 0] // cell_size).astype(jnp.int32), 0, gw - 1)
-    occ_row = jnp.clip((occupied_xy[:, 1] // cell_size).astype(jnp.int32), 0, gh - 1)
-    occ_idx = occ_row * gw + occ_col
-    occ = jnp.zeros((gh * gw,), dtype=bool).at[occ_idx].max(occupied_mask)
+    if cell_occupancy:
+        # Occupancy: scatter existing features into the cell grid.
+        occ_col = jnp.clip((occupied_xy[:, 0] // cell_size).astype(jnp.int32),
+                           0, gw - 1)
+        occ_row = jnp.clip((occupied_xy[:, 1] // cell_size).astype(jnp.int32),
+                           0, gh - 1)
+        occ_idx = occ_row * gw + occ_col
+        occ = jnp.zeros((gh * gw,), dtype=bool).at[occ_idx].max(occupied_mask)
+    else:
+        occ = jnp.zeros((gh * gw,), dtype=bool)
 
     cell_row = jnp.arange(gh * gw, dtype=jnp.int32) // gw
     cell_col = jnp.arange(gh * gw, dtype=jnp.int32) % gw
+    iy = jax.lax.broadcasted_iota(jnp.int32, (cell_size, cell_size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (cell_size, cell_size), 1)
     xy_all, ok_all = [], []
     for _k in range(max_per_cell):
-        best = jnp.argmax(cells, axis=1)
-        best_score = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+        flat = cells.reshape(gh * gw, cell_size * cell_size)
+        best = jnp.argmax(flat, axis=1)
+        best_score = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
         cy = best // cell_size
         cx = best % cell_size
         cand_y = cell_row * cell_size + cy
@@ -160,8 +192,11 @@ def select_grid_features(score, occupied_xy, occupied_mask, cell_size: int,
         xy_all.append(jnp.stack([cand_x, cand_y], axis=1).astype(score.dtype))
         ok_all.append((best_score > min_score) & (~occ))
         if max_per_cell > 1:
-            # Suppress the winner before picking the next one.
-            cells = cells.at[jnp.arange(gh * gw), best].set(-jnp.inf)
+            # Suppress a min_dist neighborhood around the winner before the
+            # next pick (in-cell spacing between multi-candidates).
+            near = ((jnp.abs(iy[None] - cy[:, None, None]) <= min_dist)
+                    & (jnp.abs(ix[None] - cx[:, None, None]) <= min_dist))
+            cells = jnp.where(near, -jnp.inf, cells)
     return jnp.concatenate(xy_all, axis=0), jnp.concatenate(ok_all, axis=0)
 
 
