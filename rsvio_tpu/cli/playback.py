@@ -19,24 +19,29 @@ from __future__ import annotations
 import sys
 
 
+EOF_KEY = "<eof>"
+
+
 def _poll_stdin(timeout: float):
     """One key (line-buffered) from stdin within `timeout` seconds, or None.
 
     Uses select() so auto-play never blocks. Works line-buffered (the user
     presses enter); raw tcsetattr modes are deliberately avoided to keep the
-    terminal state crash-safe.
+    terminal state crash-safe. Returns EOF_KEY when stdin is exhausted/closed
+    (select reports such an fd as permanently ready — treating that as "no
+    key" would spin a 100%-CPU busy loop in stepping mode).
     """
     import select
 
     try:
         ready, _, _ = select.select([sys.stdin], [], [], timeout)
     except (OSError, ValueError):  # stdin closed / not selectable
-        return None
+        return EOF_KEY
     if not ready:
         return None
     line = sys.stdin.readline()
     if line == "":
-        return None
+        return EOF_KEY
     stripped = line.strip()
     return stripped[:1].lower() if stripped else "\n"
 
@@ -63,6 +68,15 @@ class PlaybackController:
         """Apply one key. Returns True if the frame should advance now."""
         if key is None:
             return False
+        if key == EOF_KEY:
+            # No key can ever arrive again. Stepping cannot advance -> quit;
+            # auto-play needs no keys -> keep playing, stop polling.
+            self._keys = lambda timeout: None
+            if not self.auto_play:
+                if self._log:
+                    self._log.info("stdin closed while stepping — quitting")
+                self.quit = True
+            return True
         if key == "q":
             self.quit = True
             return True

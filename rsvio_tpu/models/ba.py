@@ -78,6 +78,14 @@ class BAConfig(NamedTuple):
     # outliers in the window that Huber down-weights but never removes.
     chi2_gate: float = 0.0
     chi2_gate_iter: int = 1
+    # Landmark maturity gate: a landmark enters BA only once its
+    # observations span >= min_lm_span window rows (keyframes). Transient
+    # tracks on MOVING objects die and re-triangulate at the object's new
+    # position, so each window sees small residuals against a wrong,
+    # moving anchor that neither Huber nor the chi^2 gate can flag;
+    # requiring multi-keyframe persistence excludes them until they prove
+    # stationary. 1 = off (reference-parity).
+    min_lm_span: int = 1
 
 
 class BAResult(NamedTuple):
@@ -270,6 +278,9 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     W = T_W_B.shape[0]
 
     lm_active0 = stereo_observability_mask(obs_mask, lm_valid)
+    if cfg.min_lm_span > 1:
+        span = jnp.sum(jnp.any(obs_mask, axis=1), axis=0)   # (L,) keyframes
+        lm_active0 = lm_active0 & (span >= cfg.min_lm_span)
     mask0 = obs_mask & lm_active0[None, None, :]
     n_blocks = jnp.sum(mask0)
     # Validation: enough residual blocks vs variables (ref :309-319).
@@ -313,12 +324,22 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             # observations whose whitened residual norm still exceeds the
             # gate, re-derive stereo observability, and rebuild the system
             # at the accepted point so later iterations never see them.
-            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            # (chi2_gate_iter is clamped to >= 1 — n_acc+1 could otherwise
+            # never match and the gate would silently disable.)
+            do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
 
             def regate(_):
                 m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
                 act = stereo_observability_mask(m, lm_valid)
                 m = m & act[None, None, :]
+                # Under-constraint guard (mirrors the pre-solve refusal): a
+                # gate that guts the system must revert, or LM would keep
+                # "succeeding" on an under-determined problem.
+                n_b = jnp.sum(m)
+                guard = ((n_b >= cfg.min_residual_blocks)
+                         & (2 * n_b >= (W - 1) * 6 + 3 * jnp.sum(act)))
+                m = jnp.where(guard, m, mask)
+                act = jnp.where(guard, act, lm_active)
                 sys_g, cost_g, _ = lin_sys(T_new, lms_new, m)
                 return m, act, sys_g, cost_g
 
@@ -498,12 +519,17 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
             # Outlier gate (see solve_ba): excise gross outliers after the
             # first accepted iterations; the final prior is then built from
             # the gated system, so outliers never enter the marginal.
-            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
 
             def regate(_):
                 m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
                 act = stereo_observability_mask(m, lm_valid)
                 m = m & act[None, None, :]
+                n_b = jnp.sum(m)
+                guard = ((n_b >= cfg.min_residual_blocks)
+                         & (2 * n_b >= (W - 1) * 6 + 3 * jnp.sum(act)))
+                m = jnp.where(guard, m, mask)
+                act = jnp.where(guard, act, lm_active)
                 sys_g, cost_g, _ = lin_sys(T_new, lms_new, m, act)
                 return m, act, sys_g, cost_g
 

@@ -108,6 +108,11 @@ class EstimatorState(NamedTuple):
     T_W_B: jnp.ndarray       # (4,4) current pose
     last_kf_T_W_B: jnp.ndarray  # (4,4)
     frame_id: jnp.ndarray    # () int32
+    # Previous-frame pose: drives the constant-velocity motion model that
+    # initializes (and, with pnp.motion_prior_weight, anchors) the PnP
+    # solve. The reference initializes PnP from the LAST KEYFRAME pose
+    # (ref sliding_window.rs:506-515) — strictly staler.
+    T_W_B_prev: jnp.ndarray  # (4,4)
 
 
 def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
@@ -130,6 +135,7 @@ def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
         marg_prior=empty_prior(W, 6, dtype),
         T_W_B=eye, last_kf_T_W_B=eye,
         frame_id=jnp.asarray(0, jnp.int32),
+        T_W_B_prev=eye,
     )
 
 
@@ -241,8 +247,13 @@ def _build_stages(cfg: EstimatorConfig):
         lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
         pnp_mask = obs_cur_mask & lm_ok[None, :]
 
+        # Constant-velocity motion prediction: T_pred = T * (T_prev^-1 T).
+        # Initializes PnP (and anchors it when pnp.motion_prior_weight > 0).
+        delta_cv = lie.se3_inverse(state.T_W_B_prev) @ state.T_W_B
+        T_pred = state.T_W_B @ delta_cv
+
         def run_pnp(_):
-            res = pnp_mod.solve_pnp(state.T_W_B, rig.T_C_B, state.lm,
+            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
                                     obs_cur, pnp_mask, cfg.pnp)
             return res.T_W_B, res.success
 
@@ -365,6 +376,10 @@ def _build_stages(cfg: EstimatorConfig):
             lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,
+            # Motion-model memory: on keyframes T_out comes from BA and can
+            # jump relative to the PnP track; using the PRE-update current
+            # pose keeps the velocity estimate frame-to-frame consistent.
+            T_W_B_prev=state.T_W_B,
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,

@@ -356,6 +356,15 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             eff_mask = eff_mask & kf_valid[:, None, None]
             lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
 
+            if b.refine_births:
+                # N-view polish of fresh births (see estimator.py kf_branch).
+                from ..ops.projection import refine_landmarks
+                T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
+                mask_b = eff_mask & _born[None, None, :]
+                lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                                  obs_w, mask_b)
+                lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
+
             def run_ba(_):
                 st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg, ba=kf_ba_)
                 if b.use_marginalization:

@@ -51,6 +51,14 @@ class PnPConfig(NamedTuple):
     # remaining iterations (see ba.BAConfig.chi2_gate).
     chi2_gate: float = 0.0
     chi2_gate_iter: int = 1
+    # Motion-model prior: quadratic pull toward the INITIAL pose (the
+    # caller's motion prediction — IMU or constant-velocity) with this
+    # sqrt-weight per tangent dim (normalized-residual units; 0 = off).
+    # Against a coherent secondary rigid motion (moving occluder) the
+    # observations alone cannot identify the static world; the prior makes
+    # the occluder group fight the prediction so the chi^2 gate can excise
+    # it after the first iteration.
+    motion_prior_weight: float = 0.0
 
 
 class PnPResult(NamedTuple):
@@ -95,6 +103,16 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         H = J.T @ J                            # (6,6)
         g = J.T @ r                            # (6,)
         cost = jnp.sum(lin.cost)
+        if cfg.motion_prior_weight > 0.0:
+            # Quadratic prior toward the initial (predicted) pose in the
+            # T_B_W split-retraction tangent: r_p = w * (T boxminus T0).
+            w = cfg.motion_prior_weight
+            dt_p = T_B_W[:3, 3] - T_B_W0[:3, 3]
+            dw_p = lie.so3_log(T_B_W0[:3, :3].T @ T_B_W[:3, :3])
+            d = jnp.concatenate([dt_p, dw_p])
+            H = H + (w * w) * jnp.eye(6, dtype=dtype)
+            g = g + (w * w) * d
+            cost = cost + 0.5 * (w * w) * jnp.dot(d, d)
         r_sq = jnp.sum(lin.r ** 2, axis=-1)    # (2, L)
         return H, g, cost, r_sq
 
@@ -131,7 +149,7 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
                 H_g, g_g, cost_g, _ = linearize(T_new, m_g)
                 return m_g, H_g, g_g, cost_g
 
-            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
             m, H_new, g_new, new_cost = jax.lax.cond(
                 do_gate, regate,
                 lambda _: (m, H_new, g_new, new_cost), None)

@@ -329,12 +329,19 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
 
         if cfg.chi2_gate > 0.0:
             # Visual outlier gate (see ba.solve_ba); IMU factors untouched.
-            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
 
             def regate(_):
                 m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
                 act = ba_mod.stereo_observability_mask(m, lm_valid)
                 m = m & act[None, None, :]
+                n_b = jnp.sum(m)
+                n_imu = jnp.sum(preint_valid)
+                guard = ((n_b + n_imu >= cfg.min_residual_blocks)
+                         & (2 * n_b + 15 * n_imu
+                            >= W * D - 6 + 3 * jnp.sum(act)))
+                m = jnp.where(guard, m, mask)
+                act = jnp.where(guard, act, lm_active)
                 sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
                 return m, act, sys_g, cost_g
 
@@ -400,6 +407,76 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
 # ---------------------------------------------------------------------------
 
 from .marginalization import MargPrior, marginalize_oldest, prior_terms  # noqa: E402
+
+
+def build_eviction_prior(st_out: VIOState, lms_out, T_C_B, obs0, mask0,
+                         preint0, preint_valid0, sqrt_info0,
+                         prior: MargPrior, cfg: VIOBAConfig) -> MargPrior:
+    """Next-prior construction from the EVICTION system — shared VERBATIM by
+    the single-device and distributed marginalized VIO solvers (any drift
+    between the two breaks distributed parity).
+
+    The eviction system holds only the information that actually LEAVES the
+    active window: the current prior (which involves state 0), the IMU
+    factor joining states 0-1 (its preintegrated interval rolls out with the
+    evicted keyframe), and — as the absolute-pose anchor — the evicted
+    frame's visual factors with landmarks held fixed. Folding the FULL final
+    window system instead re-counts every surviving factor at every eviction
+    (the round-2 accuracy bug). After marginalizing state 0 the prior decays
+    by cfg.prior_decay and its bias (or pose, per config) rows are dropped —
+    see the VIOBAConfig field docstrings for the measured rationale.
+
+    Args:
+      st_out, lms_out: the solved window states/landmarks.
+      obs0, mask0: state 0's observations (2,L,2) and FINAL (chi^2-gated)
+        mask (2,L).
+      preint0, preint_valid0, sqrt_info0: interval 0-1 preintegration,
+        validity, and hoisted whitening.
+      prior: the incoming prior (consumed by the eviction system).
+    Returns the rolled MargPrior (validity NOT set — callers gate on
+    will_evict & success).
+    """
+    W = st_out.T_W_B.shape[0]
+    dtype = st_out.T_W_B.dtype
+    extra = jnp.concatenate([st_out.vel, st_out.bg, st_out.ba], axis=1)
+
+    H_add_f, g_add_f, _ = prior_terms(prior, st_out.T_W_B, extra)
+    r0, J0_i, J0_j = _imu_linearize_one(preint0, st_out, 0, cfg, sqrt_info0)
+    w0 = preint_valid0.astype(dtype)
+    H_ev = H_add_f
+    H_ev = H_ev.at[:D, :D].add(w0 * (J0_i.T @ J0_i))
+    H_ev = H_ev.at[D:2 * D, D:2 * D].add(w0 * (J0_j.T @ J0_j))
+    H_ev = H_ev.at[:D, D:2 * D].add(w0 * (J0_i.T @ J0_j))
+    H_ev = H_ev.at[D:2 * D, :D].add(w0 * (J0_j.T @ J0_i))
+    g_ev = g_add_f
+    g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
+    g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
+    if cfg.prior_visual_anchor:
+        T_B_W0 = lie.se3_inverse(st_out.T_W_B[0])
+        lin0 = jax.vmap(jax.vmap(
+            lambda Tcb, p, o, m: linearize_projection(
+                Tcb, T_B_W0, p, o, m, cfg.huber_delta),
+            in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
+            T_C_B, lms_out, obs0, mask0)
+        Jv = lin0.J_pose.reshape(-1, 6)
+        rv = lin0.r.reshape(-1)
+        H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
+        g_ev = g_ev.at[:6].add(Jv.T @ rv)
+    new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B, extra, prior, D)
+    # Information forgetting + subspace restriction.
+    H_new = new_prior.H * cfg.prior_decay
+    g_new = new_prior.g * cfg.prior_decay
+    keep = None
+    if cfg.prior_velocity_bias_only:
+        keep = jnp.tile(jnp.concatenate(
+            [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
+    elif cfg.prior_drop_bias:
+        keep = jnp.tile(jnp.concatenate(
+            [jnp.ones(9, dtype), jnp.zeros(D - 9, dtype)]), W)
+    if keep is not None:
+        H_new = H_new * keep[:, None] * keep[None, :]
+        g_new = g_new * keep
+    return new_prior._replace(H=H_new, g=g_new)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -556,12 +633,19 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
 
         if cfg.chi2_gate > 0.0:
             # Visual outlier gate (see ba.solve_ba); IMU + prior untouched.
-            do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+            do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
 
             def regate(_):
                 m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
                 act = ba_mod.stereo_observability_mask(m, lm_valid)
                 m = m & act[None, None, :]
+                n_b = jnp.sum(m)
+                n_imu = jnp.sum(preint_valid)
+                guard = ((n_b + n_imu >= cfg.min_residual_blocks)
+                         & (2 * n_b + 15 * n_imu
+                            >= W * D - 6 + 3 * jnp.sum(act)))
+                m = jnp.where(guard, m, mask)
+                act = jnp.where(guard, act, lm_active)
                 sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
                 return m, act, sys_g, cost_g
 
@@ -612,59 +696,13 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), state, st)
     lms_out = jnp.where(success, lms, landmarks)
 
-    # ---- next prior: marginalize state 0 of the EVICTION system — only the
-    # information that actually LEAVES the active window: the current prior
-    # (which involves state 0) plus the IMU factor joining states 0-1 (its
-    # preintegrated interval rolls out with the evicted keyframe). Folding
-    # the FULL final window system here (all visual + all IMU factors +
-    # prior) re-counts every surviving factor at every eviction; the
-    # compounding overconfidence pins biases/velocities to early estimates
-    # and measurably wrecks the trajectory (device accuracy matrix before
-    # this fix: vio_marg 0.53 m vs vio_fifo 0.06 m ATE on depth_6dof).
-    # Visual information is used only while its observations are in the
-    # window — counted exactly once.
-    H_add_f, g_add_f, _ = prior_terms(prior, st_out.T_W_B, _extra(st_out))
-    r0, J0_i, J0_j = _imu_linearize_one(
-        jax.tree.map(lambda x: x[0], preint), st_out, 0, cfg, sqrt_infos[0])
-    w0 = preint_valid[0].astype(dtype)
-    H_ev = H_add_f
-    H_ev = H_ev.at[:D, :D].add(w0 * (J0_i.T @ J0_i))
-    H_ev = H_ev.at[D:2 * D, D:2 * D].add(w0 * (J0_j.T @ J0_j))
-    H_ev = H_ev.at[:D, D:2 * D].add(w0 * (J0_i.T @ J0_j))
-    H_ev = H_ev.at[D:2 * D, :D].add(w0 * (J0_j.T @ J0_i))
-    g_ev = g_add_f
-    g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
-    g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
-    if cfg.prior_visual_anchor:
-        # Evicted frame's visual factors (landmarks fixed): the absolute-
-        # pose anchor of the marginal (see VIOBAConfig.prior_visual_anchor).
-        T_B_W0 = lie.se3_inverse(st_out.T_W_B[0])
-        lin0 = jax.vmap(jax.vmap(
-            lambda Tcb, p, o, m: linearize_projection(
-                Tcb, T_B_W0, p, o, m, cfg.huber_delta),
-            in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
-            T_C_B, lms_out, obs[0], mask_f[0])
-        Jv = lin0.J_pose.reshape(-1, 6)
-        rv = lin0.r.reshape(-1)
-        H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
-        g_ev = g_ev.at[:6].add(Jv.T @ rv)
-    new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B, _extra(st_out),
-                                   prior, D)
-    # Information forgetting (see VIOBAConfig.prior_decay).
-    H_new = new_prior.H * cfg.prior_decay
-    g_new = new_prior.g * cfg.prior_decay
-    keep = None
-    if cfg.prior_velocity_bias_only:
-        keep = jnp.tile(jnp.concatenate(
-            [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
-    elif cfg.prior_drop_bias:
-        # Pose+velocity prior only (see VIOBAConfig.prior_drop_bias).
-        keep = jnp.tile(jnp.concatenate(
-            [jnp.ones(9, dtype), jnp.zeros(D - 9, dtype)]), W)
-    if keep is not None:
-        H_new = H_new * keep[:, None] * keep[None, :]
-        g_new = g_new * keep
-    new_prior = new_prior._replace(H=H_new, g=g_new)
+    # ---- next prior: the EVICTION system (see build_eviction_prior) built
+    # from the chi^2-gated final observation mask so excised outliers never
+    # enter the marginal.
+    new_prior = build_eviction_prior(
+        st_out, lms_out, T_C_B, obs[0], mask_f[0],
+        jax.tree.map(lambda x: x[0], preint), preint_valid[0],
+        sqrt_infos[0], prior, cfg)
     do_new = will_evict & success
     out_prior = jax.tree.map(
         lambda new, old: jnp.where(do_new, new, old), new_prior, prior)

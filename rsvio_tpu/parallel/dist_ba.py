@@ -147,12 +147,18 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
                 # and observability re-derivation are shard-local; the
                 # replicated accept/n_acc make do_gate consistent across
                 # devices, and the rebuild psums as usual.
-                do_gate = accept & (n_acc + 1 == cfg.chi2_gate_iter)
+                do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
 
                 def regate(_):
                     m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
                     act = ba_mod.stereo_observability_mask(m, lm_valid)
                     m = m & act[None, None, :]
+                    n_b, n_act = jax.lax.psum((jnp.sum(m), jnp.sum(act)),
+                                              axis)
+                    guard = ((n_b >= cfg.min_residual_blocks)
+                             & (2 * n_b >= (W - 1) * 6 + 3 * n_act))
+                    m = jnp.where(guard, m, mask)
+                    act = jnp.where(guard, act, lm_active)
                     sys_g, cost_g, _ = lin_sys(T_new, lms_new, m, act)
                     return m, act, sys_g, cost_g
 
@@ -238,16 +244,16 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior):
-        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
-        mask = mask_in & lm_active[None, None, :]
-        n_blocks = jax.lax.psum(jnp.sum(mask), axis)
-        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active), axis)
+        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask0 = mask_in & lm_active0[None, None, :]
+        n_blocks = jax.lax.psum(jnp.sum(mask0), axis)
+        n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active0), axis)
         attempt = (n_blocks >= cfg.min_residual_blocks) & (n_blocks * 2 >= n_vars)
         fix_first = ~prior.valid
 
         T_B_W0 = jax.vmap(lie.se3_inverse)(T_W_B)
 
-        def lin_sys(T_B_W, lms):
+        def lin_sys(T_B_W, lms, mask, lm_active):
             """ONE pass over the local observation shard per point: global
             pose blocks + prior terms + local landmark blocks AND the global
             (visual + prior) cost, with the pose-block reduction and the
@@ -263,9 +269,10 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
             H_pl_m = jnp.where(lm_active[None, :, None, None], H_pl, 0.0)
             sys = (H_pp, H_ll, H_pl_m, g_p, g_l_m, H_add, g_add)
-            return sys, vis + pcost
+            r_sq = jnp.sum(lin.r ** 2, axis=-1)
+            return sys, vis + pcost, r_sq
 
-        def damp_reduce(sys, lam):
+        def damp_reduce(sys, lam, lm_active):
             """Damped, prior-augmented reduced system (replicated) + the
             local landmark-shard pieces for back-substitution (cheap — safe
             to redo per lambda retry without relinearizing)."""
@@ -298,14 +305,16 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             cho = jax.scipy.linalg.cho_factor(S2, lower=True)
             return jax.scipy.linalg.cho_solve(cho, b2).reshape(W, 6)
 
-        sys0, cost0 = lin_sys(T_B_W0, lms)
+        sys0, cost0, _ = lin_sys(T_B_W0, lms, mask0, lm_active0)
 
         def cond(state):
             return (~state[6]) & (state[5] < cfg.max_iterations)
 
         def body(state):
-            T_B_W, lms, sys, cost, lam, it, done, status, metrics = state
-            S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = damp_reduce(sys, lam)
+            (T_B_W, lms, sys, cost, lam, it, done, status, metrics, mask,
+             lm_active, n_acc) = state
+            S, b, H_ll_inv, H_pl_m, g_l_m, inv_ok = damp_reduce(sys, lam,
+                                                                lm_active)
             delta_p = solve_from_system(S, b)
             rhs_l = -g_l_m - jnp.einsum("wlij,wi->lj", H_pl_m, delta_p)
             delta_l = jnp.einsum("lij,lj->li", H_ll_inv, rhs_l)
@@ -323,8 +332,31 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             T_new = jax.vmap(lie.se3_retract_split)(T_B_W, delta_p)
             lms_new = lms + delta_l
-            sys_new, new_cost = lin_sys(T_new, lms_new)
+            sys_new, new_cost, r_sq_new = lin_sys(T_new, lms_new, mask,
+                                                  lm_active)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+            if cfg.chi2_gate > 0.0:
+                do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
+
+                def regate(_):
+                    m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+                    act = ba_mod.stereo_observability_mask(m, lm_valid)
+                    m = m & act[None, None, :]
+                    n_b, n_act = jax.lax.psum((jnp.sum(m), jnp.sum(act)),
+                                              axis)
+                    guard = ((n_b >= cfg.min_residual_blocks)
+                             & (2 * n_b >= (W - 1) * 6 + 3 * n_act))
+                    m = jnp.where(guard, m, mask)
+                    act = jnp.where(guard, act, lm_active)
+                    sys_g, cost_g, _ = lin_sys(T_new, lms_new, m, act)
+                    return m, act, sys_g, cost_g
+
+                mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                    do_gate, regate,
+                    lambda _: (mask, lm_active, sys_new, new_cost), None)
+            n_acc = n_acc + accept.astype(jnp.int32)
+
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_p ** 2) + jnp.where(ok_step, dl_sq, 0.0)
@@ -349,15 +381,17 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics)
+            return (T_B_W, lms, sys, cost, lam, it + 1, done, status, metrics,
+                    mask, lm_active, n_acc)
 
         init = (T_B_W0, lms, sys0, cost0,
                 jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-        (T_B_W, lms_out, _, cost, lam, it, _, status,
-         metrics) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+                mask0, lm_active0, jnp.asarray(0, jnp.int32))
+        (T_B_W, lms_out, _, cost, lam, it, _, status, metrics,
+         mask_f, lm_active_f, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -365,9 +399,12 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
         lms_final = jnp.where(success, lms_out, lms)
 
         # Final linearized (prior-augmented, landmark-eliminated) system at
-        # the accepted state — the input to next-prior marginalization.
-        sys_f, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_out), lms_final)
-        S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype))
+        # the accepted state — the input to next-prior marginalization
+        # (built from the chi^2-gated final mask, matching the local solver).
+        sys_f, _, _ = lin_sys(jax.vmap(lie.se3_inverse)(T_out), lms_final,
+                              mask_f, lm_active_f)
+        S_f, b_f, *_ = damp_reduce(sys_f, jnp.asarray(1e-5, dtype),
+                                   lm_active_f)
         return (T_out, lms_final, success, status, cost0, cost, it, S_f, b_f,
                 metrics)
 

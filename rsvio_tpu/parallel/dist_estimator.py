@@ -72,6 +72,15 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
         kf_valid = jnp.arange(W) < kf_count
         eff_mask = eff_mask & kf_valid[:, None, None]
         lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+        if cfg.refine_births:
+            # N-view polish of fresh births (matches the fused kf_branch).
+            from ..models.estimator import lie as _lie
+            from ..ops.projection import refine_landmarks
+            T_B_W_w = jax.vmap(_lie.se3_inverse)(kf_T)
+            mask_b = eff_mask & _born[None, None, :]
+            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                              obs_w, mask_b)
+            lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
         return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, eff_mask,
                 lm_valid)
 
@@ -129,7 +138,8 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
                 lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
                 T_W_B=T_new, last_kf_T_W_B=T_new,
-                frame_id=state.frame_id + 1)
+                frame_id=state.frame_id + 1,
+                T_W_B_prev=state.T_W_B)
         else:
             new_state = est.EstimatorState(
                 table=table, pyr0=pyrs[0], pyr1=pyrs[1],
@@ -138,7 +148,8 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 obs_fid=state.obs_fid,
                 lm=state.lm, lm_fid=state.lm_fid, marg_prior=marg_prior,
                 T_W_B=T_cur, last_kf_T_W_B=state.last_kf_T_W_B,
-                frame_id=state.frame_id + 1)
+                frame_id=state.frame_id + 1,
+                T_W_B_prev=state.T_W_B)
 
         out = est.FrameOutput(
             T_W_B=new_state.T_W_B, is_keyframe=is_kf,
@@ -289,6 +300,14 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
         kf_valid = jnp.arange(W) < kf_count
         eff_mask = eff_mask & kf_valid[:, None, None]
         lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+        if b.refine_births:
+            # N-view polish of fresh births (matches the fused kf_branch).
+            from ..ops.projection import refine_landmarks
+            T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
+            mask_b = eff_mask & _born[None, None, :]
+            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                              obs_w, mask_b)
+            lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
         return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
                 kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid)
 

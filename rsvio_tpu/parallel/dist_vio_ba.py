@@ -49,10 +49,10 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid):
-        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
-        mask = mask_in & lm_active[None, None, :]
-        n_vis = jax.lax.psum(jnp.sum(mask), axis)
-        n_lm_act = jax.lax.psum(jnp.sum(lm_active), axis)
+        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask0 = mask_in & lm_active0[None, None, :]
+        n_vis = jax.lax.psum(jnp.sum(mask0), axis)
+        n_lm_act = jax.lax.psum(jnp.sum(lm_active0), axis)
         n_blocks = n_vis + jnp.sum(preint_valid)
         n_rows = 2 * n_vis + 15 * jnp.sum(preint_valid)
         n_vars = W * D - 6 + 3 * n_lm_act
@@ -63,7 +63,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             lambda i: vio_ba._imu_sqrt_info(
                 jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
 
-        def lin_sys(st: VIOState, lms):
+        def lin_sys(st: VIOState, lms, mask, lm_active):
             """ONE pass over the local observation shard + the (replicated)
             IMU intervals per point: undamped state system AND the global
             cost, with the visual pose-block reduction and the visual cost
@@ -109,9 +109,27 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
             H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
             sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
-            return sys, vis + jnp.sum(imu_costs)
+            r_sq = jnp.sum(lin.r ** 2, axis=-1)
+            return sys, vis + jnp.sum(imu_costs), r_sq
 
-        def damp(sys, lam):
+        def regate_vio(mask, lm_active, r_sq_new, st_new, lms_new):
+            """chi^2 mask update + under-constraint guard (global counts),
+            shared by the chi2 branch (identical semantics to the local
+            solver's regate plus the guard)."""
+            m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+            act = ba_mod.stereo_observability_mask(m, lm_valid)
+            m = m & act[None, None, :]
+            n_b, n_act = jax.lax.psum((jnp.sum(m), jnp.sum(act)), axis)
+            rows = 2 * n_b + 15 * jnp.sum(preint_valid)
+            nvars = W * D - 6 + 3 * n_act
+            guard = ((n_b + jnp.sum(preint_valid) >= cfg.min_residual_blocks)
+                     & (rows >= nvars))
+            m = jnp.where(guard, m, mask)
+            act = jnp.where(guard, act, lm_active)
+            sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
+            return m, act, sys_g, cost_g
+
+        def damp(sys, lam, lm_active):
             H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
             diag_ss = jnp.maximum(
                 jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
@@ -123,7 +141,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             H_ll_d = jnp.where(lm_active[:, None, None], H_ll_d, eye3[None])
             return H_ss_d, H_ll_d, H_pl6_m, g_s, g_l_m
 
-        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag):
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag, lm_active):
             H_ll_inv, inv_ok = ba_mod._inv3x3(H_ll_d)
             A6 = jnp.einsum("wlij,ljk->wlik", H_pl6, H_ll_inv)
             # Local landmark-elimination contribution (pose subspace), one
@@ -155,23 +173,35 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
             return delta_s, delta_l, dl_sq, ok, (gl_sq, gl_dl, dl_pred)
 
-        sys0, cost0 = lin_sys(st0, lms)
+        sys0, cost0, _ = lin_sys(st0, lms, mask0, lm_active0)
 
         def cond(c):
             return (~c[6]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, sys, cost, lam, it, done, status, metrics = c
-            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+            (st, lms, sys, cost, lam, it, done, status, metrics, mask,
+             lm_active, n_acc) = c
+            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam, lm_active)
             dl_diag = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
             delta_s, delta_l, dl_sq, ok_step, lm_pieces = schur_step(
-                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag)
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag, lm_active)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
             lms_new = lms + delta_l
-            sys_new, new_cost = lin_sys(st_new, lms_new)
+            sys_new, new_cost, r_sq_new = lin_sys(st_new, lms_new, mask,
+                                                  lm_active)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+            if cfg.chi2_gate > 0.0:
+                do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
+                mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                    do_gate,
+                    lambda _: regate_vio(mask, lm_active, r_sq_new, st_new,
+                                         lms_new),
+                    lambda _: (mask, lm_active, sys_new, new_cost), None)
+            n_acc = n_acc + accept.astype(jnp.int32)
+
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
@@ -197,14 +227,16 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, sys, cost, lam, it + 1, done, status, metrics
+            return (st, lms, sys, cost, lam, it + 1, done, status, metrics,
+                    mask, lm_active, n_acc)
 
         init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-        (st, lms_out, _, cost, lam, it, _, status,
-         metrics) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+                mask0, lm_active0, jnp.asarray(0, jnp.int32))
+        (st, lms_out, _, cost, lam, it, _, status, metrics,
+         _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
@@ -251,15 +283,16 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P(), P()),
-        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(),
+                   P(None, None, axis)),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
                prior):
-        lm_active = ba_mod.stereo_observability_mask(mask_in, lm_valid)
-        mask = mask_in & lm_active[None, None, :]
-        n_vis = jax.lax.psum(jnp.sum(mask), axis)
-        n_lm_act = jax.lax.psum(jnp.sum(lm_active), axis)
+        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        mask0 = mask_in & lm_active0[None, None, :]
+        n_vis = jax.lax.psum(jnp.sum(mask0), axis)
+        n_lm_act = jax.lax.psum(jnp.sum(lm_active0), axis)
         n_blocks = n_vis + jnp.sum(preint_valid)
         n_rows = 2 * n_vis + 15 * jnp.sum(preint_valid)
         n_vars = W * D - 6 + 3 * n_lm_act
@@ -274,7 +307,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             lambda i: vio_ba._imu_sqrt_info(
                 jax.tree.map(lambda x: x[i], preint), cfg))(jnp.arange(W - 1))
 
-        def lin_sys(st: VIOState, lms):
+        def lin_sys(st: VIOState, lms, mask, lm_active):
             """ONE pass per point: undamped prior-augmented state system AND
             the global (visual + IMU + prior) cost (see
             solve_vio_ba_distributed.lin_sys; prior terms ride the replicated
@@ -320,9 +353,26 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             g_l_m = jnp.where(lm_active[:, None], g_l, 0.0)
             H_pl6_m = jnp.where(lm_active[None, :, None, None], H_pl6, 0.0)
             sys = (H_ss, H_ll, H_pl6_m, g_s, g_l_m)
-            return sys, vis + jnp.sum(imu_costs) + pcost
+            r_sq = jnp.sum(lin.r ** 2, axis=-1)
+            return sys, vis + jnp.sum(imu_costs) + pcost, r_sq
 
-        def damp(sys, lam):
+        def regate_vio(mask, lm_active, r_sq_new, st_new, lms_new):
+            """chi^2 mask update + under-constraint guard (global counts) —
+            identical semantics to the local solver's regate."""
+            m = mask & (r_sq_new <= cfg.chi2_gate ** 2)
+            act = ba_mod.stereo_observability_mask(m, lm_valid)
+            m = m & act[None, None, :]
+            n_b, n_act = jax.lax.psum((jnp.sum(m), jnp.sum(act)), axis)
+            rows = 2 * n_b + 15 * jnp.sum(preint_valid)
+            nvars = W * D - 6 + 3 * n_act
+            guard = ((n_b + jnp.sum(preint_valid) >= cfg.min_residual_blocks)
+                     & (rows >= nvars))
+            m = jnp.where(guard, m, mask)
+            act = jnp.where(guard, act, lm_active)
+            sys_g, cost_g, _ = lin_sys(st_new, lms_new, m, act)
+            return m, act, sys_g, cost_g
+
+        def damp(sys, lam, lm_active):
             H_ss, H_ll, H_pl6_m, g_s, g_l_m = sys
             diag_ss = jnp.maximum(
                 jax.vmap(jnp.diag)(H_ss[jnp.arange(W), jnp.arange(W)]), 1e-8)
@@ -346,7 +396,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             S = S_blocks.transpose(0, 2, 1, 3).reshape(W * D, W * D)
             return S, g_red.reshape(W * D), H_ll_inv, inv_ok
 
-        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag):
+        def schur_step(H_ss, H_ll_d, H_pl6, g_s, g_l, dl_diag, lm_active):
             S, g_red, H_ll_inv, inv_ok = reduced(H_ss, H_ll_d, H_pl6, g_s, g_l)
             b = -g_red
 
@@ -373,23 +423,35 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             ok = jnp.all(jnp.isfinite(delta_s)) & (n_bad == 0)
             return delta_s, delta_l, dl_sq, ok, (gl_sq, gl_dl, dl_pred)
 
-        sys0, cost0 = lin_sys(st0, lms)
+        sys0, cost0, _ = lin_sys(st0, lms, mask0, lm_active0)
 
         def cond(c):
             return (~c[6]) & (c[5] < cfg.max_iterations)
 
         def body(c):
-            st, lms, sys, cost, lam, it, done, status, metrics = c
-            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam)
+            (st, lms, sys, cost, lam, it, done, status, metrics, mask,
+             lm_active, n_acc) = c
+            H_ss, H_ll_d, H_pl6, g_s, g_l_m = damp(sys, lam, lm_active)
             dl_diag = jnp.maximum(jax.vmap(jnp.diag)(sys[1]), 1e-8)
             delta_s, delta_l, dl_sq, ok_step, lm_pieces = schur_step(
-                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag)
+                H_ss, H_ll_d, H_pl6, g_s, g_l_m, dl_diag, lm_active)
             delta_s = jnp.where(ok_step, delta_s, 0.0)
             delta_l = jnp.where(ok_step, delta_l, 0.0)
             st_new = vio_ba._retract_state(st, delta_s)
             lms_new = lms + delta_l
-            sys_new, new_cost = lin_sys(st_new, lms_new)
+            sys_new, new_cost, r_sq_new = lin_sys(st_new, lms_new, mask,
+                                                  lm_active)
             accept = ok_step & jnp.isfinite(new_cost) & (new_cost < cost)
+
+            if cfg.chi2_gate > 0.0:
+                do_gate = accept & (n_acc + 1 == max(1, cfg.chi2_gate_iter))
+                mask, lm_active, sys_new, new_cost = jax.lax.cond(
+                    do_gate,
+                    lambda _: regate_vio(mask, lm_active, r_sq_new, st_new,
+                                         lms_new),
+                    lambda _: (mask, lm_active, sys_new, new_cost), None)
+            n_acc = n_acc + accept.astype(jnp.int32)
+
             cost_conv = accept & (jnp.abs(cost - new_cost)
                                   <= cfg.cost_tol * jnp.maximum(cost, 1e-12))
             step_sq = jnp.sum(delta_s ** 2) + jnp.where(ok_step, dl_sq, 0.0)
@@ -416,87 +478,42 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             hard_fail = lam > cfg.lambda_max
             done = cost_conv | param_conv | hard_fail
             status = ba_mod.lm_status(cost_conv, param_conv, hard_fail)
-            return st, lms, sys, cost, lam, it + 1, done, status, metrics
+            return (st, lms, sys, cost, lam, it + 1, done, status, metrics,
+                    mask, lm_active, n_acc)
 
         init = (st0, lms, sys0, cost0, jnp.asarray(cfg.lambda_init, dtype),
                 jnp.asarray(0, jnp.int32), ~attempt,
                 jnp.asarray(ba_mod.STATUS_MAX_ITERATIONS, jnp.int32),
-                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype))
-        (st, lms_out, _, cost, lam, it, _, status,
-         metrics) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((cfg.max_iterations, ba_mod.N_METRIC_COLS), dtype),
+                mask0, lm_active0, jnp.asarray(0, jnp.int32))
+        (st, lms_out, _, cost, lam, it, _, status, metrics,
+         mask_f, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
         success = attempt & (status != ba_mod.STATUS_FAILED)
         st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
         lms_final = jnp.where(success, lms_out, lms)
         return (st_out, lms_final, success, status, cost0, cost, it,
-                metrics)
+                metrics, mask_f)
 
     @partial(jax.jit)
     def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
              preint_valid, prior, will_evict):
         (st_out, lms_out, success, status, cost0, cost, it,
-         metrics) = _solve(state, T_C_B, landmarks, obs, obs_mask,
-                           lm_valid, preint, preint_valid, prior)
-        # ---- next prior: EVICTION system only — identical semantics to the
-        # single-device solve_vio_ba_marginalized (models/vio_ba.py): the
-        # current prior plus the single IMU factor joining states 0-1 (the
-        # information actually leaving the window). No visual factors touch
-        # this system, so it is fully replicated and runs OUTSIDE the
-        # shard_map with zero communication. (Round-2 bug: this path folded
-        # the FULL final window system, re-counting every surviving factor at
-        # each eviction and diverging from single-device semantics.)
+         metrics, mask_f) = _solve(state, T_C_B, landmarks, obs, obs_mask,
+                                   lm_valid, preint, preint_valid, prior)
+        # ---- next prior: the shared EVICTION-system construction
+        # (models.vio_ba.build_eviction_prior — kept verbatim-identical to
+        # the single-device solver so distributed parity cannot drift).
+        # mask_f is the chi^2-gated final observation mask gathered from the
+        # sharded solve, so excised outliers never enter the prior. All
+        # inputs are replicated/global; no communication.
         sqrt_info0 = vio_ba._imu_sqrt_info(
             jax.tree.map(lambda x: x[0], preint), cfg)
-        H_add_f, g_add_f, _ = prior_terms(prior, st_out.T_W_B, _extra(st_out))
-        r0, J0_i, J0_j = vio_ba._imu_linearize_one(
-            jax.tree.map(lambda x: x[0], preint), st_out, 0, cfg, sqrt_info0)
-        w0 = preint_valid[0].astype(dtype)
-        H_ev = H_add_f
-        H_ev = H_ev.at[:D, :D].add(w0 * (J0_i.T @ J0_i))
-        H_ev = H_ev.at[D:2 * D, D:2 * D].add(w0 * (J0_j.T @ J0_j))
-        H_ev = H_ev.at[:D, D:2 * D].add(w0 * (J0_i.T @ J0_j))
-        H_ev = H_ev.at[D:2 * D, :D].add(w0 * (J0_j.T @ J0_i))
-        g_ev = g_add_f
-        g_ev = g_ev.at[:D].add(w0 * (J0_i.T @ r0))
-        g_ev = g_ev.at[D:2 * D].add(w0 * (J0_j.T @ r0))
-        if cfg.prior_visual_anchor:
-            # Evicted frame's visual factors, landmarks fixed (see
-            # models.vio_ba.VIOBAConfig.prior_visual_anchor). Runs on the
-            # replicated/global arrays outside the shard_map. (Uses the
-            # ungated observation mask; the chi^2-gated mask lives inside
-            # the sharded solve — identical to local semantics whenever the
-            # gate is off.)
-            from ..ops.projection import linearize_projection
-            lm_act0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
-            m0 = (obs_mask & lm_act0[None, None, :])[0]
-            T_B_W0 = lie.se3_inverse(st_out.T_W_B[0])
-            lin0 = jax.vmap(jax.vmap(
-                lambda Tcb, p, o, m: linearize_projection(
-                    Tcb, T_B_W0, p, o, m, cfg.huber_delta),
-                in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
-                T_C_B, lms_out, obs[0], m0)
-            Jv = lin0.J_pose.reshape(-1, 6)
-            rv = lin0.r.reshape(-1)
-            H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
-            g_ev = g_ev.at[:6].add(Jv.T @ rv)
-        new_prior = marginalize_oldest(H_ev, g_ev, st_out.T_W_B,
-                                       _extra(st_out), prior, D)
-        # Information forgetting + subspace restriction (must mirror the
-        # single-device solver; see models.vio_ba.VIOBAConfig).
-        H_new = new_prior.H * cfg.prior_decay
-        g_new = new_prior.g * cfg.prior_decay
-        keep = None
-        if cfg.prior_velocity_bias_only:
-            keep = jnp.tile(jnp.concatenate(
-                [jnp.zeros(6, dtype), jnp.ones(D - 6, dtype)]), W)
-        elif cfg.prior_drop_bias:
-            keep = jnp.tile(jnp.concatenate(
-                [jnp.ones(9, dtype), jnp.zeros(D - 9, dtype)]), W)
-        if keep is not None:
-            H_new = H_new * keep[:, None] * keep[None, :]
-            g_new = g_new * keep
-        new_prior = new_prior._replace(H=H_new, g=g_new)
+        new_prior = vio_ba.build_eviction_prior(
+            st_out, lms_out, T_C_B, obs[0], mask_f[0],
+            jax.tree.map(lambda x: x[0], preint), preint_valid[0],
+            sqrt_info0, prior, cfg)
         do_new = will_evict & success
         out_prior = jax.tree.map(
             lambda new, old: jnp.where(do_new, new, old), new_prior, prior)

@@ -13,6 +13,7 @@ fixtures (SURVEY.md §6) — this module GENERATES the baseline numbers.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -86,7 +87,8 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
     # Per-observation chi^2 outlier gate at gross-outlier scale (~6 px in
     # normalized units) — the defense against moving occluders the
     # reference lacks (Huber 2.0 + bidirectional gate only).
-    chi2 = 6.0 / float(scene.fx)
+    # RSVIO_CHI2_PX overrides for sensitivity studies.
+    chi2 = float(os.environ.get("RSVIO_CHI2_PX", "6.0")) / float(scene.fx)
     base = est.EstimatorConfig(
         frontend=FrontendConfig(
             capacity=capacity, cell_size=cell_size,
@@ -101,8 +103,13 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         rotation_threshold=rotation_threshold,
         image_shape=(scene.H, scene.W),
         use_marginalization=use_marginalization,
-        pnp=pnp_mod.PnPConfig(chi2_gate=chi2),
-        ba=ba_mod.BAConfig(chi2_gate=chi2),
+        pnp=pnp_mod.PnPConfig(
+            chi2_gate=chi2,
+            motion_prior_weight=float(
+                os.environ.get("RSVIO_PNP_PRIOR", "0.0"))),
+        ba=ba_mod.BAConfig(
+            chi2_gate=chi2,
+            min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))),
     )
 
     frames = seq["frames"]

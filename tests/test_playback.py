@@ -56,3 +56,22 @@ class TestPlaybackController:
         pc = PlaybackController(step_mode=True, key_source=keys(["a", "q"]))
         assert pc.wait_for_advance()
         assert not pc.wait_for_advance()
+
+
+class TestEOFHandling:
+    """stdin EOF (closed pipe, </dev/null): stepping must quit instead of
+    busy-looping; auto-play must keep flowing without polling."""
+
+    def test_eof_while_stepping_quits(self):
+        from rsvio_tpu.cli.playback import EOF_KEY
+        pc = PlaybackController(step_mode=True, key_source=keys([EOF_KEY]))
+        assert not pc.wait_for_advance()
+        assert pc.quit
+
+    def test_eof_while_autoplay_keeps_playing(self):
+        from rsvio_tpu.cli.playback import EOF_KEY
+        pc = PlaybackController(step_mode=True,
+                                key_source=keys(["a", EOF_KEY]))
+        assert pc.wait_for_advance()          # toggle auto-play on
+        assert all(pc.wait_for_advance() for _ in range(5))
+        assert not pc.quit
