@@ -249,8 +249,15 @@ def _build_stages(cfg: EstimatorConfig):
 
         # Constant-velocity motion prediction: T_pred = T * (T_prev^-1 T).
         # Initializes PnP (and anchors it when pnp.motion_prior_weight > 0).
+        # Guarded: a BA jump or bootstrap transient in the per-frame delta
+        # would be DOUBLED by extrapolation (and a strong motion prior then
+        # anchors to the bad prediction — measured divergence); implausible
+        # deltas fall back to the previous pose.
         delta_cv = lie.se3_inverse(state.T_W_B_prev) @ state.T_W_B
-        T_pred = state.T_W_B @ delta_cv
+        cv_ok = (jnp.all(jnp.isfinite(delta_cv))
+                 & (jnp.linalg.norm(delta_cv[:3, 3]) < 0.5)
+                 & (lie.rotation_angle(delta_cv[:3, :3]) < 0.5))
+        T_pred = jnp.where(cv_ok, state.T_W_B @ delta_cv, state.T_W_B)
 
         def run_pnp(_):
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,

@@ -142,6 +142,15 @@ class SolverConfig:
     # scale, e.g. 5-10 px / fx.
     chi2_gate: float = 0.0
     chi2_gate_iter: int = 1
+    # PnP motion-model prior: quadratic pull toward the constant-velocity
+    # (VO) / IMU (VIO) pose prediction, sqrt-weight per tangent dim
+    # (normalized units; 0 = off). With the chi^2 gate this defends against
+    # coherent moving-occluder hijacking (measured: occlusion scene drift
+    # 36% -> 9% at weight 20).
+    pnp_motion_prior: float = 0.0
+    # Landmark maturity gate: landmarks enter BA only once their
+    # observations span this many keyframes (1 = off).
+    min_lm_span: int = 1
     # Schur-marginalize evicted keyframes into a dense prior instead of
     # plain FIFO forgetting (the capability the reference defers — ref
     # README.md:70,79 lists marginalization as future work). Default off =
@@ -268,13 +277,15 @@ def make_estimator_config(cfg: Config):
             huber_delta=cfg.solver.huber_delta,
             cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol,
             chi2_gate=cfg.solver.chi2_gate,
-            chi2_gate_iter=cfg.solver.chi2_gate_iter),
+            chi2_gate_iter=cfg.solver.chi2_gate_iter,
+            motion_prior_weight=cfg.solver.pnp_motion_prior),
         ba=ba_mod.BAConfig(
             max_iterations=cfg.optimization.bundle_adjustment_max_iterations,
             huber_delta=cfg.solver.huber_delta,
             cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol,
             chi2_gate=cfg.solver.chi2_gate,
-            chi2_gate_iter=cfg.solver.chi2_gate_iter),
+            chi2_gate_iter=cfg.solver.chi2_gate_iter,
+            min_lm_span=cfg.solver.min_lm_span),
         image_shape=(cfg.camera.image_height, cfg.camera.image_width),
         cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
         use_marginalization=cfg.solver.marginalization,

@@ -104,6 +104,8 @@ tracker:
 solver:
   chi2_gate: 0.015
   chi2_gate_iter: 2
+  pnp_motion_prior: 15.0
+  min_lm_span: 3
 """)
     cfg = load_config(str(p))
     ecfg, _ = make_estimator_config(cfg)
@@ -113,6 +115,8 @@ solver:
     assert ecfg.ba.chi2_gate == pytest.approx(0.015)
     assert ecfg.ba.chi2_gate_iter == 2
     assert ecfg.pnp.chi2_gate == pytest.approx(0.015)
+    assert ecfg.pnp.motion_prior_weight == pytest.approx(15.0)
+    assert ecfg.ba.min_lm_span == 3
 
 
 def test_relax_floor_auto_default(tmp_path):

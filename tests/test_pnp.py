@@ -127,3 +127,42 @@ class TestChi2Gate:
                                pnp.PnPConfig(chi2_gate=0.05))
         d = float(jnp.abs(res_on.T_W_B - res_off.T_W_B).max())
         assert d < 1e-5, d
+
+
+class TestMotionPrior:
+    """PnP motion-model prior (pnp.motion_prior_weight): against a COHERENT
+    wrong-motion observation group (moving occluder), the prior anchors the
+    solve at the prediction so the chi^2 gate can excise the group."""
+
+    def test_prior_resists_coherent_hijack(self):
+        # The prediction (solve init) is GOOD — the constant-velocity /
+        # IMU scenario the prior is designed for.
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(n_lm=60, seed=41,
+                                                           pose_noise=0.002)
+        # 40% of observations get one CONSISTENT wrong shift INSIDE the
+        # chi^2 gate (a rigid secondary motion the gate alone cannot cut).
+        obs_bad = np.asarray(obs).copy()
+        m = np.asarray(mask)
+        idx = [i for i in range(60) if m[0, i] and m[1, i]][:24]
+        obs_bad[:, idx] += np.array([0.02, -0.015])
+        obs_bad = jnp.asarray(obs_bad)
+        res_off = pnp.solve_pnp(T_init, T_C_B, p_W, obs_bad, mask,
+                                pnp.PnPConfig(chi2_gate=0.03))
+        res_on = pnp.solve_pnp(T_init, T_C_B, p_W, obs_bad, mask,
+                               pnp.PnPConfig(chi2_gate=0.03,
+                                             motion_prior_weight=20.0))
+        err_off = float(jnp.linalg.norm(res_off.T_W_B[:3, 3] - T_gt[:3, 3]))
+        err_on = float(jnp.linalg.norm(res_on.T_W_B[:3, 3] - T_gt[:3, 3]))
+        assert bool(res_on.success)
+        assert err_on < err_off, (err_on, err_off)
+
+    def test_prior_neutral_with_good_prediction(self):
+        # Clean data + accurate prediction (the steady-state case): the
+        # prior must not degrade the solve.
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(seed=42,
+                                                           pose_noise=0.002)
+        res_on = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask,
+                               pnp.PnPConfig(motion_prior_weight=20.0))
+        err_on = float(jnp.linalg.norm(res_on.T_W_B[:3, 3] - T_gt[:3, 3]))
+        assert bool(res_on.success)
+        assert err_on < 5e-3, err_on
