@@ -260,8 +260,13 @@ def _build_stages(cfg: EstimatorConfig):
         T_pred = jnp.where(cv_ok, state.T_W_B @ delta_cv, state.T_W_B)
 
         def run_pnp(_):
+            # Init from the CV prediction (better LM convergence); anchor
+            # any motion prior at the MEASURED previous pose — anchoring at
+            # the extrapolated prediction closes a vision-only feedback
+            # loop (measured runaway; see solve_pnp docstring).
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
-                                    obs_cur, pnp_mask, cfg.pnp)
+                                    obs_cur, pnp_mask, cfg.pnp,
+                                    T_W_B_prior=state.T_W_B)
             return res.T_W_B, res.success
 
         def skip_pnp(_):

@@ -74,20 +74,29 @@ class PnPResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfig()):
+def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
+              cfg: PnPConfig = PnPConfig(), T_W_B_prior=None):
     """Levenberg-Marquardt pose-only solve.
 
     Args:
       T_W_B_init: (4,4) initial world-from-body pose (last keyframe pose,
-        ref sliding_window.rs:506-515).
+        ref sliding_window.rs:506-515; this build passes the motion-model /
+        IMU prediction).
       T_C_B: (2,4,4) camera-from-body extrinsics [left, right].
       landmarks: (L,3) fixed world points (map points by slot).
       obs: (2,L,2) normalized observations per camera.
       mask: (2,L) bool observation validity (feature alive + landmark valid).
+      T_W_B_prior: anchor pose of the motion prior when
+        cfg.motion_prior_weight > 0 (defaults to the init). MUST derive from
+        an EXTERNAL prediction (IMU) or a measured past pose — anchoring at
+        a vision-extrapolated prediction closes a positive feedback loop
+        (measured runaway on the VO matrix).
     Returns PnPResult; on failure T_W_B is returned unchanged.
     """
     dtype = T_W_B_init.dtype
     T_B_W0 = lie.se3_inverse(T_W_B_init)
+    T_B_W_prior = (T_B_W0 if T_W_B_prior is None
+                   else lie.se3_inverse(T_W_B_prior))
     n_obs = jnp.sum(mask)
     enough = n_obs >= cfg.min_observations
 
@@ -104,11 +113,11 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask, cfg: PnPConfig = PnPConfi
         g = J.T @ r                            # (6,)
         cost = jnp.sum(lin.cost)
         if cfg.motion_prior_weight > 0.0:
-            # Quadratic prior toward the initial (predicted) pose in the
-            # T_B_W split-retraction tangent: r_p = w * (T boxminus T0).
+            # Quadratic prior toward the anchor pose in the T_B_W
+            # split-retraction tangent: r_p = w * (T boxminus T_prior).
             w = cfg.motion_prior_weight
-            dt_p = T_B_W[:3, 3] - T_B_W0[:3, 3]
-            dw_p = lie.so3_log(T_B_W0[:3, :3].T @ T_B_W[:3, :3])
+            dt_p = T_B_W[:3, 3] - T_B_W_prior[:3, 3]
+            dw_p = lie.so3_log(T_B_W_prior[:3, :3].T @ T_B_W[:3, :3])
             d = jnp.concatenate([dt_p, dw_p])
             H = H + (w * w) * jnp.eye(6, dtype=dtype)
             g = g + (w * w) * d

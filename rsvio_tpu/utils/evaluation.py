@@ -61,6 +61,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            cell_size: int = 50, detect_margin: int = 19,
                            imu_buf: int = 64,
                            init_gyro=None, init_accel=None,
+                           motion_prior: float = 0.0,
                            backend: str = "auto") -> RunResult:
     """Drive the (V)IO estimator over a generate_sequence() output.
 
@@ -106,7 +107,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(
-                os.environ.get("RSVIO_PNP_PRIOR", "0.0"))),
+                os.environ.get("RSVIO_PNP_PRIOR", str(motion_prior)))),
         ba=ba_mod.BAConfig(
             chi2_gate=chi2,
             min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))),

@@ -28,6 +28,12 @@ CONFIGS = [
     ("vo_marg", dict(use_vio=False, use_marginalization=True)),
     ("vio_fifo", dict(use_vio=True, use_marginalization=False)),
     ("vio_marg", dict(use_vio=True, use_marginalization=True)),
+    # Dynamic-scene profile: heavy PnP motion prior (anchored at the
+    # measured previous pose) rides through coherent moving occluders
+    # (occlusion_6dof drift 36% -> ~9%) at the cost of lag on fast clean
+    # scenes — a deliberate robustness/accuracy tradeoff knob.
+    ("vo_dyn", dict(use_vio=False, use_marginalization=False,
+                    motion_prior=20.0)),
 ]
 
 
