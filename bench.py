@@ -136,16 +136,19 @@ def main():
         best_dt = min(best_dt, time.time() - t0)
     _phase("timing epochs done")
 
+    k_last = WARMUP + EPOCHS * MEASURE - 1
+    x_now = float(out.T_W_B[0, 3])
     print(f"diag: tracked={int(out.n_tracked)} lm={int(out.n_landmarks)} "
           f"kf={int(out.is_keyframe)} pnp={int(out.pnp_success)} "
-          f"ba={int(out.ba_success)} x={float(out.T_W_B[0, 3]):+.3f}",
+          f"ba={int(out.ba_success)} pose_ok={int(out.pose_ok)} "
+          f"x={x_now:+.3f} truth={STEP * k_last:.3f}",
           file=sys.stderr)
 
     # Headline FIRST (tunnel stalls have been observed mid-quality-pass; a
-    # driver timeout after this point still leaves a parseable line). The
-    # final enriched line below repeats the same schema plus quality fields —
-    # parsers taking either the first or the last JSON line get a valid
-    # record.
+    # driver timeout after this point still leaves a parseable line). It is
+    # marked provisional: the quality floors have NOT run yet — parsers
+    # must prefer the final enriched line (same schema + quality_ok) when
+    # present.
     fps = MEASURE / best_dt
     print(json.dumps({
         "metric": "synthetic_euroc_shape_frames_per_sec",
@@ -153,12 +156,15 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 20.0, 3),
         "startup_s": round(startup_s, 1),
+        "provisional": True,
     }), flush=True)
 
     # ---- quality pass: per-frame blocked stats over a fresh slice ----
     # (reuses the already-compiled step — blocked each frame; measures device
     # step latency + track survival/kill)
     tracked, alive, step_ms = [], [], []
+    ba_seen = 0
+    pose_ok_all = True
     for k in range(WARMUP + EPOCHS * MEASURE, n_frames):
         t0 = time.time()
         state, out = step(state, rig, *frames[k])
@@ -166,17 +172,29 @@ def main():
         step_ms.append((time.time() - t0) * 1000.0)
         tracked.append(int(out.n_tracked))
         alive.append(int(out.n_alive))
+        ba_seen += int(out.ba_success)
+        pose_ok_all = pose_ok_all and bool(out.pose_ok)
     kill_rates = [1.0 - tracked[k] / max(alive[k - 1], 1)
                   for k in range(1, QUAL)]
     tracked_mean = float(np.mean(tracked))
     kill_rate = float(np.mean(kill_rates))
     blocked_median_ms = float(np.median(step_ms))
+    x_final = float(out.T_W_B[0, 3])
+    x_truth = STEP * (n_frames - 1)
+    drift_rel = abs(x_final - x_truth) / max(abs(x_truth), 1e-9)
     _phase("quality pass done")
 
-    # Floors: a healthy bench scene carries 120+ tracks at 256 slots and
-    # loses <30% of them per frame. (Kernel-vs-XLA agreement is guarded by
-    # tests/ and by the optional stderr pass below.)
-    quality_ok = tracked_mean >= 80.0 and kill_rate <= 0.3
+    # Floors (round-3 postmortem: a NaN trajectory shipped with
+    # quality_ok=true because only tracker stats were checked):
+    #   * tracker health: 120+ tracks at 256 slots, <30% per-frame kill;
+    #   * numerical health: final pose finite, no recovery events;
+    #   * estimator LIVENESS: BA fired at least once during the quality
+    #     slice (a frozen keyframe policy silently skips BA forever);
+    #   * accuracy: the scene's ground truth is KNOWN (pure x-translation at
+    #     STEP m/frame) — final x must be within 2% (round-1 level was <1%).
+    quality_ok = (tracked_mean >= 80.0 and kill_rate <= 0.3
+                  and np.isfinite(x_final) and pose_ok_all
+                  and ba_seen >= 1 and drift_rel <= 0.02)
     result = {
         "metric": "synthetic_euroc_shape_frames_per_sec",
         "value": round(fps, 3),
@@ -186,6 +204,11 @@ def main():
         "bidir_kill_rate": round(kill_rate, 4),
         "blocked_median_ms": round(blocked_median_ms, 3),
         "startup_s": round(startup_s, 1),
+        "x_final": round(x_final, 4) if np.isfinite(x_final) else None,
+        "x_truth": round(x_truth, 4),
+        "drift_rel": round(drift_rel, 5) if np.isfinite(drift_rel) else None,
+        "ba_fires_in_quality_pass": ba_seen,
+        "pose_ok": bool(pose_ok_all),
         "quality_ok": bool(quality_ok),
     }
     print(json.dumps(result), flush=True)

@@ -285,11 +285,22 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             # (ref estimator.rs:355-361); we record the current KF pose.
             kf_trajectory.append((frame.timestamp_ns, T))
 
+        # Per-frame numerical-health column (round-3 postmortem: a diverging
+        # run must be visible in the first artifact lines, not discovered
+        # post-hoc). step_m = translation since the previous frame — a
+        # runaway shows as a growing step long before any NaN.
+        pose_ok = bool(out.pose_ok)
+        step_m = (float(np.linalg.norm(T[:3, 3] - poses[-2][:3, 3]))
+                  if len(poses) > 1 else 0.0)
+        if not pose_ok:
+            log.warning("frame %d: non-finite pose RECOVERED to last "
+                        "keyframe (health gate)", k)
         log.debug(
             "[Timing] frame %d: %.1f ms | kf=%d pnp=%d ba=%d(it=%d) "
-            "tracked=%d lm=%d | %s", k, elapsed_ms, int(out.is_keyframe),
-            int(out.pnp_success), int(out.ba_success), int(out.ba_iterations),
-            int(out.n_tracked), int(out.n_landmarks), profiling.report())
+            "tracked=%d lm=%d | health ok=%d step=%.3fm | %s", k, elapsed_ms,
+            int(out.is_keyframe), int(out.pnp_success), int(out.ba_success),
+            int(out.ba_iterations), int(out.n_tracked), int(out.n_landmarks),
+            int(pose_ok), step_m, profiling.report())
 
         if viewer_on:
             # Entity schema parity with ref estimator.rs:272-364:

@@ -68,14 +68,20 @@ class BAConfig(NamedTuple):
     # development variant the reference ships as
     # BundleAdjustmentFactorTranslationOnly (ref factors.rs:147-271).
     translation_only: bool = False
-    # Per-observation chi^2 gate (normalized-coordinate residual NORM; 0 =
-    # off, the reference-parity behavior). After `chi2_gate_iter` accepted LM
-    # iterations, observations whose whitened residual norm exceeds the gate
-    # are dropped from the remaining iterations (branchless mask update
-    # inside the solve) and landmark stereo-observability is re-derived from
-    # the surviving set. Robustness upgrade over the reference's Huber-only
-    # defense (ref sliding_window.rs:295): moving occluders put gross
-    # outliers in the window that Huber down-weights but never removes.
+    # Per-observation chi^2 gate (0 = off, the reference-parity behavior).
+    # After `chi2_gate_iter` accepted LM iterations, observations whose
+    # residual norm exceeds the gate are dropped from the remaining
+    # iterations (branchless mask update inside the solve) and landmark
+    # stereo-observability is re-derived from the surviving set. UNITS: the
+    # gate compares against the sqrt-Huber-WHITENED residual norm (see
+    # projection.linearize_projection) — below huber_delta that equals the
+    # raw normalized-coordinate norm; past it the whitened norm grows like
+    # sqrt(delta * r), so a gate g > huber_delta cuts raw residuals at
+    # g^2 / huber_delta, not at g. Keep chi2_gate <= huber_delta for the
+    # raw-units reading (all shipped configs do). Robustness upgrade over
+    # the reference's Huber-only defense (ref sliding_window.rs:295): moving
+    # occluders put gross outliers in the window that Huber down-weights but
+    # never removes.
     chi2_gate: float = 0.0
     chi2_gate_iter: int = 1
     # Landmark maturity gate: a landmark enters BA only once its
@@ -143,6 +149,17 @@ def lm_status(cost_conv, param_conv, lam_overflow):
         jnp.where(param_conv, STATUS_PARAM_TOL,
                   jnp.where(lam_overflow, STATUS_TRUST_REGION,
                             STATUS_MAX_ITERATIONS))).astype(jnp.int32)
+
+
+def lm_span_gate(lm_active, obs_mask, min_lm_span: int):
+    """Landmark maturity gate (BAConfig.min_lm_span): keep a landmark only
+    once its observations span >= min_lm_span window rows (keyframes).
+    Shard-safe (per-landmark columns only) — used by EVERY solver (local,
+    marginalized, VIO, distributed) so the knob is never silently inert."""
+    if min_lm_span > 1:
+        span = jnp.sum(jnp.any(obs_mask, axis=1), axis=0)   # (L,)
+        lm_active = lm_active & (span >= min_lm_span)
+    return lm_active
 
 
 def stereo_observability_mask(obs_mask, lm_valid):
@@ -277,10 +294,8 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     dtype = T_W_B.dtype
     W = T_W_B.shape[0]
 
-    lm_active0 = stereo_observability_mask(obs_mask, lm_valid)
-    if cfg.min_lm_span > 1:
-        span = jnp.sum(jnp.any(obs_mask, axis=1), axis=0)   # (L,) keyframes
-        lm_active0 = lm_active0 & (span >= cfg.min_lm_span)
+    lm_active0 = lm_span_gate(stereo_observability_mask(obs_mask, lm_valid),
+                              obs_mask, cfg.min_lm_span)
     mask0 = obs_mask & lm_active0[None, None, :]
     n_blocks = jnp.sum(mask0)
     # Validation: enough residual blocks vs variables (ref :309-319).
@@ -390,8 +405,12 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
     # Every LM terminus (MaxIterations, CostTol, ParamTol, TrustRegion)
-    # counts as success (ref :383-395); rollback only on refusal.
-    success = attempt & (status != STATUS_FAILED)
+    # counts as success (ref :383-395); rollback only on refusal — plus the
+    # numerical-health gate (round-3 postmortem): non-finite poses or active
+    # landmarks roll the inputs back instead of shipping NaNs as "success".
+    finite = (jnp.all(jnp.isfinite(T_B_W))
+              & jnp.all(jnp.isfinite(jnp.where(_act[:, None], lms, 0.0))))
+    success = attempt & (status != STATUS_FAILED) & finite
     T_W_B_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
     lms_out = jnp.where(success, lms, landmarks)
     return BAResult(T_W_B=T_W_B_out, landmarks=lms_out, success=success,
@@ -429,7 +448,8 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
     dtype = T_W_B.dtype
     W = T_W_B.shape[0]
 
-    lm_active0 = stereo_observability_mask(obs_mask, lm_valid)
+    lm_active0 = lm_span_gate(stereo_observability_mask(obs_mask, lm_valid),
+                              obs_mask, cfg.min_lm_span)
     mask0 = obs_mask & lm_active0[None, None, :]
     n_blocks = jnp.sum(mask0)
     n_vars = (W - 1) * 6 + 3 * jnp.sum(lm_active0)
@@ -577,7 +597,11 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
      _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, STATUS_SKIPPED)
-    success = attempt & (status != STATUS_FAILED)
+    # Success taxonomy as solve_ba, incl. the numerical-health gate.
+    finite = (jnp.all(jnp.isfinite(T_B_W))
+              & jnp.all(jnp.isfinite(jnp.where(lm_active_f[:, None], lms,
+                                               0.0))))
+    success = attempt & (status != STATUS_FAILED) & finite
     T_W_B_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
     lms_out = jnp.where(success, lms, landmarks)
 

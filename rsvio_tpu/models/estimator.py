@@ -72,6 +72,17 @@ class EstimatorConfig(NamedTuple):
     # birth-quality upgrade. Off by default (BA refines landmarks anyway;
     # measured neutral on the synthetic matrix).
     refine_births: bool = False
+    # Constant-velocity PnP initialization: extrapolate the previous frame's
+    # motion to seed (and, with pnp.motion_prior_weight, anchor) the PnP
+    # solve. OFF by default — the default init is the current pose, matching
+    # the reference's init-from-last-optimized-pose semantics (ref
+    # sliding_window.rs:506-515). Measured: on the low-parallax planar bench
+    # scene the extrapolation closes a vision-only positive feedback loop
+    # (PnP converges slightly scale-inflated, new landmarks triangulate from
+    # the inflated pose, BA accepts, the error compounds -> divergence by
+    # frame ~30; round-3 regression, commit 7320b34). Use only with an
+    # external anchor (IMU) or a strong motion prior at the MEASURED pose.
+    pnp_cv_predict: bool = False
 
 
 class CameraRig(NamedTuple):
@@ -149,6 +160,11 @@ class FrameOutput(NamedTuple):
     n_tracked: jnp.ndarray    # tracks surviving this frame's temporal pass
     n_landmarks: jnp.ndarray
     n_alive: jnp.ndarray      # table occupancy after births (kill-rate calc)
+    # Numerical health (round-3 postmortem — a NaN pose shipped silently):
+    # False when the motion stage had to recover a non-finite pose to the
+    # last keyframe. The OUTPUT pose is finite either way; this flags that
+    # recovery fired so logs/bench can surface it.
+    pose_ok: jnp.ndarray = True
 
 
 def _undistort_table(cfg: EstimatorConfig, rig: CameraRig, table: FeatureTable):
@@ -247,23 +263,28 @@ def _build_stages(cfg: EstimatorConfig):
         lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
         pnp_mask = obs_cur_mask & lm_ok[None, :]
 
-        # Constant-velocity motion prediction: T_pred = T * (T_prev^-1 T).
-        # Initializes PnP (and anchors it when pnp.motion_prior_weight > 0).
-        # Guarded: a BA jump or bootstrap transient in the per-frame delta
-        # would be DOUBLED by extrapolation (and a strong motion prior then
-        # anchors to the bad prediction — measured divergence); implausible
-        # deltas fall back to the previous pose.
-        delta_cv = lie.se3_inverse(state.T_W_B_prev) @ state.T_W_B
-        cv_ok = (jnp.all(jnp.isfinite(delta_cv))
-                 & (jnp.linalg.norm(delta_cv[:3, 3]) < 0.5)
-                 & (lie.rotation_angle(delta_cv[:3, :3]) < 0.5))
-        T_pred = jnp.where(cv_ok, state.T_W_B @ delta_cv, state.T_W_B)
+        if cfg.pnp_cv_predict:
+            # OPT-IN constant-velocity prediction: T_pred = T * (T_prev^-1 T).
+            # Guarded: a BA jump or bootstrap transient in the per-frame
+            # delta would be DOUBLED by extrapolation; implausible deltas
+            # fall back to the last KEYFRAME pose (a measured anchor — the
+            # current pose could itself be the divergent one).
+            delta_cv = lie.se3_inverse(state.T_W_B_prev) @ state.T_W_B
+            cv_ok = (jnp.all(jnp.isfinite(delta_cv))
+                     & (jnp.linalg.norm(delta_cv[:3, 3]) < 0.5)
+                     & (lie.rotation_angle(delta_cv[:3, :3]) < 0.5))
+            T_pred = jnp.where(cv_ok, state.T_W_B @ delta_cv,
+                               state.last_kf_T_W_B)
+        else:
+            # Default: init from the current (last-optimized) pose — the
+            # reference's semantics (ref sliding_window.rs:506-515) and the
+            # long-run-stable configuration (see pnp_cv_predict docstring).
+            T_pred = state.T_W_B
 
         def run_pnp(_):
-            # Init from the CV prediction (better LM convergence); anchor
-            # any motion prior at the MEASURED previous pose — anchoring at
-            # the extrapolated prediction closes a vision-only feedback
-            # loop (measured runaway; see solve_pnp docstring).
+            # Anchor any motion prior at the MEASURED previous pose —
+            # anchoring at an extrapolated prediction closes a vision-only
+            # feedback loop (measured runaway; see solve_pnp docstring).
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
                                     obs_cur, pnp_mask, cfg.pnp,
                                     T_W_B_prior=state.T_W_B)
@@ -275,6 +296,14 @@ def _build_stages(cfg: EstimatorConfig):
         T_pnp, pnp_success = jax.lax.cond(pnp_ready, run_pnp, skip_pnp, None)
         T_cur = jnp.where(pnp_success, T_pnp, state.T_W_B)
 
+        # Numerical-health gate (round-3 postmortem: a non-finite pose froze
+        # the keyframe policy forever — NaN comparisons are False — and the
+        # landmark table bled out while every artifact said "success"). A
+        # non-finite current pose recovers to the last keyframe pose, which
+        # is finite by induction (gated below before entering the window).
+        pose_ok = jnp.all(jnp.isfinite(T_cur))
+        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
+
         # --- keyframe policy (ref estimator.rs:203-225)
         T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
         t_norm = jnp.linalg.norm(T_rel[:3, 3])
@@ -283,10 +312,11 @@ def _build_stages(cfg: EstimatorConfig):
             window_full,
             (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
             True)  # every frame is a keyframe until the window fills
-        return T_cur, pnp_success, is_kf
+        return T_cur, pnp_success & pose_ok, is_kf, pose_ok
 
     def stage_opt(state: EstimatorState, rig: CameraRig, pyr0, pyr1, table,
-                  fstats, obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf):
+                  fstats, obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf,
+                  pose_ok):
         window_full = state.kf_count >= W
 
         # --- keyframe branch: triangulate, roll window, BA
@@ -388,9 +418,12 @@ def _build_stages(cfg: EstimatorConfig):
             lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,
-            # Motion-model memory: on keyframes T_out comes from BA and can
-            # jump relative to the PnP track; using the PRE-update current
-            # pose keeps the velocity estimate frame-to-frame consistent.
+            # Motion-model memory: the incoming state.T_W_B is frame k-1's
+            # OUTPUT pose, so the CV delta at frame k+1 pairs two
+            # consecutive post-update poses — a BA correction on a keyframe
+            # therefore DOES enter the velocity estimate for one frame; the
+            # cv_ok implausibility guard bounds it (and pnp_cv_predict is
+            # off by default).
             T_W_B_prev=state.T_W_B,
         )
         out = FrameOutput(
@@ -398,7 +431,7 @@ def _build_stages(cfg: EstimatorConfig):
             ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
             n_tracked=fstats["tracked"], n_landmarks=jnp.sum(
                 ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"],
+            n_alive=fstats["alive"], pose_ok=pose_ok,
         )
         return new_state, out
 
@@ -413,10 +446,10 @@ def make_estimator_step(cfg: EstimatorConfig):
         pyr0, pyr1 = stage_frames(img0, img1)
         table, fstats, obs_cur, obs_cur_mask = stage_track(
             state, rig, pyr0, pyr1)
-        T_cur, pnp_success, is_kf = stage_motion(
+        T_cur, pnp_success, is_kf, pose_ok = stage_motion(
             state, rig, table, obs_cur, obs_cur_mask)
-        return stage_opt(state, rig, pyr0, pyr1, table, fstats,
-                         obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf)
+        return stage_opt(state, rig, pyr0, pyr1, table, fstats, obs_cur,
+                         obs_cur_mask, T_cur, pnp_success, is_kf, pose_ok)
 
     return jax.jit(step)
 

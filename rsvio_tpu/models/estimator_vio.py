@@ -301,6 +301,12 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
         T_pnp, pnp_success = jax.lax.cond(
             pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
         T_cur = jnp.where(pnp_success, T_pnp, T_pred)
+        # Numerical-health gate (see estimator.stage_motion): a non-finite
+        # pose recovers to the last keyframe pose instead of freezing the
+        # keyframe policy forever.
+        pose_ok = jnp.all(jnp.isfinite(T_cur))
+        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
+        pnp_success = pnp_success & pose_ok
 
         # ---- keyframe policy ----
         T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
@@ -439,7 +445,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             n_tracked=fstats["tracked"],
             n_landmarks=jnp.sum(((lm_fid == table.fid)
                                  & (lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"],
+            n_alive=fstats["alive"], pose_ok=pose_ok,
         )
         return new_state, out
 

@@ -194,7 +194,11 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
 
     # MaxIterations counts as success (ref sliding_window.rs:383-395);
     # only a hard numeric failure or an under-constrained problem fails.
-    success = enough & (status != STATUS_FAILED)
+    # Numerical-health gate (round-3 postmortem: a NaN init propagated to a
+    # NaN "successful" result): a non-finite final pose is a failure and the
+    # caller keeps its pose (which may itself be non-finite — the estimator
+    # recovers that case to the last keyframe pose).
+    success = enough & (status != STATUS_FAILED) & jnp.all(jnp.isfinite(T_B_W))
     T_W_B = jnp.where(success, lie.se3_inverse(T_B_W), T_W_B_init)
     return PnPResult(T_W_B=T_W_B, success=success, status=status,
                      final_cost=cost, iterations=it, metrics=metrics)

@@ -48,6 +48,11 @@ class VIOBAConfig(NamedTuple):
     # gated.
     chi2_gate: float = 0.0
     chi2_gate_iter: int = 1
+    # Landmark maturity gate (see ba.BAConfig.min_lm_span): landmarks enter
+    # the solve only once their observations span >= this many keyframes.
+    # 1 = off. Applied identically in local and distributed VIO solvers so
+    # the YAML knob is never silently inert.
+    min_lm_span: int = 1
     # Exponential information decay applied to the marginalization prior at
     # each eviction (marginalized solvers only). Without it the prior's
     # information grows WITHOUT BOUND (measured: |H|max 12 -> 3760 over 90
@@ -210,7 +215,9 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
 
-    lm_active0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+    lm_active0 = ba_mod.lm_span_gate(
+        ba_mod.stereo_observability_mask(obs_mask, lm_valid),
+        obs_mask, cfg.min_lm_span)
     mask0 = obs_mask & lm_active0[None, None, :]
     n_blocks = jnp.sum(mask0) + jnp.sum(preint_valid)
     # Under-constrained refusal (ref sliding_window.rs:309-319): residual
@@ -390,7 +397,11 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
      _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-    success = attempt & (status != ba_mod.STATUS_FAILED)
+    # Numerical-health gate (see ba.solve_ba): non-finite results roll back.
+    finite = (jnp.all(jnp.isfinite(st.T_W_B)) & jnp.all(jnp.isfinite(st.vel))
+              & jnp.all(jnp.isfinite(st.bg)) & jnp.all(jnp.isfinite(st.ba))
+              & jnp.all(jnp.isfinite(jnp.where(_act[:, None], lms, 0.0))))
+    success = attempt & (status != ba_mod.STATUS_FAILED) & finite
     st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), state, st)
     lms_out = jnp.where(success, lms, landmarks)
     return VIOBAResult(state=st_out, landmarks=lms_out, success=success,
@@ -501,7 +512,9 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
 
-    lm_active0 = ba_mod.stereo_observability_mask(obs_mask, lm_valid)
+    lm_active0 = ba_mod.lm_span_gate(
+        ba_mod.stereo_observability_mask(obs_mask, lm_valid),
+        obs_mask, cfg.min_lm_span)
     mask0 = obs_mask & lm_active0[None, None, :]
     n_blocks = jnp.sum(mask0) + jnp.sum(preint_valid)
     n_rows = 2 * jnp.sum(mask0) + 15 * jnp.sum(preint_valid)
@@ -692,7 +705,11 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
      mask_f, _act, _n) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-    success = attempt & (status != ba_mod.STATUS_FAILED)
+    # Numerical-health gate (see ba.solve_ba): non-finite results roll back.
+    finite = (jnp.all(jnp.isfinite(st.T_W_B)) & jnp.all(jnp.isfinite(st.vel))
+              & jnp.all(jnp.isfinite(st.bg)) & jnp.all(jnp.isfinite(st.ba))
+              & jnp.all(jnp.isfinite(jnp.where(_act[:, None], lms, 0.0))))
+    success = attempt & (status != ba_mod.STATUS_FAILED) & finite
     st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), state, st)
     lms_out = jnp.where(success, lms, landmarks)
 

@@ -57,7 +57,9 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid):
-        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        lm_active0 = ba_mod.lm_span_gate(
+            ba_mod.stereo_observability_mask(mask_in, lm_valid),
+            mask_in, cfg.min_lm_span)
         mask0 = mask_in & lm_active0[None, None, :]
         n_blocks = jax.lax.psum(jnp.sum(mask0), axis)
         n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active0), axis)
@@ -201,7 +203,13 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
          _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-        success = attempt & (status != ba_mod.STATUS_FAILED)
+        # Numerical-health gate (see ba.solve_ba), psum'd so every shard
+        # agrees: non-finite results roll back.
+        bad_local = (~jnp.all(jnp.isfinite(
+            jnp.where(_act[:, None], lms_out, 0.0)))).astype(jnp.int32)
+        finite = (jnp.all(jnp.isfinite(T_B_W))
+                  & (jax.lax.psum(bad_local, axis) == 0))
+        success = attempt & (status != ba_mod.STATUS_FAILED) & finite
         T_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
         lms_final = jnp.where(success, lms_out, lms)
         return T_out, lms_final, success, status, cost0, cost, it, metrics
@@ -244,7 +252,9 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
         check_rep=False,
     )
     def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior):
-        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        lm_active0 = ba_mod.lm_span_gate(
+            ba_mod.stereo_observability_mask(mask_in, lm_valid),
+            mask_in, cfg.min_lm_span)
         mask0 = mask_in & lm_active0[None, None, :]
         n_blocks = jax.lax.psum(jnp.sum(mask0), axis)
         n_vars = (W - 1) * 6 + 3 * jax.lax.psum(jnp.sum(lm_active0), axis)
@@ -394,7 +404,13 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
          mask_f, lm_active_f, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-        success = attempt & (status != ba_mod.STATUS_FAILED)
+        # Numerical-health gate (see ba.solve_ba), psum'd so every shard
+        # agrees: non-finite results roll back.
+        bad_local = (~jnp.all(jnp.isfinite(
+            jnp.where(lm_active_f[:, None], lms_out, 0.0)))).astype(jnp.int32)
+        finite = (jnp.all(jnp.isfinite(T_B_W))
+                  & (jax.lax.psum(bad_local, axis) == 0))
+        success = attempt & (status != ba_mod.STATUS_FAILED) & finite
         T_out = jnp.where(success, jax.vmap(lie.se3_inverse)(T_B_W), T_W_B)
         lms_final = jnp.where(success, lms_out, lms)
 

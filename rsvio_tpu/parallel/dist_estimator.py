@@ -102,8 +102,8 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
     def step(state: est.EstimatorState, rig: est.CameraRig, img0, img1):
         pyrs = j_frames(img0, img1)
         table, fstats, obs_cur, obs_cur_mask = j_track(state, rig, *pyrs)
-        T_cur, pnp_success, is_kf = j_motion(state, rig, table, obs_cur,
-                                             obs_cur_mask)
+        T_cur, pnp_success, is_kf, pose_ok = j_motion(state, rig, table,
+                                                      obs_cur, obs_cur_mask)
 
         ba_ok = jnp.asarray(False)
         ba_it = jnp.asarray(0, jnp.int32)
@@ -158,7 +158,7 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
             n_landmarks=jnp.sum(
                 ((new_state.lm_fid == table.fid)
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"])
+            n_alive=fstats["alive"], pose_ok=pose_ok)
         return new_state, out
 
     return step
@@ -243,6 +243,11 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
         T_pnp, pnp_success = jax.lax.cond(
             pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
         T_cur = jnp.where(pnp_success, T_pnp, T_pred)
+        # Numerical-health gate — identical to the local VIO estimator so
+        # dist/local parity holds.
+        pose_ok = jnp.all(jnp.isfinite(T_cur))
+        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
+        pnp_success = pnp_success & pose_ok
 
         T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
         is_kf = jnp.where(
@@ -252,7 +257,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
             True)
         return (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
                 buf_gyro, buf_accel, buf_dts, buf_count,
-                T_cur, v_pred, pnp_success, is_kf)
+                T_cur, v_pred, pnp_success, is_kf, pose_ok)
 
     @jax.jit
     def j_kf_pre(state: ev.VIOEstimatorState, rig, table, obs_cur,
@@ -330,7 +335,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
              dts, imu_mask):
         (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
          buf_gyro, buf_accel, buf_dts, buf_count,
-         T_cur, v_pred, pnp_success, is_kf) = j_front(
+         T_cur, v_pred, pnp_success, is_kf, pose_ok) = j_front(
             state, rig, img0, img1, gyro, accel, dts, imu_mask)
 
         ba_ok = jnp.asarray(False)
@@ -391,7 +396,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
             n_landmarks=jnp.sum(
                 ((new_state.lm_fid == table.fid)
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"])
+            n_alive=fstats["alive"], pose_ok=pose_ok)
         return new_state, out
 
     return step

@@ -49,7 +49,9 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid):
-        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        lm_active0 = ba_mod.lm_span_gate(
+            ba_mod.stereo_observability_mask(mask_in, lm_valid),
+            mask_in, cfg.min_lm_span)
         mask0 = mask_in & lm_active0[None, None, :]
         n_vis = jax.lax.psum(jnp.sum(mask0), axis)
         n_lm_act = jax.lax.psum(jnp.sum(lm_active0), axis)
@@ -239,7 +241,16 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
          _mask, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-        success = attempt & (status != ba_mod.STATUS_FAILED)
+        # Numerical-health gate (see ba.solve_ba), psum'd so every shard
+        # agrees: non-finite results roll back.
+        bad_local = (~jnp.all(jnp.isfinite(
+            jnp.where(_act[:, None], lms_out, 0.0)))).astype(jnp.int32)
+        finite = (jnp.all(jnp.isfinite(st.T_W_B))
+                  & jnp.all(jnp.isfinite(st.vel))
+                  & jnp.all(jnp.isfinite(st.bg))
+                  & jnp.all(jnp.isfinite(st.ba))
+                  & (jax.lax.psum(bad_local, axis) == 0))
+        success = attempt & (status != ba_mod.STATUS_FAILED) & finite
         st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
         lms_final = jnp.where(success, lms_out, lms)
         return st_out, lms_final, success, status, cost0, cost, it, metrics
@@ -289,7 +300,9 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
                prior):
-        lm_active0 = ba_mod.stereo_observability_mask(mask_in, lm_valid)
+        lm_active0 = ba_mod.lm_span_gate(
+            ba_mod.stereo_observability_mask(mask_in, lm_valid),
+            mask_in, cfg.min_lm_span)
         mask0 = mask_in & lm_active0[None, None, :]
         n_vis = jax.lax.psum(jnp.sum(mask0), axis)
         n_lm_act = jax.lax.psum(jnp.sum(lm_active0), axis)
@@ -490,7 +503,16 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
          mask_f, _act, _n) = jax.lax.while_loop(cond, body, init)
 
         status = jnp.where(attempt, status, ba_mod.STATUS_SKIPPED)
-        success = attempt & (status != ba_mod.STATUS_FAILED)
+        # Numerical-health gate (see ba.solve_ba), psum'd so every shard
+        # agrees: non-finite results roll back.
+        bad_local = (~jnp.all(jnp.isfinite(
+            jnp.where(_act[:, None], lms_out, 0.0)))).astype(jnp.int32)
+        finite = (jnp.all(jnp.isfinite(st.T_W_B))
+                  & jnp.all(jnp.isfinite(st.vel))
+                  & jnp.all(jnp.isfinite(st.bg))
+                  & jnp.all(jnp.isfinite(st.ba))
+                  & (jax.lax.psum(bad_local, axis) == 0))
+        success = attempt & (status != ba_mod.STATUS_FAILED) & finite
         st_out = jax.tree.map(lambda a, b: jnp.where(success, b, a), st0, st)
         lms_final = jnp.where(success, lms_out, lms)
         return (st_out, lms_final, success, status, cost0, cost, it,

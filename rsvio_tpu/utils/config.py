@@ -151,6 +151,13 @@ class SolverConfig:
     # Landmark maturity gate: landmarks enter BA only once their
     # observations span this many keyframes (1 = off).
     min_lm_span: int = 1
+    # Constant-velocity PnP initialization (extrapolate last frame's motion
+    # to seed the PnP solve). OFF by default: the default init is the
+    # current pose — the reference's init-from-last-optimized-pose
+    # semantics (ref sliding_window.rs:506-515) and the long-run-stable
+    # configuration. On a low-parallax scene the extrapolation can close a
+    # vision-only feedback loop (see EstimatorConfig.pnp_cv_predict).
+    pnp_cv_predict: bool = False
     # Schur-marginalize evicted keyframes into a dense prior instead of
     # plain FIFO forgetting (the capability the reference defers — ref
     # README.md:70,79 lists marginalization as future work). Default off =
@@ -290,6 +297,7 @@ def make_estimator_config(cfg: Config):
         cull_reproj_threshold=cfg.solver.cull_reproj_threshold,
         use_marginalization=cfg.solver.marginalization,
         track_before_full=cfg.keyframe_management.track_before_full,
+        pnp_cv_predict=cfg.solver.pnp_cv_predict,
     )
     return ecfg, rig
 

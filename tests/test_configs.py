@@ -136,3 +136,36 @@ tracker:
     ecfg, _ = make_estimator_config(cfg)
     # -1 (auto) resolves to capacity // 2
     assert ecfg.frontend.relax_floor_below == 100
+
+
+def test_shipped_yamls_carry_matrix_defenses():
+    """VERDICT r3 item 7: the shipped dataset YAMLs must carry the SAME
+    defenses the committed accuracy-matrix numbers were measured with
+    (chi2 gate at ~6 px gross-outlier scale in normalized units, starvation
+    relax floor auto-engaged) — not just the matrix harness
+    (utils/evaluation.py). Also pins the round-4 default: constant-velocity
+    PnP seeding stays OFF (reference init semantics) unless opted into."""
+    for name, fx in [("euroc_vio.yaml", 458.654),
+                     ("tum_vi.yaml", 191.75556798912652),
+                     ("4seasons.yaml", 501.475791931)]:
+        cfg = load_config(os.path.join(CONFIG_DIR, name))
+        ecfg, _ = make_estimator_config(cfg)
+        px = ecfg.pnp.chi2_gate * fx
+        assert 5.0 <= px <= 7.0, f"{name}: chi2 gate {px:.2f} px"
+        assert ecfg.ba.chi2_gate == ecfg.pnp.chi2_gate
+        # Starvation mode auto-engages at capacity // 2 (TrackerConfig
+        # relax_floor_below default -1 = auto).
+        assert ecfg.frontend.relax_floor_below == ecfg.frontend.capacity // 2
+        # CV seeding is opt-in (round-3 regression 7320b34).
+        assert not ecfg.pnp_cv_predict
+
+
+def test_pnp_cv_predict_yaml_roundtrip(tmp_path):
+    p = tmp_path / "cv.yaml"
+    p.write_text("""
+solver:
+  pnp_cv_predict: true
+""")
+    cfg = load_config(str(p))
+    ecfg, _ = make_estimator_config(cfg)
+    assert ecfg.pnp_cv_predict
