@@ -294,6 +294,18 @@ def _build_stages(cfg: EstimatorConfig):
             return state.T_W_B, jnp.asarray(False)
 
         T_pnp, pnp_success = jax.lax.cond(pnp_ready, run_pnp, skip_pnp, None)
+        if cfg.pnp_cv_predict:
+            # Keyframe-relative motion bound (CV path only): legitimate
+            # motion since the last keyframe is ~threshold + a few frames
+            # (exceeding the threshold CREATES a keyframe), so a result far
+            # beyond it is the feedback loop, not the camera. Fail PnP
+            # (pose unchanged) instead of accepting the runaway.
+            rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_pnp
+            bound_ok = ((jnp.linalg.norm(rel[:3, 3])
+                         <= 10.0 * cfg.translation_threshold + 0.5)
+                        & (lie.rotation_angle(rel[:3, :3])
+                           <= 10.0 * cfg.rotation_threshold + 0.5))
+            pnp_success = pnp_success & bound_ok
         T_cur = jnp.where(pnp_success, T_pnp, state.T_W_B)
 
         # Numerical-health gate (round-3 postmortem: a non-finite pose froze

@@ -62,6 +62,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            imu_buf: int = 64,
                            init_gyro=None, init_accel=None,
                            motion_prior: float = 0.0,
+                           pnp_cv_predict: bool = False,
                            backend: str = "auto") -> RunResult:
     """Drive the (V)IO estimator over a generate_sequence() output.
 
@@ -96,7 +97,11 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
             detect_margin=detect_margin,
             # Starvation-adaptive detection floor: keeps weak-texture scenes
             # (e.g. easy_plane) from idling at a handful of tracks.
+            # RSVIO_RELAX_SCORE overrides the relaxed floor for sensitivity
+            # studies (default 1.0 = FrontendConfig default).
             relax_floor_below=capacity // 2,
+            relaxed_min_score=float(
+                os.environ.get("RSVIO_RELAX_SCORE", "1.0")),
             klt=KLTConfig(levels=levels, max_iterations=max_iterations,
                           backend=backend)),
         window_size=window,
@@ -104,6 +109,9 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         rotation_threshold=rotation_threshold,
         image_shape=(scene.H, scene.W),
         use_marginalization=use_marginalization,
+        # Opt-in CV seeding (ablation evidence; the round-3 regression made
+        # this unconditional — see NOTES round-4 findings).
+        pnp_cv_predict=pnp_cv_predict,
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(
