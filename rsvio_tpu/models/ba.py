@@ -162,6 +162,23 @@ def lm_span_gate(lm_active, obs_mask, min_lm_span: int):
     return lm_active
 
 
+def apply_obs_weights(lin, w):
+    """Scale a (W,2,L) Linearization by per-slot sqrt-weights w (W,L).
+
+    w multiplies the whitened residual/Jacobians (equivalent to scaling the
+    measurement sigma by 1/w AFTER robustification — the Huber threshold
+    still applies to the unweighted residual) and the robust cost by w^2.
+    Used for birth-score observation weighting (FeatureTable.w): weak-
+    texture starvation births carry less information than strict-floor
+    corners and should not pull BA with equal force."""
+    sw = w[:, None, :, None]                    # (W,1,L,1)
+    return lin._replace(
+        r=lin.r * sw,
+        J_pose=lin.J_pose * sw[..., None],
+        J_lm=lin.J_lm * sw[..., None],
+        cost=lin.cost * (w[:, None, :] ** 2))
+
+
 def stereo_observability_mask(obs_mask, lm_valid):
     """Landmark eligibility: valid slot AND observed >=1 time in BOTH cameras
     across the window (ref sliding_window.rs:243-246).
@@ -278,7 +295,8 @@ def schur_solve(H_pp, H_ll, H_pl, g_p, g_l, lam, lm_active, fix_first: bool = Tr
 
 @partial(jax.jit, static_argnames=("cfg", "fix_first"))
 def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
-             cfg: BAConfig = BAConfig(), fix_first: bool = True):
+             cfg: BAConfig = BAConfig(), fix_first: bool = True,
+             obs_weight=None):
     """Sliding-window bundle adjustment.
 
     Args:
@@ -311,6 +329,10 @@ def solve_ba(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         Also returns the per-observation whitened squared residual norms
         (W,2,L) for the chi^2 gate."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        if obs_weight is not None:
+            lin = apply_obs_weights(lin, obs_weight)
+        # (chi^2 gate note: r is weight-scaled here, so low-weight
+        # observations are gated proportionally LESS aggressively.)
         r_sq = jnp.sum(lin.r ** 2, axis=-1)
         return build_normal_equations(lin), jnp.sum(lin.cost), r_sq
 
@@ -431,7 +453,7 @@ from .marginalization import MargPrior, marginalize_oldest, prior_terms  # noqa:
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
                           prior: MargPrior, will_evict,
-                          cfg: BAConfig = BAConfig()):
+                          cfg: BAConfig = BAConfig(), obs_weight=None):
     """solve_ba with a pose prior + production of the rolled next prior.
 
     Args (beyond solve_ba):
@@ -466,6 +488,8 @@ def solve_ba_marginalized(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid,
         relinearizing. Also returns per-observation whitened squared
         residual norms for the chi^2 gate."""
         lin = _linearize_all(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        if obs_weight is not None:
+            lin = apply_obs_weights(lin, obs_weight)
         H_pp, H_ll, H_pl, g_p, g_l = build_normal_equations(lin)
         T_W_B_cur = jax.vmap(lie.se3_inverse)(T_B_W)
         H_add, g_add, pcost = prior_terms(prior, T_W_B_cur, no_extra)

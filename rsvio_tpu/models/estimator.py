@@ -83,6 +83,14 @@ class EstimatorConfig(NamedTuple):
     # frame ~30; round-3 regression, commit 7320b34). Use only with an
     # external anchor (IMU) or a strong motion prior at the MEASURED pose.
     pnp_cv_predict: bool = False
+    # Score-weighted observations: scale each observation's whitened
+    # residual/Jacobian by the feature's birth-score weight (FeatureTable.w,
+    # sqrt(score/min_score) clipped to [floor, 1]). Starvation-mode births
+    # on weak texture then contribute information proportional to their
+    # localization quality instead of pulling BA/PnP with full force.
+    # Measured (easy_plane 752x480, 160 frames): ATE 0.14 -> see NOTES
+    # round-4. Off = reference-parity equal weighting.
+    use_obs_weights: bool = False
 
 
 class CameraRig(NamedTuple):
@@ -109,6 +117,9 @@ class EstimatorState(NamedTuple):
     obs: jnp.ndarray         # (W,2,N,2) normalized observations
     obs_mask: jnp.ndarray    # (W,2,N)
     obs_fid: jnp.ndarray     # (W,N) feature id tags
+    # Per-row observation weights captured at keyframe insertion
+    # (FeatureTable.w at that time; consumed when use_obs_weights)
+    obs_w: jnp.ndarray       # (W,N)
     # Landmarks, slot-aligned with the feature table
     lm: jnp.ndarray          # (N,3)
     lm_fid: jnp.ndarray      # (N,) id tag; valid iff == table.fid and >= 0
@@ -141,6 +152,7 @@ def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
         obs=jnp.zeros((W, 2, N, 2), dtype=dtype),
         obs_mask=jnp.zeros((W, 2, N), dtype=bool),
         obs_fid=jnp.full((W, N), -1, jnp.int32),
+        obs_w=jnp.ones((W, N), dtype=dtype),
         lm=jnp.zeros((N, 3), dtype=dtype),
         lm_fid=jnp.full((N,), -1, jnp.int32),
         marg_prior=empty_prior(W, 6, dtype),
@@ -287,7 +299,9 @@ def _build_stages(cfg: EstimatorConfig):
             # feedback loop (measured runaway; see solve_pnp docstring).
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
                                     obs_cur, pnp_mask, cfg.pnp,
-                                    T_W_B_prior=state.T_W_B)
+                                    T_W_B_prior=state.T_W_B,
+                                    obs_weight=(table.w if cfg.use_obs_weights
+                                                else None))
             return res.T_W_B, res.success
 
         def skip_pnp(_):
@@ -348,11 +362,13 @@ def _build_stages(cfg: EstimatorConfig):
             obs_w = roll_if_full(state.obs)
             obs_m = roll_if_full(state.obs_mask)
             obs_f = roll_if_full(state.obs_fid)
+            obs_wt = roll_if_full(state.obs_w)
 
             kf_T = kf_T.at[ins].set(T_cur)
             obs_w = obs_w.at[ins].set(obs_cur)
             obs_m = obs_m.at[ins].set(obs_cur_mask)
             obs_f = obs_f.at[ins].set(table.fid)
+            obs_wt = obs_wt.at[ins].set(table.w)
             kf_count = jnp.minimum(state.kf_count + 1, W)
 
             # BA once >= 2 keyframes exist (or, for reference parity, only
@@ -378,6 +394,8 @@ def _build_stages(cfg: EstimatorConfig):
                                                   obs_w, mask_b)
                 lm = jnp.where((born & ok_ref)[:, None], lm_ref, lm)
 
+            ba_w = obs_wt if cfg.use_obs_weights else None
+
             def run_ba(_):
                 if cfg.use_marginalization:
                     # will_evict: the NEXT keyframe insert rolls the window
@@ -387,10 +405,12 @@ def _build_stages(cfg: EstimatorConfig):
                     # window.
                     res, new_prior = ba_mod.solve_ba_marginalized(
                         kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        state.marg_prior, kf_count >= W, cfg.ba)
+                        state.marg_prior, kf_count >= W, cfg.ba,
+                        obs_weight=ba_w)
                 else:
                     res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w,
-                                          eff_mask, lm_valid, cfg.ba)
+                                          eff_mask, lm_valid, cfg.ba,
+                                          obs_weight=ba_w)
                     new_prior = state.marg_prior
                 return (res.T_W_B, res.landmarks, res.success,
                         res.iterations, res.final_cost, new_prior)
@@ -408,25 +428,26 @@ def _build_stages(cfg: EstimatorConfig):
                     cfg.cull_reproj_threshold ** 2) & ba_ok
                 lm_fid = jnp.where(bad, -1, lm_fid)
             T_new = kf_T[jnp.minimum(kf_count, W) - 1]
-            return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid,
+            return (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
                     T_new, T_new, ba_ok, ba_it, ba_cost, new_prior)
 
         def no_kf_branch(operand):
             table, T_cur, lm, lm_fid = operand
             return (state.kf_T_W_B, state.kf_count, state.obs, state.obs_mask,
-                    state.obs_fid, lm, lm_fid, T_cur, state.last_kf_T_W_B,
+                    state.obs_fid, state.obs_w, lm, lm_fid, T_cur,
+                    state.last_kf_T_W_B,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
                     jnp.asarray(0.0, T_cur.dtype), state.marg_prior)
 
-        (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, T_out, last_kf,
-         ba_ok, ba_it, ba_cost, marg_prior) = jax.lax.cond(
+        (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid, T_out,
+         last_kf, ba_ok, ba_it, ba_cost, marg_prior) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, state.lm, state.lm_fid))
 
         new_state = EstimatorState(
             table=table, pyr0=pyr0, pyr1=pyr1,
             kf_T_W_B=kf_T, kf_count=kf_count,
-            obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+            obs=obs_w, obs_mask=obs_m, obs_fid=obs_f, obs_w=obs_wt,
             lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,

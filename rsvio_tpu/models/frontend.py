@@ -56,6 +56,23 @@ class FrontendConfig(NamedTuple):
     relax_floor_below: int = 0
     relaxed_min_score: float = 1.0
     relax_max_per_cell: int = 3
+    # Floor of the birth-score observation weight (FeatureTable.w).
+    score_weight_floor: float = 0.05
+    # Score at-or-above which a birth carries full weight; weaker births
+    # scale as sqrt(score / ref). Uses the FAST margin score (the detection
+    # score itself): measured BETTER on the weak-texture matrix scene than a
+    # Shi-Tomasi min-eigenvalue weight (0.161 vs 0.167 ATE) — the min-eig
+    # variant also down-weights strict-floor corners whose margin is high,
+    # diluting good information. Default = FrontendConfig.min_score so
+    # strict births keep w = 1 and only starvation-floor births discount.
+    score_weight_ref: float = 10.0
+    # Exponent of the weight curve w = clip((score/ref)^power, floor, 1).
+    # 0.5 = sigma ~ 1/sqrt(score) (information-proportional); 1.0 discounts
+    # weak births quadratically in the squared cost — harsher on the
+    # near-textureless starvation births that dominate tracking deserts.
+    # Measured on the weak-texture matrix scene (easy_plane 752x480, CPU):
+    # power 1.0 + floor 0.05 ATE 0.132 vs 0.5/0.3 0.161 vs unweighted 0.174.
+    score_weight_power: float = 1.0
 
 
 class FeatureTable(NamedTuple):
@@ -67,6 +84,13 @@ class FeatureTable(NamedTuple):
     fid: jnp.ndarray     # (N,) int32 feature ids (unique, never reused)
     alive: jnp.ndarray   # (N,) bool
     age: jnp.ndarray     # (N,) int32 frames tracked
+    # Birth-score observation weight in (0, 1]: sqrt(detection_score /
+    # min_score) clipped to [score_weight_floor, 1]. Corner score is (to
+    # first order) the Fisher information of the patch localization, so a
+    # starvation-mode birth at score 1 carries ~sqrt(1/10) of a strict
+    # birth's weight. Consumed by the solvers when
+    # EstimatorConfig.use_obs_weights is on; all-ones otherwise.
+    w: jnp.ndarray       # (N,)
     next_id: jnp.ndarray  # () int32
 
 
@@ -80,6 +104,7 @@ def init_table(capacity: int, dtype=jnp.float32) -> FeatureTable:
         fid=jnp.full((N,), -1, jnp.int32),
         alive=jnp.zeros((N,), dtype=bool),
         age=jnp.zeros((N,), jnp.int32),
+        w=jnp.ones((N,), dtype=dtype),
         next_id=jnp.asarray(0, jnp.int32),
     )
 
@@ -118,10 +143,12 @@ def masked_row_scatter(arr, slot, ok, upd):
     return padded.at[idx].set(upd)[:N]
 
 
-def _insert_births(table: FeatureTable, cand0, cand1, cand_A1, cand_ok):
+def _insert_births(table: FeatureTable, cand0, cand1, cand_A1, cand_ok,
+                   cand_w=None):
     """Compact accepted candidates into free table slots.
 
-    cand0/cand1: (C,2) candidate positions in cam0/cam1; cand_ok: (C,) bool.
+    cand0/cand1: (C,2) candidate positions in cam0/cam1; cand_ok: (C,) bool;
+    cand_w: (C,) optional birth-score weights (1.0 when omitted).
     """
     slot, ok, rank = birth_slots(table.alive, cand_ok)
     C = cand_ok.shape[0]
@@ -137,9 +164,12 @@ def _insert_births(table: FeatureTable, cand0, cand1, cand_A1, cand_ok):
                                jnp.ones((C,), dtype=bool))
     age = masked_row_scatter(table.age, slot, ok,
                              jnp.zeros((C,), jnp.int32))
+    if cand_w is None:
+        cand_w = jnp.ones((C,), dtype=table.w.dtype)
+    w = masked_row_scatter(table.w, slot, ok, cand_w.astype(table.w.dtype))
     n_born = jnp.sum(ok.astype(jnp.int32))
     return table._replace(pos0=pos0, pos1=pos1, A0=A0, A1=A1, fid=fid,
-                          alive=alive, age=age,
+                          alive=alive, age=age, w=w,
                           next_id=table.next_id + n_born)
 
 
@@ -221,9 +251,19 @@ def frontend_step(table: FeatureTable, pyr0_prev, pyr1_prev, pyr0, pyr1,
     cand_pos1, cand_A1, stereo_ok = klt.track_points_bidirectional(
         pyr0, pyr1, cand_xy, cand_ok, kcfg)
 
-    # (e) births: only stereo-matched candidates enter the table.
+    # (e) births: only stereo-matched candidates enter the table. Each
+    # birth carries an observation weight from its detection score (see
+    # FrontendConfig.score_weight_ref).
     births_ok = cand_ok & stereo_ok
-    table = _insert_births(table, cand_xy, cand_pos1, cand_A1, births_ok)
+    H0, W0 = score.shape
+    iy = jnp.clip(jnp.round(cand_xy[:, 1]).astype(jnp.int32), 0, H0 - 1)
+    ix = jnp.clip(jnp.round(cand_xy[:, 0]).astype(jnp.int32), 0, W0 - 1)
+    cand_w = jnp.clip(
+        jnp.power(jnp.maximum(score[iy, ix], 1e-6) / cfg.score_weight_ref,
+                  cfg.score_weight_power),
+        cfg.score_weight_floor, 1.0)
+    table = _insert_births(table, cand_xy, cand_pos1, cand_A1, births_ok,
+                           cand_w)
 
     stats = {
         "tracked": jnp.sum(survived.astype(jnp.int32)),

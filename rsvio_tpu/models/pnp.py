@@ -75,7 +75,8 @@ class PnPResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
-              cfg: PnPConfig = PnPConfig(), T_W_B_prior=None):
+              cfg: PnPConfig = PnPConfig(), T_W_B_prior=None,
+              obs_weight=None):
     """Levenberg-Marquardt pose-only solve.
 
     Args:
@@ -107,6 +108,13 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
                 Tcb, T_B_W, p, o, mm, cfg.huber_delta),
             in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))
         lin = f(T_C_B, landmarks, obs, m)
+        if obs_weight is not None:
+            # Per-slot sqrt-weights (L,) scale the whitened system (see
+            # ba.apply_obs_weights; same semantics, pose-only problem).
+            sw = obs_weight[None, :, None]
+            lin = lin._replace(r=lin.r * sw,
+                               J_pose=lin.J_pose * sw[..., None],
+                               cost=lin.cost * (obs_weight[None, :] ** 2))
         J = lin.J_pose.reshape(-1, 6)          # (2L*2, 6)
         r = lin.r.reshape(-1)                  # (2L*2,)
         H = J.T @ J                            # (6,6)

@@ -39,24 +39,28 @@ from .mesh import LANDMARK_AXIS
 
 def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
                          lm_valid, cfg: ba_mod.BAConfig = ba_mod.BAConfig(),
-                         fix_first: bool = True):
+                         fix_first: bool = True, obs_weight=None):
     """Landmark-sharded BA over `mesh` (1-D, axis LANDMARK_AXIS).
 
-    Same contract as models.ba.solve_ba; landmark count L must be divisible by
-    the mesh size. Returns a ba.BAResult.
+    Same contract as models.ba.solve_ba (incl. optional (W,L) obs_weight —
+    sharded along L; ones = unweighted, bitwise-identical to the local
+    solver); landmark count L must be divisible by the mesh size. Returns a
+    ba.BAResult.
     """
     axis = LANDMARK_AXIS
     W = T_W_B.shape[0]
     dtype = T_W_B.dtype
+    if obs_weight is None:
+        obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, None, axis, None),
-                  P(None, None, axis), P(axis)),
+                  P(None, None, axis), P(axis), P(None, axis)),
         out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
-    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid):
+    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, obs_w):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -77,6 +81,7 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
             gate."""
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
+            lin = ba_mod.apply_obs_weights(lin, obs_w)
             H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
             H_pp, g_p, cost = jax.lax.psum(
                 (H_pp, g_p, jnp.sum(lin.cost)), axis)
@@ -216,7 +221,7 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
 
     (T_out, lms_out, success, status, cost0, cost, it,
      metrics) = jax.jit(_solve)(T_W_B, T_C_B, landmarks, obs, obs_mask,
-                                lm_valid)
+                                lm_valid, obs_weight)
     return ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
                            status=status, initial_cost=cost0, final_cost=cost,
                            iterations=it, metrics=metrics)
@@ -225,7 +230,8 @@ def solve_ba_distributed(mesh, T_W_B, T_C_B, landmarks, obs, obs_mask,
 def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
                                       obs_mask, lm_valid,
                                       prior, will_evict,
-                                      cfg: ba_mod.BAConfig = ba_mod.BAConfig()):
+                                      cfg: ba_mod.BAConfig = ba_mod.BAConfig(),
+                                      obs_weight=None):
     """Landmark-sharded, prior-augmented BA over `mesh` + next-prior rollout.
 
     Distributed counterpart of models.ba.solve_ba_marginalized (same contract,
@@ -243,15 +249,17 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
     W = T_W_B.shape[0]
     dtype = T_W_B.dtype
     no_extra = jnp.zeros((W, 0), dtype=dtype)
+    if obs_weight is None:
+        obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, None, axis, None),
-                  P(None, None, axis), P(axis), P()),
+                  P(None, None, axis), P(axis), P(), P(None, axis)),
         out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
-    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior):
+    def _solve(T_W_B, T_C_B, lms, obs, mask_in, lm_valid, prior, obs_w):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -270,6 +278,7 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
             visual cost packed into a single psum."""
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
+            lin = ba_mod.apply_obs_weights(lin, obs_w)
             H_pp, H_ll, H_pl, g_p, g_l = ba_mod.build_normal_equations(lin)
             H_pp, g_p, vis = jax.lax.psum(
                 (H_pp, g_p, jnp.sum(lin.cost)), axis)
@@ -426,10 +435,10 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
 
     @partial(jax.jit)
     def _run(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
-             will_evict):
+             will_evict, obs_weight):
         (T_out, lms_out, success, status, cost0, cost, it,
          S_f, b_f, metrics) = _solve(T_W_B, T_C_B, landmarks, obs, obs_mask,
-                                     lm_valid, prior)
+                                     lm_valid, prior, obs_weight)
         # reduced_system returns b = -(gradient); marginalize expects +grad.
         new_prior = marginalize_oldest(S_f, -b_f, T_out, no_extra, prior, 6)
         do_new = will_evict & success
@@ -442,7 +451,7 @@ def solve_ba_marginalized_distributed(mesh, T_W_B, T_C_B, landmarks, obs,
 
     (T_out, lms_out, success, status, cost0, cost, it, out_prior,
      metrics) = _run(T_W_B, T_C_B, landmarks, obs, obs_mask, lm_valid, prior,
-                     jnp.asarray(will_evict))
+                     jnp.asarray(will_evict), obs_weight)
     result = ba_mod.BAResult(T_W_B=T_out, landmarks=lms_out, success=success,
                              status=status, initial_cost=cost0,
                              final_cost=cost, iterations=it, metrics=metrics)

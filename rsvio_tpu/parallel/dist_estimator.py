@@ -66,6 +66,7 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
         obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
         obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
         obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+        obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
         kf_count = jnp.minimum(state.kf_count + 1, W)
 
         eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
@@ -81,8 +82,8 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
             lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
                                               obs_w, mask_b)
             lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
-        return (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, eff_mask,
-                lm_valid)
+        return (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
+                eff_mask, lm_valid)
 
     @jax.jit
     def apply_ba(kf_T, lm, lm_fid, kf_count, res_T, res_lm, success,
@@ -111,20 +112,22 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
         marg_prior = state.marg_prior
 
         if bool(is_kf):    # host-level branch (see module docstring)
-            (kf_T, kf_count, obs_w, obs_m, obs_f, lm, lm_fid, eff_mask,
-             lm_valid) = kf_pre(state, rig, table, obs_cur, obs_cur_mask,
-                                T_cur)
+            (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
+             eff_mask, lm_valid) = kf_pre(state, rig, table, obs_cur,
+                                          obs_cur_mask, T_cur)
             kfc = int(kf_count)
+            ba_w = obs_wt if cfg.use_obs_weights else None
             full_now = (kfc >= W) if not cfg.track_before_full else (kfc >= 2)
             if full_now:
                 if cfg.use_marginalization:
                     res, marg_prior = dist_ba.solve_ba_marginalized_distributed(
                         mesh, kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        state.marg_prior, jnp.asarray(kfc >= W), cfg.ba)
+                        state.marg_prior, jnp.asarray(kfc >= W), cfg.ba,
+                        obs_weight=ba_w)
                 else:
                     res = dist_ba.solve_ba_distributed(
                         mesh, kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        cfg.ba)
+                        cfg.ba, obs_weight=ba_w)
                 ba_ok, ba_it, ba_cost = (res.success, res.iterations,
                                          res.final_cost)
                 kf_T, lm, lm_fid, T_new = apply_ba(
@@ -135,7 +138,7 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
             new_state = est.EstimatorState(
                 table=table, pyr0=pyrs[0], pyr1=pyrs[1],
                 kf_T_W_B=kf_T, kf_count=kf_count,
-                obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+                obs=obs_w, obs_mask=obs_m, obs_fid=obs_f, obs_w=obs_wt,
                 lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
                 T_W_B=T_new, last_kf_T_W_B=T_new,
                 frame_id=state.frame_id + 1,
@@ -145,7 +148,7 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 table=table, pyr0=pyrs[0], pyr1=pyrs[1],
                 kf_T_W_B=state.kf_T_W_B, kf_count=state.kf_count,
                 obs=state.obs, obs_mask=state.obs_mask,
-                obs_fid=state.obs_fid,
+                obs_fid=state.obs_fid, obs_w=state.obs_w,
                 lm=state.lm, lm_fid=state.lm_fid, marg_prior=marg_prior,
                 T_W_B=T_cur, last_kf_T_W_B=state.last_kf_T_W_B,
                 frame_id=state.frame_id + 1,

@@ -108,6 +108,11 @@ class TrackerConfig:
     detect_mode: str = "grid"
     nms_radius: int = 10
     nms_max_new: int = 128
+    # Birth-score observation-weight curve (consumed when
+    # solver.score_weighted_obs): w = clip((score/ref)^power, floor, 1).
+    score_weight_floor: float = 0.05
+    score_weight_power: float = 1.0
+    score_weight_ref: float = 10.0
 
 
 @dataclasses.dataclass
@@ -151,6 +156,13 @@ class SolverConfig:
     # Landmark maturity gate: landmarks enter BA only once their
     # observations span this many keyframes (1 = off).
     min_lm_span: int = 1
+    # Score-weighted observations: whiten each observation by its feature's
+    # birth-score weight (w = clip((score/min_score)^power, floor, 1)) so
+    # starvation-mode births on weak texture contribute information
+    # proportional to their localization quality. Measured: easy_plane ATE
+    # -24% at unchanged occupancy, depth_6dof slightly better, other scenes
+    # neutral (docs/NOTES.md round 4). Off = reference-parity equal weights.
+    score_weighted_obs: bool = False
     # Constant-velocity PnP initialization (extrapolate last frame's motion
     # to seed the PnP solve). OFF by default: the default init is the
     # current pose — the reference's init-from-last-optimized-pose
@@ -271,6 +283,9 @@ def make_estimator_config(cfg: Config):
         detect_mode=cfg.tracker.detect_mode,
         nms_radius=cfg.tracker.nms_radius,
         nms_max_new=cfg.tracker.nms_max_new,
+        score_weight_floor=cfg.tracker.score_weight_floor,
+        score_weight_power=cfg.tracker.score_weight_power,
+        score_weight_ref=cfg.tracker.score_weight_ref,
     )
     ecfg = est.EstimatorConfig(
         frontend=fe_cfg,
@@ -298,6 +313,7 @@ def make_estimator_config(cfg: Config):
         use_marginalization=cfg.solver.marginalization,
         track_before_full=cfg.keyframe_management.track_before_full,
         pnp_cv_predict=cfg.solver.pnp_cv_predict,
+        use_obs_weights=cfg.solver.score_weighted_obs,
     )
     return ecfg, rig
 

@@ -63,6 +63,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            init_gyro=None, init_accel=None,
                            motion_prior: float = 0.0,
                            pnp_cv_predict: bool = False,
+                           use_obs_weights: bool = True,
                            backend: str = "auto") -> RunResult:
     """Drive the (V)IO estimator over a generate_sequence() output.
 
@@ -112,6 +113,11 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         # Opt-in CV seeding (ablation evidence; the round-3 regression made
         # this unconditional — see NOTES round-4 findings).
         pnp_cv_predict=pnp_cv_predict,
+        # Score-weighted observations (round 4): measured better-or-equal on
+        # every matrix scene (easy_plane -24%, photometric -84% ATE on the
+        # CPU sweep). RSVIO_OBS_WEIGHTS=0 disables for ablations.
+        use_obs_weights=(use_obs_weights
+                         and os.environ.get("RSVIO_OBS_WEIGHTS", "1") != "0"),
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(

@@ -255,3 +255,44 @@ class TestChi2Gate:
         assert bool(res_on.success)
         d = float(jnp.abs(res_on.T_W_B - res_off.T_W_B).max())
         assert d < 1e-4, d
+
+
+class TestObsWeights:
+    """Score-weighted observations (round-4, EstimatorConfig.use_obs_weights):
+    per-slot sqrt-weights scale the whitened system after robustification."""
+
+    def test_unit_weights_match_unweighted(self):
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=5)
+        ones = jnp.ones((T_init.shape[0], lms.shape[0]), jnp.float32)
+        r0 = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid)
+        r1 = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                         obs_weight=ones)
+        assert bool(r0.success) and bool(r1.success)
+        np.testing.assert_array_equal(np.asarray(r0.T_W_B),
+                                      np.asarray(r1.T_W_B))
+        np.testing.assert_array_equal(np.asarray(r0.landmarks),
+                                      np.asarray(r1.landmarks))
+
+    def test_downweighting_discounts_noisy_observations(self):
+        """Corrupt half the observations with noise; down-weighting exactly
+        the corrupted ones must recover the poses better than equal
+        weighting."""
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=6, pose_noise=0.05, lm_noise=0.1)
+        rng = np.random.default_rng(6)
+        W_, L = mask.shape[0], mask.shape[2]
+        noisy = rng.uniform(size=L) < 0.5
+        obs_n = np.asarray(obs).copy()
+        obs_n[:, :, noisy] += rng.normal(scale=8e-3,
+                                         size=obs_n[:, :, noisy].shape)
+        obs_n = jnp.asarray(obs_n)
+        w = jnp.asarray(np.where(noisy, 0.3, 1.0)[None, :].repeat(W_, 0),
+                        jnp.float32)
+        r_eq = ba.solve_ba(T_init, T_C_B, lms, obs_n, mask, lm_valid)
+        r_w = ba.solve_ba(T_init, T_C_B, lms, obs_n, mask, lm_valid,
+                          obs_weight=w)
+        assert bool(r_eq.success) and bool(r_w.success)
+        err_eq = float(jnp.abs(r_eq.T_W_B[:, :3, 3] - T_gt[:, :3, 3]).max())
+        err_w = float(jnp.abs(r_w.T_W_B[:, :3, 3] - T_gt[:, :3, 3]).max())
+        assert err_w < err_eq, (err_w, err_eq)

@@ -158,6 +158,8 @@ def test_shipped_yamls_carry_matrix_defenses():
         assert ecfg.frontend.relax_floor_below == ecfg.frontend.capacity // 2
         # CV seeding is opt-in (round-3 regression 7320b34).
         assert not ecfg.pnp_cv_predict
+        # Score-weighted observations ship ON (round-4 matrix evidence).
+        assert ecfg.use_obs_weights
 
 
 def test_pnp_cv_predict_yaml_roundtrip(tmp_path):

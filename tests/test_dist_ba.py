@@ -206,3 +206,24 @@ class TestDistributedMarginalizedVIOBA:
             prior, jnp.asarray(False))
         assert bool(res2.success)
         np.testing.assert_allclose(prior2.H, prior.H)  # pass-through
+
+
+class TestDistributedObsWeights:
+    def test_weighted_matches_single_device(self, mesh8):
+        """Score-weighted BA parity: the sharded solve with per-slot weights
+        must agree with the local weighted solve (round-4
+        use_obs_weights)."""
+        (T_init, T_C_B, lms, obs, mask, lm_valid, T_gt, p_gt) = make_problem(
+            seed=21, n_lm=32)
+        rng = np.random.default_rng(21)
+        w = jnp.asarray(rng.uniform(0.3, 1.0, (T_init.shape[0],
+                                               lms.shape[0])), jnp.float32)
+        res_local = ba.solve_ba(T_init, T_C_B, lms, obs, mask, lm_valid,
+                                obs_weight=w)
+        res_dist = dist_ba.solve_ba_distributed(
+            mesh8, T_init, T_C_B, lms, obs, mask, lm_valid, obs_weight=w)
+        assert bool(res_local.success) and bool(res_dist.success)
+        np.testing.assert_allclose(res_dist.T_W_B, res_local.T_W_B,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(res_dist.landmarks, res_local.landmarks,
+                                   rtol=1e-3, atol=1e-4)

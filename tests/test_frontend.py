@@ -149,3 +149,33 @@ class TestAdaptiveFloor:
         adapt_table, s_adapt = frontend.frontend_step(
             table, p0, p1, p0b, p1b, cfg)
         assert int(s_adapt["born"]) == int(s_strict["born"])
+
+
+def test_starvation_births_carry_reduced_weight():
+    """Round-4 score weighting: births accepted under the relaxed starvation
+    floor must carry FeatureTable.w < 1 (sqrt(score/min_score) clipped),
+    strict-floor births w == 1."""
+    import numpy as np
+    from rsvio_tpu.models.frontend import (FrontendConfig, frontend_step,
+                                           init_table)
+    from rsvio_tpu.ops import pyramid
+    from rsvio_tpu.ops.klt import KLTConfig
+
+    rng = np.random.default_rng(3)
+    H, W = 96, 128
+    # Weak texture: low-amplitude noise -> scores mostly under the strict
+    # floor, so starvation mode births weak corners.
+    img = (rng.uniform(0, 1, (H, W)) * 6 + 100).astype(np.float32)
+    pyr = pyramid.build_pyramid(jnp.asarray(img), 3)
+    cfg = FrontendConfig(capacity=64, cell_size=24, detect_margin=8,
+                         relax_floor_below=32, relaxed_min_score=0.5,
+                         klt=KLTConfig(levels=3, max_iterations=8))
+    table = init_table(64)
+    table, stats = frontend_step(table, pyr, pyr, pyr, pyr, cfg,
+                                 first_frame=True)
+    alive = np.asarray(table.alive)
+    w = np.asarray(table.w)
+    assert alive.any(), "no births on the weak-texture frame"
+    assert (w[alive] <= 1.0).all()
+    assert (w[alive] >= cfg.score_weight_floor - 1e-6).all()
+    assert (w[alive] < 1.0).any(), "expected some reduced-weight births"
