@@ -91,6 +91,14 @@ class EstimatorConfig(NamedTuple):
     # Measured (easy_plane 752x480, 160 frames): ATE 0.14 -> see NOTES
     # round-4. Off = reference-parity equal weighting.
     use_obs_weights: bool = False
+    # Age ramp on the birth discount: recover the effective weight as
+    #   w_eff = 1 - (1 - w_birth) * exp(-age_ramp * age)
+    # (a surviving track "earns back" trust). MEASURED HARMFUL on the
+    # weak-texture matrix scene (easy_plane ATE 0.132 -> 0.165-0.168 at
+    # ramps 0.05/0.15): survival of the bidirectional gate does not make a
+    # low-texture patch's localization any more precise — the discount
+    # must be permanent. 0 = off (default). Only read when use_obs_weights.
+    obs_weight_age_ramp: float = 0.0
 
 
 class CameraRig(NamedTuple):
@@ -177,6 +185,16 @@ class FrameOutput(NamedTuple):
     # last keyframe. The OUTPUT pose is finite either way; this flags that
     # recovery fired so logs/bench can surface it.
     pose_ok: jnp.ndarray = True
+
+
+def effective_weights(cfg: EstimatorConfig, table: FeatureTable):
+    """Per-slot observation weights: birth score discount, optionally
+    forgiven with age (see EstimatorConfig.obs_weight_age_ramp)."""
+    w = table.w
+    if cfg.obs_weight_age_ramp > 0.0:
+        w = 1.0 - (1.0 - w) * jnp.exp(
+            -cfg.obs_weight_age_ramp * table.age.astype(w.dtype))
+    return w
 
 
 def _undistort_table(cfg: EstimatorConfig, rig: CameraRig, table: FeatureTable):
@@ -300,7 +318,8 @@ def _build_stages(cfg: EstimatorConfig):
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
                                     obs_cur, pnp_mask, cfg.pnp,
                                     T_W_B_prior=state.T_W_B,
-                                    obs_weight=(table.w if cfg.use_obs_weights
+                                    obs_weight=(effective_weights(cfg, table)
+                                                if cfg.use_obs_weights
                                                 else None))
             return res.T_W_B, res.success
 
@@ -368,7 +387,7 @@ def _build_stages(cfg: EstimatorConfig):
             obs_w = obs_w.at[ins].set(obs_cur)
             obs_m = obs_m.at[ins].set(obs_cur_mask)
             obs_f = obs_f.at[ins].set(table.fid)
-            obs_wt = obs_wt.at[ins].set(table.w)
+            obs_wt = obs_wt.at[ins].set(effective_weights(cfg, table))
             kf_count = jnp.minimum(state.kf_count + 1, W)
 
             # BA once >= 2 keyframes exist (or, for reference parity, only

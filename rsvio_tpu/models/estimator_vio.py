@@ -110,6 +110,9 @@ class VIOEstimatorState(NamedTuple):
     obs: jnp.ndarray
     obs_mask: jnp.ndarray
     obs_fid: jnp.ndarray
+    # Per-row observation weights at keyframe insertion (FeatureTable.w;
+    # consumed when base.use_obs_weights)
+    obs_w: jnp.ndarray        # (W,N)
     # IMU preintegration per window interval (W-1 leading dim) + validity
     kf_preint: Preintegrated
     kf_preint_valid: jnp.ndarray  # (W-1,)
@@ -154,6 +157,7 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
         obs=jnp.zeros((W, 2, N, 2), dtype=dtype),
         obs_mask=jnp.zeros((W, 2, N), dtype=bool),
         obs_fid=jnp.full((W, N), -1, jnp.int32),
+        obs_w=jnp.ones((W, N), dtype=dtype),
         kf_preint=kf_pre,
         kf_preint_valid=jnp.zeros((W - 1,), dtype=bool),
         buf_gyro=jnp.zeros((cfg.interval_buf, 3), dtype=dtype),
@@ -331,6 +335,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
             obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
             obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+            obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
             # interval i joins KF i and i+1: re-preintegrate the buffered
             # samples at the CURRENT bias estimate (exact — avoids the
             # first-order error of chaining per-frame preintegrations) and
@@ -371,6 +376,8 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                                                   obs_w, mask_b)
                 lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
 
+            ba_w = obs_wt if b.use_obs_weights else None
+
             def run_ba(_):
                 st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg, ba=kf_ba_)
                 if b.use_marginalization:
@@ -379,11 +386,11 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     res, new_prior = vio_ba.solve_vio_ba_marginalized(
                         st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
                         kf_pre, kf_pv, state.marg_prior, kf_count >= W,
-                        cfg.vio)
+                        cfg.vio, obs_weight=ba_w)
                 else:
                     res = vio_ba.solve_vio_ba(
                         st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        kf_pre, kf_pv, cfg.vio)
+                        kf_pre, kf_pv, cfg.vio, obs_weight=ba_w)
                     new_prior = state.marg_prior
                 return (res.state.T_W_B, res.state.vel, res.state.bg,
                         res.state.ba, res.landmarks, res.success,
@@ -403,7 +410,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                 lm_fid = jnp.where(bad, -1, lm_fid)
             newest = jnp.minimum(kf_count, W) - 1
             return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-                    kf_pre, kf_pv, lm, lm_fid,
+                    obs_wt, kf_pre, kf_pv, lm, lm_fid,
                     kf_T[newest], kf_v[newest], kf_bg[newest], kf_ba_[newest],
                     kf_T[newest], ba_ok, ba_it, ba_cost, new_prior,
                     jnp.asarray(True))  # reset running preint
@@ -412,14 +419,15 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             (table, T_cur, v_cur, lm, lm_fid) = operand
             return (state.kf_T_W_B, state.kf_vel, state.kf_bg, state.kf_ba,
                     state.kf_count, state.obs, state.obs_mask, state.obs_fid,
+                    state.obs_w,
                     state.kf_preint, state.kf_preint_valid, lm, lm_fid,
                     T_cur, v_cur, state.bg, state.ba,
                     state.last_kf_T_W_B, jnp.asarray(False),
                     jnp.asarray(0, jnp.int32), jnp.asarray(0.0, T_cur.dtype),
                     state.marg_prior, jnp.asarray(False))
 
-        (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, kf_pre,
-         kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
+        (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, obs_wt,
+         kf_pre, kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
          ba_ok, ba_it, ba_cost, marg_prior, reset_run) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, v_pred, state.lm, state.lm_fid))
@@ -431,6 +439,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             table=table, pyr0=pyr0, pyr1=pyr1,
             kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
             kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+            obs_w=obs_wt,
             kf_preint=kf_pre, kf_preint_valid=kf_pv,
             buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
             buf_count=buf_count_out,

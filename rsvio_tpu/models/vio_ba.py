@@ -202,7 +202,8 @@ def _visual_linearize(T_B_W, T_C_B, landmarks, obs, mask, delta):
 @partial(jax.jit, static_argnames=("cfg", "fix_first"))
 def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
                  preint: Preintegrated, preint_valid,
-                 cfg: VIOBAConfig = VIOBAConfig(), fix_first: bool = True):
+                 cfg: VIOBAConfig = VIOBAConfig(), fix_first: bool = True,
+                 obs_weight=None):
     """Joint visual-inertial window optimization.
 
     Args:
@@ -246,6 +247,10 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         materializing (W,L,15,3) blocks)."""
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         lin = _visual_linearize(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        if obs_weight is not None:
+            # Birth-score observation weighting (see ba.apply_obs_weights);
+            # IMU factors are never weighted.
+            lin = ba_mod.apply_obs_weights(lin, obs_weight)
         H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
 
         H_ss = jnp.zeros((W, W, D, D), dtype=dtype)
@@ -422,7 +427,8 @@ from .marginalization import MargPrior, marginalize_oldest, prior_terms  # noqa:
 
 def build_eviction_prior(st_out: VIOState, lms_out, T_C_B, obs0, mask0,
                          preint0, preint_valid0, sqrt_info0,
-                         prior: MargPrior, cfg: VIOBAConfig) -> MargPrior:
+                         prior: MargPrior, cfg: VIOBAConfig,
+                         obs_w0=None) -> MargPrior:
     """Next-prior construction from the EVICTION system — shared VERBATIM by
     the single-device and distributed marginalized VIO solvers (any drift
     between the two breaks distributed parity).
@@ -469,6 +475,12 @@ def build_eviction_prior(st_out: VIOState, lms_out, T_C_B, obs0, mask0,
                 Tcb, T_B_W0, p, o, m, cfg.huber_delta),
             in_axes=(None, 0, 0, 0)), in_axes=(0, None, 0, 0))(
             T_C_B, lms_out, obs0, mask0)
+        if obs_w0 is not None:
+            # Same birth-score weighting as the window solve, so the
+            # marginal never counts weak observations at full strength.
+            sw = obs_w0[None, :, None]
+            lin0 = lin0._replace(r=lin0.r * sw,
+                                 J_pose=lin0.J_pose * sw[..., None])
         Jv = lin0.J_pose.reshape(-1, 6)
         rv = lin0.r.reshape(-1)
         H_ev = H_ev.at[:6, :6].add(Jv.T @ Jv)
@@ -495,7 +507,8 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
                               obs_mask, lm_valid,
                               preint: Preintegrated, preint_valid,
                               prior: MargPrior, will_evict,
-                              cfg: VIOBAConfig = VIOBAConfig()):
+                              cfg: VIOBAConfig = VIOBAConfig(),
+                              obs_weight=None):
     """solve_vio_ba with a 15-dim-state pose/velocity/bias prior + rollout of
     the next prior.
 
@@ -549,6 +562,10 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         the prior injected on the (W·15) state block)."""
         T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
         lin = _visual_linearize(T_B_W, T_C_B, lms, obs, mask, cfg.huber_delta)
+        if obs_weight is not None:
+            # Birth-score observation weighting (see ba.apply_obs_weights);
+            # IMU factors are never weighted.
+            lin = ba_mod.apply_obs_weights(lin, obs_weight)
         H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
 
         # Visual pose blocks embedded in the 15-dim layout; the landmark
@@ -719,7 +736,8 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     new_prior = build_eviction_prior(
         st_out, lms_out, T_C_B, obs[0], mask_f[0],
         jax.tree.map(lambda x: x[0], preint), preint_valid[0],
-        sqrt_infos[0], prior, cfg)
+        sqrt_infos[0], prior, cfg,
+        obs_w0=None if obs_weight is None else obs_weight[0])
     do_new = will_evict & success
     out_prior = jax.tree.map(
         lambda new, old: jnp.where(do_new, new, old), new_prior, prior)

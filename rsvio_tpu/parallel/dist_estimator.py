@@ -284,6 +284,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
         obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
         obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
         obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+        obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
 
         buf_mask = jnp.arange(B_cap) < buf_count
         run_pre = imu_mod.preintegrate(
@@ -317,7 +318,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                                               obs_w, mask_b)
             lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
         return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-                kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid)
+                obs_wt, kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid)
 
     @jax.jit
     def j_apply(kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid, kf_count,
@@ -348,10 +349,12 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
 
         if bool(is_kf):    # host-level branch (see module docstring)
             (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-             kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid) = j_kf_pre(
+             obs_wt, kf_pre, kf_pv, lm, lm_fid, eff_mask,
+             lm_valid) = j_kf_pre(
                 state, rig, table, obs_cur, obs_cur_mask,
                 buf_gyro, buf_accel, buf_dts, buf_count, T_cur, v_pred)
             kfc = int(kf_count)
+            ba_w = obs_wt if b.use_obs_weights else None
             full_now = (kfc >= W) if not b.track_before_full else (kfc >= 2)
             if full_now:
                 st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg,
@@ -361,11 +364,11 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                         dist_vio_ba.solve_vio_ba_marginalized_distributed(
                             mesh, st, rig.T_C_B, lm, obs_w, eff_mask,
                             lm_valid, kf_pre, kf_pv, state.marg_prior,
-                            jnp.asarray(kfc >= W), vcfg.vio)
+                            jnp.asarray(kfc >= W), vcfg.vio, obs_weight=ba_w)
                 else:
                     res = dist_vio_ba.solve_vio_ba_distributed(
                         mesh, st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        kf_pre, kf_pv, vcfg.vio)
+                        kf_pre, kf_pv, vcfg.vio, obs_weight=ba_w)
                 ba_ok, ba_it, ba_cost = (res.success, res.iterations,
                                          res.final_cost)
                 kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid = j_apply(
@@ -377,6 +380,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                 table=table, pyr0=pyr0, pyr1=pyr1,
                 kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
                 kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
+                obs_w=obs_wt,
                 kf_preint=kf_pre, kf_preint_valid=kf_pv,
                 buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
                 buf_count=jnp.zeros_like(buf_count),  # keyframe resets buffer

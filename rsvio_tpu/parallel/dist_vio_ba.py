@@ -29,7 +29,7 @@ from .mesh import LANDMARK_AXIS
 def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                              obs_mask, lm_valid, preint, preint_valid,
                              cfg: VIOBAConfig = VIOBAConfig(),
-                             fix_first: bool = True):
+                             fix_first: bool = True, obs_weight=None):
     """Landmark-sharded solve_vio_ba over `mesh` (1-D, axis LANDMARK_AXIS).
 
     Same contract as models.vio_ba.solve_vio_ba; the landmark count must
@@ -40,15 +40,19 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
     dtype = state.T_W_B.dtype
     state_spec = VIOState(T_W_B=P(), vel=P(), bg=P(), ba=P())
     pre_spec = jax.tree.map(lambda _: P(), preint)
+    if obs_weight is None:
+        obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
-                  P(None, None, axis), P(axis), pre_spec, P()),
+                  P(None, None, axis), P(axis), pre_spec, P(),
+                  P(None, axis)),
         out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
-    def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid):
+    def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
+               obs_w):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -80,6 +84,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
+            lin = ba_mod.apply_obs_weights(lin, obs_w)
             H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
             H_pp6, g_p6, vis = jax.lax.psum(
                 (H_pp6, g_p6, jnp.sum(lin.cost)), axis)
@@ -257,7 +262,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
 
     (st_out, lms_out, success, status, cost0, cost, it,
      metrics) = jax.jit(_solve)(state, T_C_B, landmarks, obs, obs_mask,
-                                lm_valid, preint, preint_valid)
+                                lm_valid, preint, preint_valid, obs_weight)
     return vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                               success=success, status=status,
                               initial_cost=cost0, final_cost=cost,
@@ -268,7 +273,8 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
                                           landmarks, obs, obs_mask, lm_valid,
                                           preint, preint_valid,
                                           prior, will_evict,
-                                          cfg: VIOBAConfig = VIOBAConfig()):
+                                          cfg: VIOBAConfig = VIOBAConfig(),
+                                          obs_weight=None):
     """Landmark-sharded, prior-augmented VIO BA + next-prior rollout.
 
     Distributed counterpart of models.vio_ba.solve_vio_ba_marginalized (same
@@ -290,16 +296,20 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
     def _extra(st: VIOState):
         return jnp.concatenate([st.vel, st.bg, st.ba], axis=1)  # (W,9)
 
+    if obs_weight is None:
+        obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
+
     @partial(
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
-                  P(None, None, axis), P(axis), pre_spec, P(), P()),
+                  P(None, None, axis), P(axis), pre_spec, P(), P(),
+                  P(None, axis)),
         out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(),
                    P(None, None, axis)),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
-               prior):
+               prior, obs_w):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -328,6 +338,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             T_B_W = jax.vmap(lie.se3_inverse)(st.T_W_B)
             lin = ba_mod._linearize_all(T_B_W, T_C_B, lms, obs, mask,
                                         cfg.huber_delta)
+            lin = ba_mod.apply_obs_weights(lin, obs_w)
             H_pp6, H_ll, H_pl6, g_p6, g_l = ba_mod.build_normal_equations(lin)
             H_pp6, g_p6, vis = jax.lax.psum(
                 (H_pp6, g_p6, jnp.sum(lin.cost)), axis)
@@ -520,10 +531,11 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
 
     @partial(jax.jit)
     def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
-             preint_valid, prior, will_evict):
+             preint_valid, prior, will_evict, obs_weight):
         (st_out, lms_out, success, status, cost0, cost, it,
          metrics, mask_f) = _solve(state, T_C_B, landmarks, obs, obs_mask,
-                                   lm_valid, preint, preint_valid, prior)
+                                   lm_valid, preint, preint_valid, prior,
+                                   obs_weight)
         # ---- next prior: the shared EVICTION-system construction
         # (models.vio_ba.build_eviction_prior — kept verbatim-identical to
         # the single-device solver so distributed parity cannot drift).
@@ -535,7 +547,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
         new_prior = vio_ba.build_eviction_prior(
             st_out, lms_out, T_C_B, obs[0], mask_f[0],
             jax.tree.map(lambda x: x[0], preint), preint_valid[0],
-            sqrt_info0, prior, cfg)
+            sqrt_info0, prior, cfg, obs_w0=obs_weight[0])
         do_new = will_evict & success
         out_prior = jax.tree.map(
             lambda new, old: jnp.where(do_new, new, old), new_prior, prior)
@@ -546,7 +558,8 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
 
     (st_out, lms_out, success, status, cost0, cost, it, out_prior,
      metrics) = _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
-                     preint_valid, prior, jnp.asarray(will_evict))
+                     preint_valid, prior, jnp.asarray(will_evict),
+                     obs_weight)
     result = vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                                 success=success, status=status,
                                 initial_cost=cost0, final_cost=cost,

@@ -231,3 +231,45 @@ def test_vio_metrics_recorded():
         empty_prior(st0.T_W_B.shape[0], 15), jnp.asarray(False))
     m2 = np.asarray(res2.metrics)
     assert int(res2.iterations) >= 1 and np.any(m2[:int(res2.iterations), 0] > 0)
+
+
+class TestVIOObsWeights:
+    def test_unit_weights_match_unweighted(self):
+        """Round-4 score weighting in the VIO solver: all-ones weights are
+        bitwise-identical to the unweighted solve (the YAML knob must never
+        be silently different in --vio mode)."""
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=9)
+        W_, L = mask.shape[0], mask.shape[2]
+        ones = jnp.ones((W_, L), jnp.float32)
+        r0 = vio_ba.solve_vio_ba(st, T_C_B, lms, obs, mask, lm_valid, pre, pv)
+        r1 = vio_ba.solve_vio_ba(st, T_C_B, lms, obs, mask, lm_valid, pre, pv,
+                                 obs_weight=ones)
+        assert bool(r0.success) and bool(r1.success)
+        np.testing.assert_array_equal(np.asarray(r0.state.T_W_B),
+                                      np.asarray(r1.state.T_W_B))
+        np.testing.assert_array_equal(np.asarray(r0.landmarks),
+                                      np.asarray(r1.landmarks))
+
+    def test_downweighting_discounts_noisy_observations(self):
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=10, pose_noise=0.04, lm_noise=0.08)
+        rng = np.random.default_rng(10)
+        W_, L = mask.shape[0], mask.shape[2]
+        noisy = rng.uniform(size=L) < 0.5
+        obs_n = np.asarray(obs).copy()
+        obs_n[:, :, noisy] += rng.normal(scale=8e-3,
+                                         size=obs_n[:, :, noisy].shape)
+        obs_n = jnp.asarray(obs_n)
+        w = jnp.asarray(np.where(noisy, 0.2, 1.0)[None, :].repeat(W_, 0),
+                        jnp.float32)
+        r_eq = vio_ba.solve_vio_ba(st, T_C_B, lms, obs_n, mask, lm_valid,
+                                   pre, pv)
+        r_w = vio_ba.solve_vio_ba(st, T_C_B, lms, obs_n, mask, lm_valid,
+                                  pre, pv, obs_weight=w)
+        assert bool(r_eq.success) and bool(r_w.success)
+        err_eq = float(jnp.abs(r_eq.state.T_W_B[:, :3, 3]
+                               - T_gt[:, :3, 3]).max())
+        err_w = float(jnp.abs(r_w.state.T_W_B[:, :3, 3]
+                              - T_gt[:, :3, 3]).max())
+        assert err_w < err_eq, (err_w, err_eq)
