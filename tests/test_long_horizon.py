@@ -78,10 +78,17 @@ def _rig_and_cfg(**overrides):
 
 
 @pytest.mark.slow
-def test_default_config_long_run():
-    """130 frames of the bench pan scene: finite, accurate, BA alive."""
+@pytest.mark.parametrize("overrides", [
+    {},                                   # default (reference-parity) config
+    {"use_marginalization": True},        # --marginalization ships in YAML
+    {"use_obs_weights": True},            # score_weighted_obs ships in YAML
+], ids=["default", "marginalized", "weighted"])
+def test_default_config_long_run(overrides):
+    """130 frames of the bench pan scene: finite, accurate, BA alive — for
+    every shipped configuration class (the round-3 divergence shipped
+    precisely because no long-horizon run guarded the default path)."""
     render = _make_scene()
-    rig, cfg = _rig_and_cfg()
+    rig, cfg = _rig_and_cfg(**overrides)
     step = est.make_estimator_step(cfg)
     state = est.init_state(cfg)
     n_frames = 130
