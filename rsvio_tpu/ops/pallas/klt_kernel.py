@@ -652,7 +652,7 @@ def track_level_translation(img_src, img_dst, pos_src, pos_dst0, alive,
 def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
                       bidir_thresh_sq: float, dims, inv_ratio: float,
                       with_rotation: bool, residual_mode: str,
-                      lm_lambda: float, *refs):
+                      lm_lambda: float, coarse_tolerant: bool, *refs):
     """FULLY-FUSED bidirectional coarse-to-fine tracking for one feature
     block: every pyramid level of the forward track, every level of the
     backward verification track, and the return-distance gate run inside a
@@ -698,7 +698,12 @@ def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
             do = lvl_ok > 0
             cur_ref[:] = jnp.where(do[:, None], pos_o * (1.0 / s), cur_ref[:])
             th = jnp.where(do, th_o, th)
-            ok_acc = ok_acc * lvl_ok
+            # Strict: any level failure kills the track (reference parity).
+            # Tolerant: only the finest level is load-bearing — a border
+            # feature unusable at coarse scales still tracks (see
+            # KLTConfig.coarse_level_policy).
+            if (not coarse_tolerant) or lvl == 0:
+                ok_acc = ok_acc * lvl_ok
         return th, ok_acc
 
     # ---- forward ----
@@ -727,7 +732,8 @@ def _klt_bidir_kernel(max_iterations: int, conv_thresh_sq: float,
 @partial(jax.jit, static_argnames=("max_iterations", "conv_thresh_sq",
                                    "bidir_thresh_sq", "with_rotation",
                                    "residual_mode", "lm_lambda",
-                                   "pyramid_ratio", "interpret"))
+                                   "pyramid_ratio", "interpret",
+                                   "coarse_tolerant"))
 def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
                                 max_iterations: int = 20,
                                 conv_thresh_sq: float = 1e-4,
@@ -737,7 +743,8 @@ def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
                                 lm_lambda: float = 0.0,
                                 pyramid_ratio: float = 0.5,
                                 interpret: bool = False,
-                                cam=None):
+                                cam=None,
+                                coarse_tolerant: bool = False):
     """One-launch bidirectional coarse-to-fine KLT over a whole pyramid.
 
     Args:
@@ -771,7 +778,8 @@ def track_bidirectional_pyramid(pyr_src, pyr_dst, pos_src, alive,
     E = _win_geom(with_rotation)[0]
     kernel = partial(_klt_bidir_kernel, max_iterations, conv_thresh_sq,
                      bidir_thresh_sq, dims, 1.0 / pyramid_ratio,
-                     with_rotation, residual_mode, lm_lambda)
+                     with_rotation, residual_mode, lm_lambda,
+                     coarse_tolerant)
     params = _compiler_params(with_rotation)
     # Pin coarse level images in VMEM (greedy from the coarsest, within a
     # budget that leaves room for scratch + the finest level's working set;

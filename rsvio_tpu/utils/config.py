@@ -113,6 +113,11 @@ class TrackerConfig:
     score_weight_floor: float = 0.05
     score_weight_power: float = 1.0
     score_weight_ref: float = 10.0
+    # Coarse-to-fine failure policy: "tolerant" (default — failed coarse
+    # levels are skipped so border features still track; measured 2-200x
+    # ATE wins on the matrix) or "strict" (reference parity: any level
+    # failure kills the track, ref feature_tracker.rs:305-331).
+    coarse_level_policy: str = "tolerant"
 
 
 @dataclasses.dataclass
@@ -268,6 +273,7 @@ def make_estimator_config(cfg: Config):
         lm_lambda=cfg.tracker.lm_lambda,
         interpolation=cfg.tracker.interpolation,
         backend=cfg.tracker.backend,
+        coarse_level_policy=cfg.tracker.coarse_level_policy,
     )
     fe_cfg = FrontendConfig(
         capacity=cfg.tracker.feature_capacity,

@@ -64,6 +64,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            motion_prior: float = 0.0,
                            pnp_cv_predict: bool = False,
                            use_obs_weights: bool = True,
+                           coarse_level_policy: str = None,
                            backend: str = "auto") -> RunResult:
     """Drive the (V)IO estimator over a generate_sequence() output.
 
@@ -104,7 +105,9 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
             relaxed_min_score=float(
                 os.environ.get("RSVIO_RELAX_SCORE", "1.0")),
             klt=KLTConfig(levels=levels, max_iterations=max_iterations,
-                          backend=backend)),
+                          backend=backend,
+                          **({} if coarse_level_policy is None else
+                             dict(coarse_level_policy=coarse_level_policy)))),
         window_size=window,
         translation_threshold=translation_threshold,
         rotation_threshold=rotation_threshold,

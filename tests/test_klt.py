@@ -458,3 +458,63 @@ class TestBicubicInterpolation:
         cfg = CFG._replace(interpolation="bicubic", backend="pallas")
         with pytest.raises(ValueError):
             klt.resolve_backend(cfg)
+
+
+class TestCoarseLevelPolicy:
+    """Round-4 border-tolerant coarse-to-fine (KLTConfig.coarse_level_policy):
+    a feature near the image border is unusable at coarse pyramid levels
+    (its coordinates shrink below the patch footprint) — strict mode kills
+    the whole track (reference parity, ref feature_tracker.rs:305-331);
+    tolerant mode skips the failed coarse levels and tracks it at the fine
+    levels, with the bidirectional gate still arbitrating."""
+
+    def _border_setup(self, backend):
+        img0 = textured_image(seed=4)
+        img1 = shift_image(img0, 2.0, 1.0)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), 5)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), 5)
+        # x ~ 14 px: level 4 coordinate 0.9 px -> patch out of bounds there.
+        pts = jnp.asarray([[14.0, 60.0], [15.0, 40.0], [80.0, 60.0]],
+                          jnp.float32)
+        alive = jnp.ones(3, bool)
+        return pyr0, pyr1, pts, alive
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_border_feature_tracks_in_tolerant_mode(self, backend):
+        pyr0, pyr1, pts, alive = self._border_setup(backend)
+        strict = CFG._replace(levels=5, backend=backend,
+                              coarse_level_policy="strict")
+        tol = strict._replace(coarse_level_policy="tolerant")
+        _, _, ok_s = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                    strict)
+        pos_t, _, ok_t = klt.track_points_bidirectional(pyr0, pyr1, pts,
+                                                        alive, tol)
+        # Strict kills the border features; tolerant tracks them accurately.
+        assert not bool(ok_s[0]) and not bool(ok_s[1])
+        assert bool(ok_t[0]) and bool(ok_t[1])
+        err = np.abs(np.asarray(pos_t[:2]) - (np.asarray(pts[:2])
+                                              + np.array([2.0, 1.0])))
+        assert err.max() < 0.35, err
+        # The interior feature behaves identically in both modes.
+        assert bool(ok_s[2]) and bool(ok_t[2])
+
+    def test_interior_features_unchanged(self):
+        """Tolerant mode must be a no-op for interior features (all levels
+        in bounds -> identical mask and positions)."""
+        img0 = textured_image(seed=5)
+        img1 = shift_image(img0, 1.5, -0.5)
+        pyr0 = pyramid.build_pyramid(jnp.asarray(img0), CFG.levels)
+        pyr1 = pyramid.build_pyramid(jnp.asarray(img1), CFG.levels)
+        pts = make_points()
+        alive = jnp.ones(pts.shape[0], bool)
+        strict = CFG._replace(coarse_level_policy="strict")
+        tol = CFG._replace(coarse_level_policy="tolerant")
+        p_s, _, ok_s = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                      strict)
+        p_t, _, ok_t = klt.track_points_bidirectional(pyr0, pyr1, pts, alive,
+                                                      tol)
+        interior = np.asarray(ok_s)
+        np.testing.assert_array_equal(np.asarray(ok_t)[interior],
+                                      interior[interior])
+        np.testing.assert_allclose(np.asarray(p_t)[interior],
+                                   np.asarray(p_s)[interior], atol=1e-5)
