@@ -31,9 +31,9 @@ CONFIGS = [
     # Dynamic-scene profile: heavy PnP motion prior (anchored at the
     # measured previous pose) rides through coherent moving occluders.
     # COMMITTED EVIDENCE (round-4 full-res matrix, accuracy_matrix.json):
-    # occlusion_6dof drift 36.0% (vo_fifo) -> 9.37% / ATE 1.01 -> 0.47 m;
-    # cost on clean scenes is real lag (depth_6dof drift 1.4% -> 15.6%,
-    # photometric ATE 0.06 -> 0.38 m) — a deliberate robustness/accuracy
+    # occlusion_6dof drift 46.8% (vo_fifo) -> 7.50% / ATE 1.06 -> 0.43 m;
+    # cost on clean scenes is real lag (depth_6dof ATE 0.017 -> 0.545 m,
+    # photometric 0.022 -> 0.38 m) — a deliberate robustness/accuracy
     # tradeoff. Shipped as config/euroc_vo_dynamic.yaml.
     # NOTE the strict coarse-level policy: border-tolerant tracking (the
     # round-4 default) floods dynamic scenes with weakly-verified tracks on
