@@ -97,7 +97,9 @@ class EstimatorConfig(NamedTuple):
     # weak-texture matrix scene (easy_plane ATE 0.132 -> 0.165-0.168 at
     # ramps 0.05/0.15): survival of the bidirectional gate does not make a
     # low-texture patch's localization any more precise — the discount
-    # must be permanent. 0 = off (default). Only read when use_obs_weights.
+    # must be permanent. 0 = off (default). Only read when use_obs_weights,
+    # and only by the VO estimator (the VIO estimators use the permanent
+    # birth weight directly — by measurement the ramp should stay off).
     obs_weight_age_ramp: float = 0.0
 
 

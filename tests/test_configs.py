@@ -171,3 +171,24 @@ solver:
     cfg = load_config(str(p))
     ecfg, _ = make_estimator_config(cfg)
     assert ecfg.pnp_cv_predict
+
+
+def test_coarse_level_policy_yaml_roundtrip(tmp_path):
+    """Round-4 knob: tracker.coarse_level_policy reaches the KLT config
+    (tolerant default; the dynamic profile ships strict)."""
+    p = tmp_path / "pol.yaml"
+    p.write_text("""
+tracker:
+  coarse_level_policy: strict
+""")
+    cfg = load_config(str(p))
+    ecfg, _ = make_estimator_config(cfg)
+    assert ecfg.frontend.klt.coarse_level_policy == "strict"
+    # Defaults are tolerant...
+    ecfg_d, _ = make_estimator_config(load_config(
+        os.path.join(CONFIG_DIR, "euroc_vio.yaml")))
+    assert ecfg_d.frontend.klt.coarse_level_policy == "tolerant"
+    # ...except the dynamic profile, which pins strict (occluder defense).
+    ecfg_dyn, _ = make_estimator_config(load_config(
+        os.path.join(CONFIG_DIR, "euroc_vo_dynamic.yaml")))
+    assert ecfg_dyn.frontend.klt.coarse_level_policy == "strict"
