@@ -149,7 +149,8 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                                 cost_tol=cfg.solver.cost_tol,
                                 param_tol=cfg.solver.param_tol,
                                 chi2_gate=cfg.solver.chi2_gate,
-                                chi2_gate_iter=cfg.solver.chi2_gate_iter))
+                                chi2_gate_iter=cfg.solver.chi2_gate_iter,
+                                min_lm_span=cfg.solver.min_lm_span))
             step = ev.make_vio_estimator_step(vcfg)
             # Gravity-aligned bootstrap from the quasi-static head of the
             # IMU stream (first ~0.5 s): initial attitude + gyro bias.

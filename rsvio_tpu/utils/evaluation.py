@@ -139,7 +139,9 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         from ..models import vio_ba
         cfg = ev.VIOEstimatorConfig(
             base=base, imu_buf=imu_buf,
-            vio=vio_ba.VIOBAConfig(chi2_gate=chi2))
+            vio=vio_ba.VIOBAConfig(
+                chi2_gate=chi2,
+                min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))))
         step = ev.make_vio_estimator_step(cfg)
         if init_gyro is not None:
             state = ev.initialize_vio_state(cfg, init_gyro, init_accel)
