@@ -78,6 +78,9 @@ class TrackerConfig:
     # -1 = auto (feature_capacity // 2); 0 = off (reference-parity).
     relax_floor_below: int = -1
     relaxed_min_score: float = 1.0
+    # Spaced candidates accepted per cell in starvation mode (1 = the
+    # reference's single-winner cell semantics even when relaxed).
+    relax_max_per_cell: int = 3
     # Track in-plane patch rotation (3-dof SE2 like the reference's Affine2
     # track states, ref feature_tracker.rs:91-100; XLA backend = exact
     # arbitrary-angle warp, Pallas kernel = first-order rotation warp).
@@ -285,6 +288,7 @@ def make_estimator_config(cfg: Config):
                            if cfg.tracker.relax_floor_below < 0
                            else cfg.tracker.relax_floor_below),
         relaxed_min_score=cfg.tracker.relaxed_min_score,
+        relax_max_per_cell=cfg.tracker.relax_max_per_cell,
         klt=klt_cfg,
         detect_mode=cfg.tracker.detect_mode,
         nms_radius=cfg.tracker.nms_radius,
