@@ -91,6 +91,13 @@ class EstimatorConfig(NamedTuple):
     # Measured (easy_plane 752x480, 160 frames): ATE 0.14 -> see NOTES
     # round-4. Off = reference-parity equal weighting.
     use_obs_weights: bool = False
+    # When the PnP RANSAC gate is on (pnp.ransac_hypotheses > 0), kill the
+    # tracks whose map observation lands OUTSIDE the winning consensus set:
+    # their landmark is invalidated and the slot frees for re-detection.
+    # This is the feedback path that excises a moving occluder's features
+    # from the window — without it the gate protects PnP but BA still
+    # ingests the occluder observations.
+    pnp_ransac_kill: bool = True
     # Age ramp on the birth discount: recover the effective weight as
     #   w_eff = 1 - (1 - w_birth) * exp(-age_ramp * age)
     # (a surviving track "earns back" trust). MEASURED HARMFUL on the
@@ -295,6 +302,27 @@ def _build_stages(cfg: EstimatorConfig):
         lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
         pnp_mask = obs_cur_mask & lm_ok[None, :]
 
+        use_ransac = cfg.pnp.ransac_hypotheses > 0
+        if use_ransac:
+            # Consensus pre-gate: PnP sees only the winning rigid-motion
+            # group (see pnp.ransac_pnp_gate). Key is derived from the frame
+            # id — deterministic replay, no host RNG in the jitted step.
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0x5A11AC), state.frame_id)
+
+            def run_gate(_):
+                return pnp_mod.ransac_pnp_gate(
+                    state.T_W_B, rig.T_C_B, state.lm, obs_cur, pnp_mask,
+                    key, cfg.pnp)
+
+            def skip_gate(_):
+                return pnp_mask, jnp.asarray(False), jnp.asarray(0, jnp.int32)
+
+            inl_mask, ransac_ok, _ = jax.lax.cond(
+                pnp_ready, run_gate, skip_gate, None)
+        else:
+            inl_mask, ransac_ok = pnp_mask, jnp.asarray(False)
+
         if cfg.pnp_cv_predict:
             # OPT-IN constant-velocity prediction: T_pred = T * (T_prev^-1 T).
             # Guarded: a BA jump or bootstrap transient in the per-frame
@@ -318,7 +346,7 @@ def _build_stages(cfg: EstimatorConfig):
             # anchoring at an extrapolated prediction closes a vision-only
             # feedback loop (measured runaway; see solve_pnp docstring).
             res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
-                                    obs_cur, pnp_mask, cfg.pnp,
+                                    obs_cur, inl_mask, cfg.pnp,
                                     T_W_B_prior=state.T_W_B,
                                     obs_weight=(effective_weights(cfg, table)
                                                 if cfg.use_obs_weights
@@ -359,12 +387,31 @@ def _build_stages(cfg: EstimatorConfig):
             window_full,
             (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
             True)  # every frame is a keyframe until the window fills
-        return T_cur, pnp_success & pose_ok, is_kf, pose_ok
+
+        # RANSAC outlier excision (see EstimatorConfig.pnp_ransac_kill):
+        # tracks whose map observation fell outside the winning consensus
+        # set are killed — only when the gate engaged AND the polish solve
+        # succeeded (a failed solve says nothing about the observations).
+        if use_ransac and cfg.pnp_ransac_kill:
+            kill = (jnp.any(pnp_mask & ~inl_mask, axis=0)
+                    & ransac_ok & pnp_success & pose_ok)
+        else:
+            kill = jnp.zeros(table.alive.shape, dtype=bool)
+        return T_cur, pnp_success & pose_ok, is_kf, pose_ok, kill
 
     def stage_opt(state: EstimatorState, rig: CameraRig, pyr0, pyr1, table,
                   fstats, obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf,
-                  pose_ok):
+                  pose_ok, kill):
         window_full = state.kf_count >= W
+
+        # Apply RANSAC outlier excision BEFORE the window insert: the killed
+        # slot's landmark invalidates, its current-frame observation never
+        # enters the window, and the slot frees for re-detection next frame.
+        # (Past-window observations die with the landmark: eff_mask in
+        # kf_branch requires a VALID landmark via lm_valid.)
+        table = table._replace(alive=table.alive & ~kill)
+        obs_cur_mask = obs_cur_mask & ~kill[None, :]
+        state = state._replace(lm_fid=jnp.where(kill, -1, state.lm_fid))
 
         # --- keyframe branch: triangulate, roll window, BA
         def kf_branch(operand):
@@ -500,10 +547,11 @@ def make_estimator_step(cfg: EstimatorConfig):
         pyr0, pyr1 = stage_frames(img0, img1)
         table, fstats, obs_cur, obs_cur_mask = stage_track(
             state, rig, pyr0, pyr1)
-        T_cur, pnp_success, is_kf, pose_ok = stage_motion(
+        T_cur, pnp_success, is_kf, pose_ok, kill = stage_motion(
             state, rig, table, obs_cur, obs_cur_mask)
         return stage_opt(state, rig, pyr0, pyr1, table, fstats, obs_cur,
-                         obs_cur_mask, T_cur, pnp_success, is_kf, pose_ok)
+                         obs_cur_mask, T_cur, pnp_success, is_kf, pose_ok,
+                         kill)
 
     return jax.jit(step)
 

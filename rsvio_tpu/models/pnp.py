@@ -59,6 +59,20 @@ class PnPConfig(NamedTuple):
     # the occluder group fight the prediction so the chi^2 gate can excise
     # it after the first iteration.
     motion_prior_weight: float = 0.0
+    # RANSAC consensus pre-gate (0 = off, reference-parity: the reference's
+    # only PnP defenses are Huber 2.0 + the bidirectional track gate,
+    # ref sliding_window.rs:540, feature_tracker.rs:280). When > 0, this
+    # many pose hypotheses are solved in parallel (vmap) from minimal
+    # observation samples, every observation votes for every hypothesis,
+    # and the LM solve runs on the best hypothesis's consensus set —
+    # rejecting COHERENT outlier groups (moving rigid occluders) that
+    # per-residual defenses (Huber, chi2) cannot separate from the static
+    # world. See ransac_pnp_gate.
+    ransac_hypotheses: int = 0
+    ransac_sample: int = 4          # observations per minimal solve
+    ransac_gn_iters: int = 4        # GN iterations per hypothesis
+    ransac_threshold: float = 8e-3  # inlier residual norm (normalized units)
+    ransac_min_inliers: int = 12    # consensus floor; below -> gate disengages
 
 
 class PnPResult(NamedTuple):
@@ -210,3 +224,97 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
     T_W_B = jnp.where(success, lie.se3_inverse(T_B_W), T_W_B_init)
     return PnPResult(T_W_B=T_W_B, success=success, status=status,
                      final_cost=cost, iterations=it, metrics=metrics)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ransac_pnp_gate(T_W_B_init, T_C_B, landmarks, obs, mask, key,
+                    cfg: PnPConfig):
+    """Batched RANSAC consensus gate for pose-only tracking.
+
+    Why: per-residual robustness (Huber δ=2.0, ref sliding_window.rs:540;
+    the chi² gate) cannot reject a COHERENT outlier group — features born on
+    a moving rigid occluder agree with each other, so an M-estimator settles
+    on a compromise pose between the static world and the occluder. A
+    consensus vote over pose hypotheses separates the groups: only one rigid
+    motion can win, and with the static set in the majority it is the world.
+
+    TPU-first design: the classic sequential hypothesize-and-verify loop
+    becomes one batched computation — K minimal samples drawn in parallel
+    (Gumbel-top-S over the valid-observation mask gives S distinct valid
+    indices per hypothesis without host RNG), K damped-GN pose solves as one
+    vmap (each is a 6x6 dense solve — MXU-trivial), and the K x (2L)
+    verification residuals as one vmapped projection sweep. argmax picks the
+    winner; the caller runs the full LM polish on its consensus set
+    (LO-RANSAC structure). No dynamic shapes, no data-dependent trip counts.
+
+    Args:
+      T_W_B_init: (4,4) pose prediction seeding every hypothesis solve.
+      T_C_B: (2,4,4) stereo extrinsics.
+      landmarks: (L,3) map points by slot.
+      obs: (2,L,2) normalized observations.
+      mask: (2,L) observation validity (alive track with a valid landmark).
+      key: jax PRNG key (callers fold in the frame id for determinism).
+      cfg: PnPConfig with ransac_* fields (ransac_hypotheses must be > 0).
+
+    Returns (inlier_mask (2,L), ok (), best_count ()): when ok, inlier_mask
+    is the winning consensus set (a subset of mask); when the consensus
+    floor is not met the gate disengages and returns mask unchanged.
+    """
+    K = cfg.ransac_hypotheses
+    S = cfg.ransac_sample
+    L = landmarks.shape[0]
+    dtype = T_W_B_init.dtype
+    T_B_W0 = lie.se3_inverse(T_W_B_init)
+    flat_mask = mask.reshape(-1)                     # (2L,)
+    n_valid = jnp.sum(flat_mask)
+
+    # Gumbel-top-S: S distinct valid observation indices per hypothesis,
+    # uniformly over the valid set, fully vectorized.
+    g = jax.random.gumbel(key, (K, 2 * L), dtype=dtype)
+    scores = jnp.where(flat_mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, S)                # (K,S)
+    cam_i = idx // L
+    lm_i = idx % L
+
+    def solve_hypothesis(ci, li):
+        Tcb = T_C_B[ci]                              # (S,4,4)
+        p = landmarks[li]                            # (S,3)
+        o = obs[ci, li]                              # (S,2)
+        m = mask[ci, li]                             # (S,)
+
+        def body(_, T):
+            lin = jax.vmap(lambda a, b, c, d: linearize_projection(
+                a, T, b, c, d, cfg.huber_delta))(Tcb, p, o, m)
+            J = lin.J_pose.reshape(-1, 6)
+            r = lin.r.reshape(-1)
+            H = J.T @ J + 1e-4 * jnp.eye(6, dtype=dtype)
+            delta = -jnp.linalg.solve(H, J.T @ r)
+            ok_step = jnp.all(jnp.isfinite(delta))
+            return lie.se3_retract_split(T, jnp.where(ok_step, delta, 0.0))
+
+        return jax.lax.fori_loop(0, cfg.ransac_gn_iters, body, T_B_W0)
+
+    T_hyp = jax.vmap(solve_hypothesis)(cam_i, lm_i)  # (K,4,4)
+
+    def verify(T_B_W):
+        def res_sq(Tcb, p, o):
+            p_C = Tcb[:3, :3] @ (T_B_W[:3, :3] @ p + T_B_W[:3, 3]) + Tcb[:3, 3]
+            in_front = p_C[2] > 1e-6
+            proj = p_C[:2] / jnp.where(in_front, p_C[2], 1.0)
+            e = jnp.sum((proj - o) ** 2)
+            return jnp.where(in_front, e, jnp.inf)
+
+        f = jax.vmap(jax.vmap(res_sq, in_axes=(None, 0, 0)),
+                     in_axes=(0, None, 0))
+        r2 = f(T_C_B, landmarks, obs)                # (2,L)
+        finite = jnp.all(jnp.isfinite(T_B_W))
+        return mask & (r2 < cfg.ransac_threshold ** 2) & finite
+
+    inliers = jax.vmap(verify)(T_hyp)                # (K,2,L)
+    counts = jnp.sum(inliers, axis=(1, 2))           # (K,)
+    best = jnp.argmax(counts)
+    best_count = counts[best]
+    ok = (best_count >= cfg.ransac_min_inliers) & \
+        (n_valid >= cfg.ransac_min_inliers)
+    inlier_mask = jnp.where(ok, inliers[best], mask)
+    return inlier_mask, ok, best_count

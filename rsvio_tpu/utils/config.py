@@ -164,6 +164,18 @@ class SolverConfig:
     # Landmark maturity gate: landmarks enter BA only once their
     # observations span this many keyframes (1 = off).
     min_lm_span: int = 1
+    # PnP RANSAC consensus gate (0 = off = reference parity). When > 0,
+    # this many pose hypotheses are solved in parallel from minimal
+    # samples and the LM polish runs on the winning consensus set —
+    # rejecting COHERENT outlier groups (moving rigid occluders) that
+    # Huber/chi2 cannot separate from the static world. See
+    # models.pnp.ransac_pnp_gate.
+    ransac_hypotheses: int = 0
+    ransac_threshold: float = 8e-3   # inlier residual norm (normalized)
+    ransac_min_inliers: int = 12     # consensus floor; below -> disengage
+    # Kill tracks voted outside the consensus (invalidate their landmark,
+    # free the slot) so BA never ingests the occluder observations.
+    ransac_kill_outliers: bool = True
     # Score-weighted observations: whiten each observation by its feature's
     # birth-score weight (w = clip((score/min_score)^power, floor, 1)) so
     # starvation-mode births on weak texture contribute information
@@ -310,7 +322,10 @@ def make_estimator_config(cfg: Config):
             cost_tol=cfg.solver.cost_tol, param_tol=cfg.solver.param_tol,
             chi2_gate=cfg.solver.chi2_gate,
             chi2_gate_iter=cfg.solver.chi2_gate_iter,
-            motion_prior_weight=cfg.solver.pnp_motion_prior),
+            motion_prior_weight=cfg.solver.pnp_motion_prior,
+            ransac_hypotheses=cfg.solver.ransac_hypotheses,
+            ransac_threshold=cfg.solver.ransac_threshold,
+            ransac_min_inliers=cfg.solver.ransac_min_inliers),
         ba=ba_mod.BAConfig(
             max_iterations=cfg.optimization.bundle_adjustment_max_iterations,
             huber_delta=cfg.solver.huber_delta,
@@ -324,6 +339,7 @@ def make_estimator_config(cfg: Config):
         track_before_full=cfg.keyframe_management.track_before_full,
         pnp_cv_predict=cfg.solver.pnp_cv_predict,
         use_obs_weights=cfg.solver.score_weighted_obs,
+        pnp_ransac_kill=cfg.solver.ransac_kill_outliers,
     )
     return ecfg, rig
 

@@ -62,6 +62,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            imu_buf: int = 64,
                            init_gyro=None, init_accel=None,
                            motion_prior: float = 0.0,
+                           ransac: int = 0,
                            pnp_cv_predict: bool = False,
                            use_obs_weights: bool = True,
                            coarse_level_policy: str = None,
@@ -124,7 +125,14 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(
-                os.environ.get("RSVIO_PNP_PRIOR", str(motion_prior)))),
+                os.environ.get("RSVIO_PNP_PRIOR", str(motion_prior))),
+            # PnP RANSAC consensus gate (round 4): hypotheses count, 0=off.
+            # Inlier threshold mirrors the chi2 gate's pixel->normalized
+            # mapping (RSVIO_RANSAC_PX, default 4 px).
+            ransac_hypotheses=int(
+                os.environ.get("RSVIO_RANSAC", str(ransac))),
+            ransac_threshold=float(
+                os.environ.get("RSVIO_RANSAC_PX", "4.0")) / float(scene.fx)),
         ba=ba_mod.BAConfig(
             chi2_gate=chi2,
             min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))),

@@ -39,7 +39,9 @@ def sequence():
             for k in range(14)]
 
 
-def run_sequence(sequence, use_marg: bool, cull: float = 0.0):
+def run_sequence(sequence, use_marg: bool, cull: float = 0.0,
+                 ransac: bool = False):
+    from rsvio_tpu.models.pnp import PnPConfig
     params = cameras.pack_params(cameras.PINHOLE_RADTAN,
                                  [FX, FY, CX, CY], [0, 0, 0, 0])
     rig = est.make_rig(params, params,
@@ -55,7 +57,9 @@ def run_sequence(sequence, use_marg: bool, cull: float = 0.0):
         rotation_threshold=0.05,
         image_shape=(H, W),
         use_marginalization=use_marg,
-        cull_reproj_threshold=cull)
+        cull_reproj_threshold=cull,
+        pnp=(PnPConfig(ransac_hypotheses=16, ransac_min_inliers=10)
+             if ransac else PnPConfig()))
     step = est.make_estimator_step(cfg)
     state = est.init_state(cfg)
     xs, kf_flags = [], []
@@ -85,6 +89,20 @@ class TestEstimatorVO:
         # the prior must be live once evictions started
         assert bool(state.marg_prior.valid)
 
+
+    def test_ransac_mode_tracks_motion(self, sequence):
+        """With the PnP RANSAC consensus gate on, a clean static scene must
+        track exactly like the plain pipeline (near-full consensus, no
+        spurious kills starving the window)."""
+        xs, kfs, state = run_sequence(sequence, use_marg=False, ransac=True)
+        assert np.all(np.isfinite(xs))
+        half = len(xs) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = STEP_M * (len(xs) - 1 - half)
+        assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
+        # table must not be starved by false kills (the plain pipeline
+        # holds ~30 alive on this low-capacity scene)
+        assert int(jnp.sum(state.table.alive)) > 20
 
     def test_culling_mode_tracks_motion(self, sequence):
         """With post-BA landmark culling enabled the pipeline must still

@@ -166,3 +166,92 @@ class TestMotionPrior:
         err_on = float(jnp.linalg.norm(res_on.T_W_B[:3, 3] - T_gt[:3, 3]))
         assert bool(res_on.success)
         assert err_on < 5e-3, err_on
+
+
+class TestRansacGate:
+    """Batched RANSAC consensus gate (pnp.ransac_pnp_gate): rejects a
+    COHERENT outlier group (rigid moving occluder) that Huber/chi2 cannot —
+    the occluder's observations agree with each other, so per-residual
+    defenses settle on a compromise pose; consensus voting cannot."""
+
+    CFG = pnp.PnPConfig(ransac_hypotheses=32, ransac_threshold=8e-3,
+                        ransac_min_inliers=12)
+
+    @staticmethod
+    def occluder_problem(n_lm=80, frac_bad=0.35, seed=7, shift=(0.3, -0.2, 0.15)):
+        """Observations where the first frac_bad landmarks moved COHERENTLY
+        by `shift` in the world (a rigid occluder) before projection."""
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=n_lm, seed=seed, pose_noise=0.02)
+        n_bad = int(n_lm * frac_bad)
+        d = np.asarray(shift, np.float32)
+        T_B_W = np.asarray(lie.se3_inverse(T_gt))
+        obs_np = np.asarray(obs).copy()
+        mask_np = np.asarray(mask).copy()
+        for c in range(2):
+            Tcb = np.asarray(T_C_B[c])
+            for i in range(n_bad):
+                pC = Tcb[:3, :3] @ (T_B_W[:3, :3] @ (np.asarray(p_W[i]) + d)
+                                    + T_B_W[:3, 3]) + Tcb[:3, 3]
+                if pC[2] > 0.1:
+                    obs_np[c, i] = pC[:2] / pC[2]
+                    mask_np[c, i] = True
+        bad = np.zeros(n_lm, bool)
+        bad[:n_bad] = True
+        return (T_init, T_C_B, p_W, jnp.asarray(obs_np), jnp.asarray(mask_np),
+                T_gt, bad)
+
+    def test_gate_separates_occluder(self):
+        import jax
+        (T_init, T_C_B, p_W, obs, mask, T_gt, bad) = self.occluder_problem()
+        inl, ok, count = pnp.ransac_pnp_gate(
+            T_init, T_C_B, p_W, obs, mask, jax.random.PRNGKey(0), self.CFG)
+        assert bool(ok)
+        inl_np = np.asarray(inl)
+        mask_np = np.asarray(mask)
+        # every consensus member is a static-world observation
+        assert not np.any(inl_np[:, bad]), "occluder obs voted inlier"
+        # and the static group is (essentially) fully retained
+        good_kept = inl_np[:, ~bad].sum() / max(mask_np[:, ~bad].sum(), 1)
+        assert good_kept > 0.9, good_kept
+
+    def test_gated_solve_beats_plain(self):
+        import jax
+        (T_init, T_C_B, p_W, obs, mask, T_gt, bad) = self.occluder_problem()
+        inl, ok, _ = pnp.ransac_pnp_gate(
+            T_init, T_C_B, p_W, obs, mask, jax.random.PRNGKey(1), self.CFG)
+        res_plain = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask)
+        res_gated = pnp.solve_pnp(T_init, T_C_B, p_W, obs, inl)
+        err_plain = float(jnp.linalg.norm(res_plain.T_W_B[:3, 3] - T_gt[:3, 3]))
+        err_gated = float(jnp.linalg.norm(res_gated.T_W_B[:3, 3] - T_gt[:3, 3]))
+        assert bool(res_gated.success)
+        assert err_gated < 2e-3, err_gated
+        assert err_gated < err_plain, (err_gated, err_plain)
+
+    def test_clean_data_keeps_full_mask(self):
+        import jax
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=60, seed=11, pose_noise=0.02)
+        inl, ok, count = pnp.ransac_pnp_gate(
+            T_init, T_C_B, p_W, obs, mask, jax.random.PRNGKey(2), self.CFG)
+        assert bool(ok)
+        kept = np.asarray(inl).sum() / np.asarray(mask).sum()
+        assert kept > 0.95, kept
+
+    def test_too_few_disengages(self):
+        import jax
+        T_init, T_C_B, p_W, obs, mask, _ = make_problem(n_lm=5, seed=13)
+        inl, ok, _ = pnp.ransac_pnp_gate(
+            T_init, T_C_B, p_W, obs, mask, jax.random.PRNGKey(3), self.CFG)
+        assert not bool(ok)
+        np.testing.assert_array_equal(np.asarray(inl), np.asarray(mask))
+
+    def test_deterministic(self):
+        import jax
+        (T_init, T_C_B, p_W, obs, mask, _, _) = self.occluder_problem(seed=17)
+        key = jax.random.PRNGKey(4)
+        inl_a, _, _ = pnp.ransac_pnp_gate(T_init, T_C_B, p_W, obs, mask,
+                                          key, self.CFG)
+        inl_b, _, _ = pnp.ransac_pnp_gate(T_init, T_C_B, p_W, obs, mask,
+                                          key, self.CFG)
+        np.testing.assert_array_equal(np.asarray(inl_a), np.asarray(inl_b))
