@@ -98,6 +98,34 @@ class EstimatorConfig(NamedTuple):
     # from the window — without it the gate protects PnP but BA still
     # ingests the occluder observations.
     pnp_ransac_kill: bool = True
+    # Stereo scene-flow dynamic-object gate (0 = off). Per keyframe, every
+    # alive track is re-triangulated INSTANTANEOUSLY (stereo pair at one
+    # timestamp — correct even for a moving point, and pre-BA: BA refits a
+    # mover's landmark every keyframe, erasing the evidence); the previous
+    # keyframe's triangulation is reprojected into the current left camera
+    # and compared to the current observation. That 2D residual flow,
+    # median-centered (removes common-mode pose drift) and accumulated
+    # with decay dynamic_flow_decay, grows linearly for a coherent mover
+    # and cancels for static noise; a track whose accumulated norm exceeds
+    # this threshold (NORMALIZED camera units, e.g. ~0.02 = 4-9 px) is
+    # killed and its landmark invalidated. This catches what per-frame
+    # residual tests (Huber, chi2, RANSAC consensus) structurally CANNOT
+    # (measured: on the occlusion matrix scene the consensus gate alone
+    # kills ~0 occluder tracks/frame while the pose is dragged 0.03
+    # m/frame — the refit landmarks chase the quad).
+    dynamic_flow_thresh: float = 0.0
+    dynamic_flow_decay: float = 0.7
+    # Consecutive keyframe observations required before a kill (guards
+    # against a single triangulation glitch exceeding the threshold).
+    dynamic_flow_min_n: int = 2
+    # Median-center the flow field before accumulating. True removes the
+    # common-mode flow a drifting UNANCHORED (VO) pose induces — but a
+    # tight mover cluster can capture the component-wise median once it
+    # nears majority (static flows spread with 1/depth; the mover's are
+    # coherent). With an EXTERNALLY ANCHORED pose (IMU/VIO, strong motion
+    # prior) set False: flows are measured against a trustworthy pose and
+    # raw accumulation cannot be median-captured.
+    dynamic_flow_center: bool = True
     # Age ramp on the birth discount: recover the effective weight as
     #   w_eff = 1 - (1 - w_birth) * exp(-age_ramp * age)
     # (a surviving track "earns back" trust). MEASURED HARMFUL on the
@@ -152,6 +180,20 @@ class EstimatorState(NamedTuple):
     # solve. The reference initializes PnP from the LAST KEYFRAME pose
     # (ref sliding_window.rs:506-515) — strictly staler.
     T_W_B_prev: jnp.ndarray  # (4,4)
+    # Scene-flow gate memory (allocated only when
+    # cfg.dynamic_flow_thresh > 0; None otherwise — absent from the pytree)
+    tri_prev: jnp.ndarray = None      # (N,3) last-KF instantaneous triang.
+    tri_prev_fid: jnp.ndarray = None  # (N,) fid tag at capture
+    flow_acc: jnp.ndarray = None      # (N,3) decayed residual-flow sum
+    flow_n: jnp.ndarray = None        # (N,) consecutive measurements
+    # Frozen birth-time landmark copy for RANSAC verification (allocated
+    # only when the consensus gate is on). NEVER refit by BA: a moving
+    # object's landmarks chase it under BA refitting, making its
+    # observations self-consistent per frame. Against frozen birth anchors
+    # the mover DECOHERES with age — its tracks were born at staggered
+    # times, so no single rigid pose explains their anchors — while the
+    # static world stays consistent regardless of birth time.
+    lm_birth: jnp.ndarray = None      # (N,3)
 
 
 def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
@@ -176,6 +218,13 @@ def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
         T_W_B=eye, last_kf_T_W_B=eye,
         frame_id=jnp.asarray(0, jnp.int32),
         T_W_B_prev=eye,
+        **(dict(tri_prev=jnp.zeros((N, 3), dtype=dtype),
+                tri_prev_fid=jnp.full((N,), -1, jnp.int32),
+                flow_acc=jnp.zeros((N, 2), dtype=dtype),
+                flow_n=jnp.zeros((N,), jnp.int32))
+           if cfg.dynamic_flow_thresh > 0 else {}),
+        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype))
+           if cfg.pnp.ransac_hypotheses > 0 else {}),
     )
 
 
@@ -194,6 +243,8 @@ class FrameOutput(NamedTuple):
     # last keyframe. The OUTPUT pose is finite either way; this flags that
     # recovery fired so logs/bench can surface it.
     pose_ok: jnp.ndarray = True
+    # Tracks killed by the scene-flow dynamic-object gate this frame.
+    n_dyn_killed: jnp.ndarray = 0
 
 
 def effective_weights(cfg: EstimatorConfig, table: FeatureTable):
@@ -221,8 +272,10 @@ def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
                      lm, lm_fid):
     """Triangulate landmarks for alive slots without a valid landmark.
 
-    Returns (lm, lm_fid, born) — born marks slots triangulated THIS call
-    (used by the optional N-view birth refinement)."""
+    Returns (lm, lm_fid, born, tri_all, tri_ok) — born marks slots
+    triangulated THIS call (used by the optional N-view birth refinement);
+    tri_all/tri_ok are the instantaneous stereo triangulations of EVERY
+    slot (consumed by the scene-flow dynamic-object gate)."""
     T_W_C = jnp.einsum("ij,cjk->cik", T_W_B, rig.T_B_C)  # (2,4,4)
     tri = jax.vmap(lambda xl, xr: triangulate_stereo(T_W_C[0], T_W_C[1], xl, xr))
     p, tri_ok = tri(obs_cur[0], obs_cur[1])
@@ -233,7 +286,7 @@ def _triangulate_new(rig: CameraRig, T_W_B, obs_cur, table: FeatureTable,
     # Invalidate landmarks whose slot was recycled or died.
     stale = (lm_fid != table.fid) | (~table.alive)
     lm_fid = jnp.where(stale & ~want, -1, lm_fid)
-    return lm, lm_fid, want
+    return lm, lm_fid, want, p, tri_ok
 
 
 def reprojection_outliers(T_C_B, kf_T_W_B, lm, obs, eff_mask, lm_valid,
@@ -256,6 +309,44 @@ def reprojection_outliers(T_C_B, kf_T_W_B, lm, obs, eff_mask, lm_valid,
     err = jnp.where(eff_mask, err, 0.0)
     worst = jnp.max(err, axis=(0, 1))       # (N,)
     return lm_valid & (worst > thr_sq)
+
+
+def scene_flow_gate(cfg: EstimatorConfig, rig: CameraRig, T_cur, obs_cur,
+                    obs_cur_mask, table: FeatureTable, tri_all, tri_ok,
+                    tri_prev, tri_prev_fid, flow_acc, flow_n):
+    """Stereo scene-flow dynamic-object gate (shared by the VO and VIO
+    estimators; see EstimatorConfig.dynamic_flow_thresh for the design).
+
+    Args: tri_all/tri_ok = this keyframe's instantaneous triangulation of
+    every slot; tri_prev/tri_prev_fid/flow_acc/flow_n = gate memory from
+    the previous keyframe.
+
+    Returns (kill_dyn (N,), tri_mem, n_dyn) where tri_mem is the updated
+    (tri_prev, tri_prev_fid, flow_acc, flow_n) tuple.
+    """
+    tri_valid = tri_ok & table.alive
+    T_C_W = rig.T_C_B[0] @ lie.se3_inverse(T_cur)
+    pC = (tri_prev @ T_C_W[:3, :3].T) + T_C_W[:3, 3]
+    in_front = pC[:, 2] > 1e-6
+    proj = pC[:, :2] / jnp.maximum(pC[:, 2:3], 1e-6)
+    have_flow = (tri_valid & in_front & obs_cur_mask[0]
+                 & (tri_prev_fid == table.fid) & (tri_prev_fid >= 0))
+    flow = obs_cur[0] - proj                     # (N,2)
+    if cfg.dynamic_flow_center:
+        med = jnp.nanmedian(
+            jnp.where(have_flow[:, None], flow, jnp.nan), axis=0)
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        flow = flow - med
+    acc = jnp.where(have_flow[:, None],
+                    cfg.dynamic_flow_decay * flow_acc + flow, 0.0)
+    n_fl = jnp.where(have_flow, flow_n + 1, 0)
+    kill_dyn = (have_flow & (n_fl >= cfg.dynamic_flow_min_n)
+                & (jnp.linalg.norm(acc, axis=1) > cfg.dynamic_flow_thresh))
+    acc = jnp.where(kill_dyn[:, None], 0.0, acc)
+    n_fl = jnp.where(kill_dyn, 0, n_fl)
+    tri_mem = (tri_all,
+               jnp.where(tri_valid & ~kill_dyn, table.fid, -1), acc, n_fl)
+    return kill_dyn, tri_mem, jnp.sum(kill_dyn.astype(jnp.int32))
 
 
 def _build_stages(cfg: EstimatorConfig):
@@ -311,9 +402,12 @@ def _build_stages(cfg: EstimatorConfig):
                 jax.random.PRNGKey(0x5A11AC), state.frame_id)
 
             def run_gate(_):
+                # Verify against the FROZEN birth-time landmarks (see
+                # EstimatorState.lm_birth) — the BA-refit map chases a
+                # moving object, hiding it from any per-frame test.
                 return pnp_mod.ransac_pnp_gate(
-                    state.T_W_B, rig.T_C_B, state.lm, obs_cur, pnp_mask,
-                    key, cfg.pnp)
+                    state.T_W_B, rig.T_C_B, state.lm_birth, obs_cur,
+                    pnp_mask, key, cfg.pnp, age=table.age)
 
             def skip_gate(_):
                 return pnp_mask, jnp.asarray(False), jnp.asarray(0, jnp.int32)
@@ -416,8 +510,24 @@ def _build_stages(cfg: EstimatorConfig):
         # --- keyframe branch: triangulate, roll window, BA
         def kf_branch(operand):
             table, T_cur, lm, lm_fid = operand
-            lm, lm_fid, born = _triangulate_new(rig, T_cur, obs_cur, table,
-                                                lm, lm_fid)
+            lm, lm_fid, born, tri_all, tri_ok = _triangulate_new(
+                rig, T_cur, obs_cur, table, lm, lm_fid)
+
+            if cfg.dynamic_flow_thresh > 0:
+                kill_dyn, tri_mem, n_dyn = scene_flow_gate(
+                    cfg, rig, T_cur, obs_cur, obs_cur_mask, table,
+                    tri_all, tri_ok, state.tri_prev, state.tri_prev_fid,
+                    state.flow_acc, state.flow_n)
+                table = table._replace(alive=table.alive & ~kill_dyn)
+                lm_fid = jnp.where(kill_dyn, -1, lm_fid)
+            else:
+                tri_mem = (state.tri_prev, state.tri_prev_fid,
+                           state.flow_acc, state.flow_n)
+                n_dyn = jnp.asarray(0, jnp.int32)
+            obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
+            # Frozen verification map: capture births, never refit.
+            lm_birth = (jnp.where(born[:, None], tri_all, state.lm_birth)
+                        if state.lm_birth is not None else None)
 
             # FIFO roll: if full, shift left; insert at min(kf_count, W-1).
             ins = jnp.minimum(state.kf_count, W - 1)
@@ -434,7 +544,7 @@ def _build_stages(cfg: EstimatorConfig):
 
             kf_T = kf_T.at[ins].set(T_cur)
             obs_w = obs_w.at[ins].set(obs_cur)
-            obs_m = obs_m.at[ins].set(obs_cur_mask)
+            obs_m = obs_m.at[ins].set(obs_cur_mask_eff)
             obs_f = obs_f.at[ins].set(table.fid)
             obs_wt = obs_wt.at[ins].set(effective_weights(cfg, table))
             kf_count = jnp.minimum(state.kf_count + 1, W)
@@ -497,7 +607,8 @@ def _build_stages(cfg: EstimatorConfig):
                 lm_fid = jnp.where(bad, -1, lm_fid)
             T_new = kf_T[jnp.minimum(kf_count, W) - 1]
             return (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
-                    T_new, T_new, ba_ok, ba_it, ba_cost, new_prior)
+                    T_new, T_new, ba_ok, ba_it, ba_cost, new_prior,
+                    table.alive, tri_mem, n_dyn, lm_birth)
 
         def no_kf_branch(operand):
             table, T_cur, lm, lm_fid = operand
@@ -505,12 +616,18 @@ def _build_stages(cfg: EstimatorConfig):
                     state.obs_fid, state.obs_w, lm, lm_fid, T_cur,
                     state.last_kf_T_W_B,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0.0, T_cur.dtype), state.marg_prior)
+                    jnp.asarray(0.0, T_cur.dtype), state.marg_prior,
+                    table.alive,
+                    (state.tri_prev, state.tri_prev_fid,
+                     state.flow_acc, state.flow_n),
+                    jnp.asarray(0, jnp.int32), state.lm_birth)
 
         (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid, T_out,
-         last_kf, ba_ok, ba_it, ba_cost, marg_prior) = jax.lax.cond(
+         last_kf, ba_ok, ba_it, ba_cost, marg_prior, alive_out, tri_mem,
+         n_dyn, lm_birth_out) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, state.lm, state.lm_fid))
+        table = table._replace(alive=alive_out)
 
         new_state = EstimatorState(
             table=table, pyr0=pyr0, pyr1=pyr1,
@@ -526,13 +643,16 @@ def _build_stages(cfg: EstimatorConfig):
             # cv_ok implausibility guard bounds it (and pnp_cv_predict is
             # off by default).
             T_W_B_prev=state.T_W_B,
+            tri_prev=tri_mem[0], tri_prev_fid=tri_mem[1],
+            flow_acc=tri_mem[2], flow_n=tri_mem[3],
+            lm_birth=lm_birth_out,
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,
             ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
             n_tracked=fstats["tracked"], n_landmarks=jnp.sum(
                 ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"], pose_ok=pose_ok,
+            n_alive=fstats["alive"], pose_ok=pose_ok, n_dyn_killed=n_dyn,
         )
         return new_state, out
 

@@ -135,6 +135,14 @@ class VIOEstimatorState(NamedTuple):
     ba: jnp.ndarray
     last_kf_T_W_B: jnp.ndarray
     frame_id: jnp.ndarray
+    # Scene-flow dynamic-object gate memory (allocated only when
+    # base.dynamic_flow_thresh > 0; see estimator.scene_flow_gate). With
+    # the IMU anchoring the pose, the gate's flow measurement is immune to
+    # the lock-on ambiguity that limits it in pure VO.
+    tri_prev: jnp.ndarray = None
+    tri_prev_fid: jnp.ndarray = None
+    flow_acc: jnp.ndarray = None
+    flow_n: jnp.ndarray = None
 
 
 def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorState:
@@ -171,6 +179,11 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
         bg=jnp.zeros(3, dtype=dtype), ba=jnp.zeros(3, dtype=dtype),
         last_kf_T_W_B=eye,
         frame_id=jnp.asarray(0, jnp.int32),
+        **(dict(tri_prev=jnp.zeros((N, 3), dtype=dtype),
+                tri_prev_fid=jnp.full((N,), -1, jnp.int32),
+                flow_acc=jnp.zeros((N, 2), dtype=dtype),
+                flow_n=jnp.zeros((N,), jnp.int32))
+           if b.dynamic_flow_thresh > 0 else {}),
     )
 
 
@@ -322,7 +335,20 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
 
         def kf_branch(operand):
             (table, T_cur, v_cur, lm, lm_fid) = operand
-            lm, lm_fid, _born = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+            lm, lm_fid, _born, _tri, _tri_ok = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
+            if b.dynamic_flow_thresh > 0:
+                from .estimator import scene_flow_gate
+                kill_dyn, tri_mem, n_dyn = scene_flow_gate(
+                    b, rig, T_cur, obs_cur, obs_cur_mask, table,
+                    _tri, _tri_ok, state.tri_prev, state.tri_prev_fid,
+                    state.flow_acc, state.flow_n)
+                table = table._replace(alive=table.alive & ~kill_dyn)
+                lm_fid = jnp.where(kill_dyn, -1, lm_fid)
+            else:
+                tri_mem = (state.tri_prev, state.tri_prev_fid,
+                           state.flow_acc, state.flow_n)
+                n_dyn = jnp.asarray(0, jnp.int32)
+            obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
             ins = jnp.minimum(state.kf_count, W - 1)
 
             def roll_if_full(arr):
@@ -333,7 +359,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
             kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
             obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
-            obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
+            obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask_eff)
             obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
             obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
             # interval i joins KF i and i+1: re-preintegrate the buffered
@@ -413,7 +439,8 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     obs_wt, kf_pre, kf_pv, lm, lm_fid,
                     kf_T[newest], kf_v[newest], kf_bg[newest], kf_ba_[newest],
                     kf_T[newest], ba_ok, ba_it, ba_cost, new_prior,
-                    jnp.asarray(True))  # reset running preint
+                    jnp.asarray(True),  # reset running preint
+                    table.alive, tri_mem, n_dyn)
 
         def no_kf_branch(operand):
             (table, T_cur, v_cur, lm, lm_fid) = operand
@@ -424,13 +451,19 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     T_cur, v_cur, state.bg, state.ba,
                     state.last_kf_T_W_B, jnp.asarray(False),
                     jnp.asarray(0, jnp.int32), jnp.asarray(0.0, T_cur.dtype),
-                    state.marg_prior, jnp.asarray(False))
+                    state.marg_prior, jnp.asarray(False),
+                    table.alive,
+                    (state.tri_prev, state.tri_prev_fid,
+                     state.flow_acc, state.flow_n),
+                    jnp.asarray(0, jnp.int32))
 
         (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, obs_wt,
          kf_pre, kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
-         ba_ok, ba_it, ba_cost, marg_prior, reset_run) = jax.lax.cond(
+         ba_ok, ba_it, ba_cost, marg_prior, reset_run, alive_out, tri_mem,
+         n_dyn) = jax.lax.cond(
             is_kf, kf_branch, no_kf_branch,
             (table, T_cur, v_pred, state.lm, state.lm_fid))
+        table = table._replace(alive=alive_out)
 
         # On keyframes the interval sample buffer restarts.
         buf_count_out = jnp.where(reset_run, 0, buf_count)
@@ -447,6 +480,8 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             T_W_B=T_out, vel=v_out, bg=bg_out, ba=ba_out,
             last_kf_T_W_B=last_kf,
             frame_id=state.frame_id + 1,
+            tri_prev=tri_mem[0], tri_prev_fid=tri_mem[1],
+            flow_acc=tri_mem[2], flow_n=tri_mem[3],
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,
@@ -454,7 +489,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             n_tracked=fstats["tracked"],
             n_landmarks=jnp.sum(((lm_fid == table.fid)
                                  & (lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"], pose_ok=pose_ok,
+            n_alive=fstats["alive"], pose_ok=pose_ok, n_dyn_killed=n_dyn,
         )
         return new_state, out
 

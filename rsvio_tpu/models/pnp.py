@@ -73,6 +73,15 @@ class PnPConfig(NamedTuple):
     ransac_gn_iters: int = 4        # GN iterations per hypothesis
     ransac_threshold: float = 8e-3  # inlier residual norm (normalized units)
     ransac_min_inliers: int = 12    # consensus floor; below -> gate disengages
+    # Age-weighted consensus: votes (and minimal-sample draws) are weighted
+    # by clip(track_age / age_cap, age_floor, 1). A moving occluder's
+    # tracks are perpetually YOUNG (born as it sweeps across the view), so
+    # age weighting keeps the static world in control of the vote even in
+    # frames where the occluder's tracks OUTNUMBER it — the failure mode of
+    # plain counting (measured: full occluder transit flips the consensus
+    # and plain RANSAC stops helping). 0 = unweighted voting.
+    ransac_age_cap: int = 10
+    ransac_age_floor: float = 0.1
 
 
 class PnPResult(NamedTuple):
@@ -228,7 +237,7 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def ransac_pnp_gate(T_W_B_init, T_C_B, landmarks, obs, mask, key,
-                    cfg: PnPConfig):
+                    cfg: PnPConfig, age=None):
     """Batched RANSAC consensus gate for pose-only tracking.
 
     Why: per-residual robustness (Huber δ=2.0, ref sliding_window.rs:540;
@@ -255,6 +264,8 @@ def ransac_pnp_gate(T_W_B_init, T_C_B, landmarks, obs, mask, key,
       mask: (2,L) observation validity (alive track with a valid landmark).
       key: jax PRNG key (callers fold in the frame id for determinism).
       cfg: PnPConfig with ransac_* fields (ransac_hypotheses must be > 0).
+      age: optional (L,) int32 track ages for age-weighted voting (see
+        PnPConfig.ransac_age_cap); None = unweighted.
 
     Returns (inlier_mask (2,L), ok (), best_count ()): when ok, inlier_mask
     is the winning consensus set (a subset of mask); when the consensus
@@ -268,9 +279,17 @@ def ransac_pnp_gate(T_W_B_init, T_C_B, landmarks, obs, mask, key,
     flat_mask = mask.reshape(-1)                     # (2L,)
     n_valid = jnp.sum(flat_mask)
 
+    if age is not None and cfg.ransac_age_cap > 0:
+        vote_w = jnp.clip(age.astype(dtype) / cfg.ransac_age_cap,
+                          cfg.ransac_age_floor, 1.0)        # (L,)
+    else:
+        vote_w = jnp.ones((L,), dtype)
+    flat_w = jnp.tile(vote_w, 2)                            # (2L,)
+
     # Gumbel-top-S: S distinct valid observation indices per hypothesis,
-    # uniformly over the valid set, fully vectorized.
-    g = jax.random.gumbel(key, (K, 2 * L), dtype=dtype)
+    # age-weighted over the valid set (Gumbel + log w samples index i with
+    # probability proportional to w_i), fully vectorized.
+    g = jax.random.gumbel(key, (K, 2 * L), dtype=dtype) + jnp.log(flat_w)
     scores = jnp.where(flat_mask[None, :], g, -jnp.inf)
     _, idx = jax.lax.top_k(scores, S)                # (K,S)
     cam_i = idx // L
@@ -311,9 +330,11 @@ def ransac_pnp_gate(T_W_B_init, T_C_B, landmarks, obs, mask, key,
         return mask & (r2 < cfg.ransac_threshold ** 2) & finite
 
     inliers = jax.vmap(verify)(T_hyp)                # (K,2,L)
-    counts = jnp.sum(inliers, axis=(1, 2))           # (K,)
-    best = jnp.argmax(counts)
-    best_count = counts[best]
+    # Winner by age-WEIGHTED vote (robust to a numerically-superior young
+    # occluder group); the consensus floor stays an unweighted count.
+    wcounts = jnp.sum(inliers * vote_w[None, None, :], axis=(1, 2))  # (K,)
+    best = jnp.argmax(wcounts)
+    best_count = jnp.sum(inliers[best])
     ok = (best_count >= cfg.ransac_min_inliers) & \
         (n_valid >= cfg.ransac_min_inliers)
     inlier_mask = jnp.where(ok, inliers[best], mask)

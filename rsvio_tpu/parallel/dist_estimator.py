@@ -54,7 +54,7 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
         """Keyframe prologue (identical to the fused kf_branch pre-BA):
         triangulate new landmarks, FIFO-roll the window, insert the frame."""
         window_full = state.kf_count >= W
-        lm, lm_fid, _born = est._triangulate_new(rig, T_cur, obs_cur, table,
+        lm, lm_fid, _born, _tri, _tri_ok = est._triangulate_new(rig, T_cur, obs_cur, table,
                                           state.lm, state.lm_fid)
         ins = jnp.minimum(state.kf_count, W - 1)
 
@@ -270,7 +270,7 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
         re-preintegration at the current bias (same as the fused kf_branch
         pre-BA)."""
         window_full = state.kf_count >= W
-        lm, lm_fid, _born = est._triangulate_new(rig, T_cur, obs_cur, table,
+        lm, lm_fid, _born, _tri, _tri_ok = est._triangulate_new(rig, T_cur, obs_cur, table,
                                           state.lm, state.lm_fid)
         ins = jnp.minimum(state.kf_count, W - 1)
 

@@ -176,6 +176,18 @@ class SolverConfig:
     # Kill tracks voted outside the consensus (invalidate their landmark,
     # free the slot) so BA never ingests the occluder observations.
     ransac_kill_outliers: bool = True
+    # Stereo scene-flow dynamic-object gate (0 = off): accumulated
+    # reprojection-flow threshold in normalized camera units (e.g. ~0.02 =
+    # 4-9 px) above which a track is classified as a coherent mover and
+    # killed. See models.estimator.scene_flow_gate — designed for the
+    # IMU-anchored (--vio) estimators, where the flow measurement cannot
+    # lock onto the mover; in pure VO it helps only while drift is small.
+    dynamic_flow: float = 0.0
+    dynamic_flow_decay: float = 0.7
+    dynamic_flow_min_n: int = 2
+    # Median-center the flow field: "auto" (on for VO, off for VIO — the
+    # measured-correct pairing), "on", or "off".
+    dynamic_flow_center: str = "auto"
     # Score-weighted observations: whiten each observation by its feature's
     # birth-score weight (w = clip((score/min_score)^power, floor, 1)) so
     # starvation-mode births on weak texture contribute information
@@ -340,6 +352,12 @@ def make_estimator_config(cfg: Config):
         pnp_cv_predict=cfg.solver.pnp_cv_predict,
         use_obs_weights=cfg.solver.score_weighted_obs,
         pnp_ransac_kill=cfg.solver.ransac_kill_outliers,
+        dynamic_flow_thresh=cfg.solver.dynamic_flow,
+        dynamic_flow_decay=cfg.solver.dynamic_flow_decay,
+        dynamic_flow_min_n=cfg.solver.dynamic_flow_min_n,
+        # "auto" resolves per estimator: VO centers (drift is common-mode),
+        # VIO does not (anchored pose; the CLI flips this for --vio).
+        dynamic_flow_center=cfg.solver.dynamic_flow_center != "off",
     )
     return ecfg, rig
 

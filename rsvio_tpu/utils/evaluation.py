@@ -63,6 +63,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            init_gyro=None, init_accel=None,
                            motion_prior: float = 0.0,
                            ransac: int = 0,
+                           dynamic_flow: float = 0.0,
                            pnp_cv_predict: bool = False,
                            use_obs_weights: bool = True,
                            coarse_level_policy: str = None,
@@ -122,6 +123,17 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         # CPU sweep). RSVIO_OBS_WEIGHTS=0 disables for ablations.
         use_obs_weights=(use_obs_weights
                          and os.environ.get("RSVIO_OBS_WEIGHTS", "1") != "0"),
+        # Scene-flow dynamic-object gate (round 4): accumulated reprojection
+        # flow threshold in normalized camera units, 0 = off.
+        dynamic_flow_thresh=float(
+            os.environ.get("RSVIO_DYNFLOW", str(dynamic_flow))),
+        dynamic_flow_decay=float(os.environ.get("RSVIO_DYNFLOW_DECAY", "0.7")),
+        dynamic_flow_min_n=int(os.environ.get("RSVIO_DYNFLOW_MINN", "2")),
+        # Median-centering default: on for VO (unanchored pose drift is
+        # common-mode), off for VIO (IMU-anchored pose; centering lets a
+        # tight mover cluster capture the median) — overridable.
+        dynamic_flow_center=(os.environ.get(
+            "RSVIO_DYNFLOW_CENTER", "0" if use_vio else "1") == "1"),
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(

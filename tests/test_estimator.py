@@ -218,3 +218,130 @@ def test_refine_births_runs_and_stays_accurate(sequence):
     assert np.abs(outs["on"] - gt)[-1] < 0.01, outs["on"][-5:]
     assert np.abs(outs["on"] - outs["off"]).max() < 5e-3, (
         outs["on"][-5:], outs["off"][-5:])
+
+
+class TestSceneFlowGate:
+    """Stereo scene-flow dynamic-object gate (est.scene_flow_gate): a track
+    whose instantaneous triangulation flows coherently relative to the
+    static world accumulates residual flow and is killed; static tracks
+    (noise-level flow) survive."""
+
+    N = 32
+
+    def _setup(self):
+        from rsvio_tpu.models.frontend import init_table
+        params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                     [FX, FY, CX, CY], [0, 0, 0, 0])
+        rig = est.make_rig(params, params,
+                           jnp.eye(4, dtype=jnp.float32),
+                           jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.11))
+        rng = np.random.default_rng(3)
+        pts = np.stack([rng.uniform(-1, 1, self.N),
+                        rng.uniform(-0.6, 0.6, self.N),
+                        rng.uniform(2.0, 6.0, self.N)], axis=1).astype(np.float32)
+        table = init_table(self.N)
+        table = table._replace(alive=jnp.ones(self.N, bool),
+                               fid=jnp.arange(self.N, dtype=jnp.int32))
+        cfg = est.EstimatorConfig(dynamic_flow_thresh=0.02,
+                                  dynamic_flow_decay=0.7,
+                                  dynamic_flow_min_n=2)
+        return rig, table, jnp.asarray(pts), cfg
+
+    def _run_gate(self, cfg, rig, table, pts, mover, steps=4,
+                  flow_per_step=0.03):
+        """Simulate `steps` keyframes: movers displace laterally by
+        flow_per_step*z (normalized flow = flow_per_step) each step."""
+        T_cur = jnp.eye(4, dtype=jnp.float32)
+        N = self.N
+        tri_prev = pts
+        tri_fid = table.fid
+        acc = jnp.zeros((N, 2), jnp.float32)
+        n = jnp.zeros((N,), jnp.int32)
+        killed = np.zeros(N, bool)
+        pts_k = np.asarray(pts).copy()
+        for k in range(steps):
+            # movers displace in world x; static points stay
+            pts_k[mover, 0] += flow_per_step * pts_k[mover, 2]
+            obs = jnp.asarray(
+                np.stack([pts_k[:, :2] / pts_k[:, 2:3],
+                          (pts_k[:, :2] - np.array([0.11, 0.0])[None])
+                          / pts_k[:, 2:3]]), jnp.float32)
+            mask = jnp.ones((2, N), bool)
+            kill, tri_mem, n_dyn = est.scene_flow_gate(
+                cfg, rig, T_cur, obs, mask, table,
+                jnp.asarray(pts_k), jnp.ones(N, bool),
+                tri_prev, tri_fid, acc, n)
+            tri_prev, tri_fid, acc, n = tri_mem
+            killed |= np.asarray(kill)
+        return killed
+
+    def test_kills_coherent_mover_not_static(self):
+        rig, table, pts, cfg = self._setup()
+        mover = np.zeros(self.N, bool)
+        mover[:8] = True
+        killed = self._run_gate(cfg, rig, table, pts, mover)
+        assert killed[:8].all(), killed[:8]
+        assert not killed[8:].any(), np.nonzero(killed[8:])
+
+    def test_uncentered_variant(self):
+        # dynamic_flow_center=False (the VIO pairing): same separation.
+        rig, table, pts, cfg = self._setup()
+        cfg = cfg._replace(dynamic_flow_center=False)
+        mover = np.zeros(self.N, bool)
+        mover[:6] = True
+        killed = self._run_gate(cfg, rig, table, pts, mover)
+        assert killed[:6].all()
+        assert not killed[6:].any()
+
+    def test_noise_does_not_kill(self):
+        rig, table, pts, cfg = self._setup()
+        rng = np.random.default_rng(11)
+        T_cur = jnp.eye(4, dtype=jnp.float32)
+        N = self.N
+        tri_prev, tri_fid = pts, table.fid
+        acc = jnp.zeros((N, 2), jnp.float32)
+        n = jnp.zeros((N,), jnp.int32)
+        for k in range(6):
+            # static world, ~0.5 px observation noise
+            noisy = np.asarray(pts) + rng.normal(0, 0.004, (N, 3))
+            obs = jnp.asarray(
+                np.stack([noisy[:, :2] / noisy[:, 2:3],
+                          (noisy[:, :2] - np.array([0.11, 0.0])[None])
+                          / noisy[:, 2:3]]), jnp.float32)
+            kill, tri_mem, n_dyn = est.scene_flow_gate(
+                cfg, rig, T_cur, obs, jnp.ones((2, N), bool), table,
+                jnp.asarray(noisy.astype(np.float32)), jnp.ones(N, bool),
+                tri_prev, tri_fid, acc, n)
+            tri_prev, tri_fid, acc, n = tri_mem
+            assert int(n_dyn) == 0, f"step {k}: {int(n_dyn)} false kills"
+
+    def test_estimator_runs_with_flow_gate(self, sequence):
+        """Full VO pipeline with the gate on, clean static scene: must
+        track like the plain pipeline with no mass kills."""
+        from rsvio_tpu.models.pnp import PnPConfig
+        params = cameras.pack_params(cameras.PINHOLE_RADTAN,
+                                     [FX, FY, CX, CY], [0, 0, 0, 0])
+        rig = est.make_rig(params, params,
+                           jnp.eye(4, dtype=jnp.float32),
+                           jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+        cfg = est.EstimatorConfig(
+            frontend=FrontendConfig(capacity=96, cell_size=28,
+                                    detect_margin=10, min_score=5.0,
+                                    klt=KLTConfig(levels=3, max_iterations=12,
+                                                  backend="xla")),
+            window_size=4, translation_threshold=0.012,
+            rotation_threshold=0.05, image_shape=(H, W),
+            dynamic_flow_thresh=0.02)
+        step = est.make_estimator_step(cfg)
+        state = est.init_state(cfg)
+        xs = []
+        for l, r in sequence:
+            state, out = step(state, rig, jnp.asarray(l), jnp.asarray(r))
+            xs.append(float(out.T_W_B[0, 3]))
+        xs = np.asarray(xs)
+        assert np.all(np.isfinite(xs))
+        half = len(xs) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = STEP_M * (len(xs) - 1 - half)
+        assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
+        assert int(jnp.sum(state.table.alive)) > 20
