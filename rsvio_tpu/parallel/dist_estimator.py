@@ -42,6 +42,14 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
     n_dev = mesh.devices.size
     if N % n_dev:
         raise ValueError(f"capacity {N} not divisible by mesh size {n_dev}")
+    # The distributed step implements the core pipeline only; refuse knobs
+    # it does not implement rather than letting them be silently inert
+    # (same rule as the r3 min_lm_span uniformity fix).
+    if cfg.pnp.ransac_hypotheses > 0 or cfg.dynamic_flow_thresh > 0:
+        raise NotImplementedError(
+            "solver.ransac_hypotheses / solver.dynamic_flow are not "
+            "implemented in the distributed estimator — disable them or "
+            "use the single-device step")
 
     stage_frames, stage_track, stage_motion, _ = est._build_stages(cfg)
     j_frames = jax.jit(stage_frames)
@@ -180,6 +188,12 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
     (state, rig, img0, img1, gyro, accel, dts, imu_mask) -> (state, out).
     """
     from ..models import estimator_vio as ev
+    b_cfg = vcfg.base
+    if b_cfg.pnp.ransac_hypotheses > 0 or b_cfg.dynamic_flow_thresh > 0:
+        raise NotImplementedError(
+            "solver.ransac_hypotheses / solver.dynamic_flow are not "
+            "implemented in the distributed estimator — disable them or "
+            "use the single-device step")
     from ..models import imu as imu_mod
     from ..models import vio_ba
     from ..ops import lie, pyramid
