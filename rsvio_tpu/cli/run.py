@@ -143,10 +143,10 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
             }
             from ..utils.config import make_imu_params
             from ..models.vio_ba import VIOBAConfig
-            if cfg.solver.dynamic_flow_center == "auto":
-                # VIO: IMU-anchored pose — flow measured raw (centering
-                # would let a tight mover cluster capture the median).
-                ecfg = ecfg._replace(dynamic_flow_center=False)
+            # Re-resolve the config for the VIO estimator kind (the
+            # "auto" centering policy lives in make_estimator_config —
+            # the single construction point).
+            ecfg, rig = make_estimator_config(cfg, kind="vio")
             vcfg = ev.VIOEstimatorConfig(
                 base=ecfg, imu_params=make_imu_params(cfg),
                 vio=VIOBAConfig(huber_delta=cfg.solver.huber_delta,

@@ -126,6 +126,31 @@ class EstimatorConfig(NamedTuple):
     # prior) set False: flows are measured against a trustworthy pose and
     # raw accumulation cannot be median-captured.
     dynamic_flow_center: bool = True
+    # --- Adaptive track-health defenses (round 5; both require the RANSAC
+    # gate, pnp.ransac_hypotheses > 0, which measures per-frame consensus).
+    # Health h in [0,1] = ramp of the winning-consensus inlier fraction
+    # between health_f_lo and health_f_hi; h=1 when the gate is off/not yet
+    # ready; h=health_floor when the gate ran but found no consensus (an
+    # information desert).
+    #
+    # pnp_prior_adaptive: scale the PnP motion prior by (1 - h) — a clean
+    # scene (h=1) pays ZERO prior lag while a contaminated/starved frame
+    # gets the full pnp.motion_prior_weight pull toward the anchor
+    # (VO: measured previous pose; VIO: the IMU prediction). This replaces
+    # the fixed-weight vo_dyn tradeoff (88x easy_plane penalty) with a
+    # measured-consensus dial.
+    pnp_prior_adaptive: bool = False
+    # vision_weight_adaptive: multiply the observation weights captured at
+    # keyframe insertion by max(h, health_floor), so the window solve
+    # down-weights ALL visual information gathered during low-consensus
+    # frames — the IMU factors + priors then hold the pose through the
+    # desert instead of being dragged by refit survivors (the round-4
+    # accel-bias leak). Requires use_obs_weights (the solvers consume the
+    # weights) — enforced in make_estimator_step via config validation.
+    vision_weight_adaptive: bool = False
+    health_f_lo: float = 0.5
+    health_f_hi: float = 0.9
+    health_floor: float = 0.1
     # Age ramp on the birth discount: recover the effective weight as
     #   w_eff = 1 - (1 - w_birth) * exp(-age_ramp * age)
     # (a surviving track "earns back" trust). MEASURED HARMFUL on the
@@ -184,7 +209,7 @@ class EstimatorState(NamedTuple):
     # cfg.dynamic_flow_thresh > 0; None otherwise — absent from the pytree)
     tri_prev: jnp.ndarray = None      # (N,3) last-KF instantaneous triang.
     tri_prev_fid: jnp.ndarray = None  # (N,) fid tag at capture
-    flow_acc: jnp.ndarray = None      # (N,3) decayed residual-flow sum
+    flow_acc: jnp.ndarray = None      # (N,2) decayed residual-flow sum
     flow_n: jnp.ndarray = None        # (N,) consecutive measurements
     # Frozen birth-time landmark copy for RANSAC verification (allocated
     # only when the consensus gate is on). NEVER refit by BA: a moving
@@ -245,6 +270,12 @@ class FrameOutput(NamedTuple):
     pose_ok: jnp.ndarray = True
     # Tracks killed by the scene-flow dynamic-object gate this frame.
     n_dyn_killed: jnp.ndarray = 0
+    # Winning RANSAC consensus size (0 when the gate is off/idle) and the
+    # number of PnP candidate observations — together the per-frame
+    # track-health signal (inlier fraction) that drives the adaptive
+    # defenses and surfaces in logs/bench.
+    n_ransac_inliers: jnp.ndarray = 0
+    n_pnp_candidates: jnp.ndarray = 0
 
 
 def effective_weights(cfg: EstimatorConfig, table: FeatureTable):
@@ -349,22 +380,256 @@ def scene_flow_gate(cfg: EstimatorConfig, rig: CameraRig, T_cur, obs_cur,
     return kill_dyn, tri_mem, jnp.sum(kill_dyn.astype(jnp.int32))
 
 
-def _build_stages(cfg: EstimatorConfig):
-    """The per-frame step as four stage functions mirroring the reference's
-    per-frame [Timing] breakdown (ref estimator.rs:252-259):
+class MotionOut(NamedTuple):
+    """Motion-stage outputs, bound BY NAME so adding a field cannot silently
+    break a consumer that unpacks positionally (the round-4 failure mode:
+    stage_motion grew a 5th return and the distributed estimator crashed)."""
+    T_cur: jnp.ndarray        # (4,4) current pose after PnP + health gate
+    pnp_success: jnp.ndarray  # () bool (includes pose_ok)
+    is_kf: jnp.ndarray        # () bool keyframe decision
+    pose_ok: jnp.ndarray      # () bool numerical-health flag
+    kill: jnp.ndarray         # (N,) RANSAC outlier excision set
+    ransac_ok: jnp.ndarray    # () bool consensus gate engaged + won
+    n_inliers: jnp.ndarray    # () int32 winning consensus size (0 when off)
+    n_pnp: jnp.ndarray        # () int32 PnP candidate observations
+    # Track health in [0,1] from the consensus inlier fraction (1.0 when
+    # the gate is off or not yet engaged) — drives the adaptive prior and
+    # adaptive vision weighting (EstimatorConfig.pnp_prior_adaptive /
+    # vision_weight_adaptive).
+    health: jnp.ndarray = 1.0
 
-      frame_creation   -> stage_frames   (pyramid construction)
-      patch_tracking   -> stage_track    (KLT frontend + undistortion)
-      motion_tracking  -> stage_motion   (PnP + keyframe policy)
-      optimization     -> stage_opt      (window roll, triangulation, BA)
+
+class KFPrep(NamedTuple):
+    """Keyframe prologue outputs (triangulation, scene-flow gate, window
+    roll, birth refinement) — everything the window solve and the epilogue
+    need. Produced by stage_kf_pre and consumed IDENTICALLY by the fused
+    single-device step and the host-orchestrated distributed step, so the
+    two cannot drift apart numerically."""
+    table: FeatureTable       # after dynamic-object excision
+    kf_T: jnp.ndarray         # (W,4,4) rolled window incl. this keyframe
+    kf_count: jnp.ndarray     # () int32 NEW count
+    obs_w: jnp.ndarray        # (W,2,N,2)
+    obs_m: jnp.ndarray        # (W,2,N)
+    obs_f: jnp.ndarray        # (W,N)
+    obs_wt: jnp.ndarray       # (W,N)
+    lm: jnp.ndarray           # (N,3) incl. fresh triangulations
+    lm_fid: jnp.ndarray       # (N,)
+    eff_mask: jnp.ndarray     # (W,2,N) BA observation validity
+    lm_valid: jnp.ndarray     # (N,)
+    tri_mem: tuple            # scene-flow gate memory (4-tuple, may be Nones)
+    n_dyn: jnp.ndarray        # () int32 tracks killed by the flow gate
+    lm_birth: jnp.ndarray     # (N,3) frozen birth map (None when gate off)
+    full_now: jnp.ndarray     # () bool — run BA this keyframe
+    will_evict: jnp.ndarray   # () bool — next insert rolls the window
+
+
+class Stages(NamedTuple):
+    """The per-frame step as named stage functions mirroring the reference's
+    [Timing] breakdown (ref estimator.rs:252-259):
+
+      frame_creation   -> frames   (pyramid construction)
+      patch_tracking   -> track    (KLT frontend + undistortion)
+      motion_tracking  -> motion   (RANSAC gate + PnP + keyframe policy)
+      optimization     -> opt      (excise + kf_pre + BA + kf_post, fused)
+
+    plus the sub-stages of `opt` (excise / kf_pre / kf_post) exposed so the
+    distributed estimator can compose the SAME functions around its sharded
+    window solve (parallel.dist_estimator) instead of re-implementing the
+    prologue — the round-4 unpack crash came from exactly that duplication.
+    """
+    frames: callable
+    track: callable
+    motion: callable
+    opt: callable
+    excise: callable
+    kf_pre: callable
+    kf_post: callable
+    ba_solve: callable   # single-device window solve (dist swaps this)
+
+
+def validate_adaptive_knobs(cfg: EstimatorConfig) -> None:
+    """Knob-coherence validation (the silently-inert-knob rule): the
+    adaptive defenses need the consensus signal and the weight channel.
+    Called by both the VO and VIO stage builders."""
+    if ((cfg.pnp_prior_adaptive or cfg.vision_weight_adaptive)
+            and cfg.pnp.ransac_hypotheses <= 0):
+        raise ValueError(
+            "pnp_prior_adaptive / vision_weight_adaptive require the RANSAC "
+            "consensus gate (pnp.ransac_hypotheses > 0) as the health signal")
+    if cfg.pnp_prior_adaptive and cfg.pnp.motion_prior_weight <= 0.0:
+        raise ValueError(
+            "pnp_prior_adaptive scales pnp.motion_prior_weight — set a "
+            "positive base weight")
+    if cfg.vision_weight_adaptive and not cfg.use_obs_weights:
+        raise ValueError(
+            "vision_weight_adaptive modulates the observation weights — "
+            "enable use_obs_weights so the solvers consume them")
+
+
+def excise_outliers(table: FeatureTable, obs_cur_mask, lm_fid, kill):
+    """Apply RANSAC outlier excision BEFORE the window insert: the killed
+    slot's landmark invalidates, its current-frame observation never enters
+    the window, and the slot frees for re-detection next frame.
+    (Past-window observations die with the landmark: eff_mask in
+    stage_kf_pre requires a VALID landmark via lm_valid.) Shared by the VO
+    and VIO estimators, fused and distributed."""
+    return (table._replace(alive=table.alive & ~kill),
+            obs_cur_mask & ~kill[None, :],
+            jnp.where(kill, -1, lm_fid))
+
+
+def run_motion(cfg: EstimatorConfig, rig: CameraRig, table, obs_cur,
+               obs_cur_mask, lm, lm_fid, lm_birth, kf_count, last_kf_T_W_B,
+               frame_id, T_pred, T_gate_seed, T_prior, T_fallback,
+               obs_w_slots=None, cv_bound_check=False) -> MotionOut:
+    """PnP motion tracking + keyframe policy, shared by the VO and VIO
+    estimators (single-device and distributed): optional RANSAC consensus
+    pre-gate, LM PnP polish with optional motion prior and score weights,
+    numerical-health recovery, the keyframe test, and the outlier-kill set.
+
+    Args beyond the obvious:
+      T_pred: pose initializing the PnP solve (VO: current / CV-extrapolated
+        pose, ref sliding_window.rs:506-515; VIO: the IMU prediction).
+      T_gate_seed: pose seeding the RANSAC hypothesis solves.
+      T_prior: anchor of the optional motion prior — MUST be a measured pose
+        or an EXTERNAL (IMU) prediction, never a vision extrapolation (see
+        pnp.solve_pnp: feedback runaway).
+      T_fallback: pose kept when PnP fails (ref estimator.rs:228-234).
+      obs_w_slots: optional (N,) per-slot observation weights.
+      cv_bound_check: apply the keyframe-relative motion bound (the CV
+        extrapolation runaway guard; VO with pnp_cv_predict only).
+    """
+    W = cfg.window_size
+    window_full = kf_count >= W
+    # PnP engages once any landmarks exist (frame 0 anchors the gauge); with
+    # track_before_full=False it waits for a full window like the reference.
+    pnp_ready = window_full if not cfg.track_before_full else (kf_count >= 1)
+
+    lm_ok = (lm_fid == table.fid) & (lm_fid >= 0) & table.alive
+    pnp_mask = obs_cur_mask & lm_ok[None, :]
+    n_pnp = jnp.sum(pnp_mask.astype(jnp.int32))
+
+    use_ransac = cfg.pnp.ransac_hypotheses > 0
+    if use_ransac:
+        # Consensus pre-gate: PnP sees only the winning rigid-motion
+        # group (see pnp.ransac_pnp_gate). Key is derived from the frame
+        # id — deterministic replay, no host RNG in the jitted step.
+        key = jax.random.fold_in(jax.random.PRNGKey(0x5A11AC), frame_id)
+
+        def run_gate(_):
+            # Verify against the FROZEN birth-time landmarks (see
+            # EstimatorState.lm_birth) — the BA-refit map chases a
+            # moving object, hiding it from any per-frame test.
+            return pnp_mod.ransac_pnp_gate(
+                T_gate_seed, rig.T_C_B, lm_birth, obs_cur,
+                pnp_mask, key, cfg.pnp, age=table.age)
+
+        def skip_gate(_):
+            return pnp_mask, jnp.asarray(False), jnp.asarray(0, jnp.int32)
+
+        inl_mask, ransac_ok, n_inl = jax.lax.cond(
+            pnp_ready, run_gate, skip_gate, None)
+    else:
+        inl_mask, ransac_ok = pnp_mask, jnp.asarray(False)
+        n_inl = jnp.asarray(0, jnp.int32)
+
+    dtype = T_pred.dtype
+    if use_ransac:
+        # Track health: consensus inlier fraction ramped between
+        # [health_f_lo, health_f_hi]; a gate that RAN but found no
+        # consensus is an information desert (health_floor); a gate not
+        # yet engaged reads healthy.
+        f_inl = n_inl.astype(dtype) / jnp.maximum(n_pnp.astype(dtype), 1.0)
+        ramp = jnp.clip((f_inl - cfg.health_f_lo)
+                        / max(cfg.health_f_hi - cfg.health_f_lo, 1e-6),
+                        0.0, 1.0)
+        health = jnp.where(ransac_ok, ramp,
+                           jnp.asarray(cfg.health_floor, dtype))
+        health = jnp.where(pnp_ready, health, jnp.asarray(1.0, dtype))
+    else:
+        health = jnp.asarray(1.0, dtype)
+
+    # NOTE (measured, round 5): do NOT scale the PnP observations by
+    # health here. The adaptive prior already arbitrates prediction-vs-
+    # vision in the polish; additionally shrinking the visual normal
+    # equations suppresses the per-frame correction of IMU bias drift on
+    # every mildly-degraded frame and COMPOUNDS (occlusion vio drift
+    # 14.4% -> 41.9% on the 320px/160f transit). Health-weighting belongs
+    # in the WINDOW solve (stage_kf_pre), where IMU factors can arbitrate.
+
+    def run_pnp(_):
+        res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, lm,
+                                obs_cur, inl_mask, cfg.pnp,
+                                T_W_B_prior=T_prior,
+                                obs_weight=obs_w_slots,
+                                prior_scale=(1.0 - health
+                                             if cfg.pnp_prior_adaptive
+                                             else None))
+        return res.T_W_B, res.success
+
+    def skip_pnp(_):
+        return T_fallback, jnp.asarray(False)
+
+    T_pnp, pnp_success = jax.lax.cond(pnp_ready, run_pnp, skip_pnp, None)
+    if cv_bound_check:
+        # Keyframe-relative motion bound (CV path only): legitimate
+        # motion since the last keyframe is ~threshold + a few frames
+        # (exceeding the threshold CREATES a keyframe), so a result far
+        # beyond it is the feedback loop, not the camera. Fail PnP
+        # (pose unchanged) instead of accepting the runaway.
+        rel = lie.se3_inverse(last_kf_T_W_B) @ T_pnp
+        bound_ok = ((jnp.linalg.norm(rel[:3, 3])
+                     <= 10.0 * cfg.translation_threshold + 0.5)
+                    & (lie.rotation_angle(rel[:3, :3])
+                       <= 10.0 * cfg.rotation_threshold + 0.5))
+        pnp_success = pnp_success & bound_ok
+    T_cur = jnp.where(pnp_success, T_pnp, T_fallback)
+
+    # Numerical-health gate (round-3 postmortem: a non-finite pose froze
+    # the keyframe policy forever — NaN comparisons are False — and the
+    # landmark table bled out while every artifact said "success"). A
+    # non-finite current pose recovers to the last keyframe pose, which
+    # is finite by induction (gated downstream before entering the window).
+    pose_ok = jnp.all(jnp.isfinite(T_cur))
+    T_cur = jnp.where(pose_ok, T_cur, last_kf_T_W_B)
+
+    # --- keyframe policy (ref estimator.rs:203-225)
+    T_rel = lie.se3_inverse(last_kf_T_W_B) @ T_cur
+    t_norm = jnp.linalg.norm(T_rel[:3, 3])
+    r_norm = lie.rotation_angle(T_rel[:3, :3])
+    is_kf = jnp.where(
+        window_full,
+        (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
+        True)  # every frame is a keyframe until the window fills
+
+    # RANSAC outlier excision (see EstimatorConfig.pnp_ransac_kill):
+    # tracks whose map observation fell outside the winning consensus
+    # set are killed — only when the gate engaged AND the polish solve
+    # succeeded (a failed solve says nothing about the observations).
+    if use_ransac and cfg.pnp_ransac_kill:
+        kill = (jnp.any(pnp_mask & ~inl_mask, axis=0)
+                & ransac_ok & pnp_success & pose_ok)
+    else:
+        kill = jnp.zeros(table.alive.shape, dtype=bool)
+    return MotionOut(T_cur=T_cur, pnp_success=pnp_success & pose_ok,
+                     is_kf=is_kf, pose_ok=pose_ok, kill=kill,
+                     ransac_ok=ransac_ok, n_inliers=n_inl, n_pnp=n_pnp,
+                     health=health)
+
+
+def _build_stages(cfg: EstimatorConfig) -> Stages:
+    """Build the named per-frame stage functions (see Stages).
 
     make_estimator_step composes them into ONE jitted step (production);
     make_estimator_split_step jits each separately and times the boundaries
-    (debug parity mode — the fused step cannot observe stage times).
-    """
+    (debug parity mode — the fused step cannot observe stage times);
+    parallel.dist_estimator composes the same sub-stages around the
+    landmark-sharded window solve."""
 
     W = cfg.window_size
     levels = cfg.frontend.klt.levels
+
+    validate_adaptive_knobs(cfg)
 
     def stage_frames(img0, img1):
         return pyramid.build_pyramid(img0, levels), \
@@ -382,41 +647,7 @@ def _build_stages(cfg: EstimatorConfig):
         return table, fstats, obs_cur, obs_cur_mask
 
     def stage_motion(state: EstimatorState, rig: CameraRig, table,
-                     obs_cur, obs_cur_mask):
-        window_full = state.kf_count >= W
-        # PnP engages once any landmarks exist (frame 0 anchors the gauge);
-        # with track_before_full=False it waits for a full window like the
-        # reference.
-        pnp_ready = window_full if not cfg.track_before_full else (
-            state.kf_count >= 1)
-
-        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
-        pnp_mask = obs_cur_mask & lm_ok[None, :]
-
-        use_ransac = cfg.pnp.ransac_hypotheses > 0
-        if use_ransac:
-            # Consensus pre-gate: PnP sees only the winning rigid-motion
-            # group (see pnp.ransac_pnp_gate). Key is derived from the frame
-            # id — deterministic replay, no host RNG in the jitted step.
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(0x5A11AC), state.frame_id)
-
-            def run_gate(_):
-                # Verify against the FROZEN birth-time landmarks (see
-                # EstimatorState.lm_birth) — the BA-refit map chases a
-                # moving object, hiding it from any per-frame test.
-                return pnp_mod.ransac_pnp_gate(
-                    state.T_W_B, rig.T_C_B, state.lm_birth, obs_cur,
-                    pnp_mask, key, cfg.pnp, age=table.age)
-
-            def skip_gate(_):
-                return pnp_mask, jnp.asarray(False), jnp.asarray(0, jnp.int32)
-
-            inl_mask, ransac_ok, _ = jax.lax.cond(
-                pnp_ready, run_gate, skip_gate, None)
-        else:
-            inl_mask, ransac_ok = pnp_mask, jnp.asarray(False)
-
+                     obs_cur, obs_cur_mask) -> MotionOut:
         if cfg.pnp_cv_predict:
             # OPT-IN constant-velocity prediction: T_pred = T * (T_prev^-1 T).
             # Guarded: a BA jump or bootstrap transient in the per-frame
@@ -434,186 +665,169 @@ def _build_stages(cfg: EstimatorConfig):
             # reference's semantics (ref sliding_window.rs:506-515) and the
             # long-run-stable configuration (see pnp_cv_predict docstring).
             T_pred = state.T_W_B
+        # Motion prior anchored at the MEASURED previous pose — anchoring at
+        # an extrapolated prediction closes a vision-only feedback loop
+        # (measured runaway; see solve_pnp docstring).
+        return run_motion(
+            cfg, rig, table, obs_cur, obs_cur_mask,
+            state.lm, state.lm_fid, state.lm_birth,
+            state.kf_count, state.last_kf_T_W_B, state.frame_id,
+            T_pred=T_pred, T_gate_seed=state.T_W_B, T_prior=state.T_W_B,
+            T_fallback=state.T_W_B,
+            obs_w_slots=(effective_weights(cfg, table)
+                         if cfg.use_obs_weights else None),
+            cv_bound_check=cfg.pnp_cv_predict)
 
-        def run_pnp(_):
-            # Anchor any motion prior at the MEASURED previous pose —
-            # anchoring at an extrapolated prediction closes a vision-only
-            # feedback loop (measured runaway; see solve_pnp docstring).
-            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
-                                    obs_cur, inl_mask, cfg.pnp,
-                                    T_W_B_prior=state.T_W_B,
-                                    obs_weight=(effective_weights(cfg, table)
-                                                if cfg.use_obs_weights
-                                                else None))
-            return res.T_W_B, res.success
+    stage_excise = excise_outliers
 
-        def skip_pnp(_):
-            return state.T_W_B, jnp.asarray(False)
+    def stage_kf_pre(state: EstimatorState, rig: CameraRig, table, obs_cur,
+                     obs_cur_mask, T_cur, health=1.0) -> KFPrep:
+        """Keyframe prologue: triangulate new landmarks, run the scene-flow
+        dynamic-object gate, FIFO-roll the window, insert the frame, build
+        the BA masks, optionally polish fresh births. `state` must already
+        carry the excised lm_fid (stage_excise)."""
+        window_full = state.kf_count >= W
+        lm, lm_fid, born, tri_all, tri_ok = _triangulate_new(
+            rig, T_cur, obs_cur, table, state.lm, state.lm_fid)
 
-        T_pnp, pnp_success = jax.lax.cond(pnp_ready, run_pnp, skip_pnp, None)
-        if cfg.pnp_cv_predict:
-            # Keyframe-relative motion bound (CV path only): legitimate
-            # motion since the last keyframe is ~threshold + a few frames
-            # (exceeding the threshold CREATES a keyframe), so a result far
-            # beyond it is the feedback loop, not the camera. Fail PnP
-            # (pose unchanged) instead of accepting the runaway.
-            rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_pnp
-            bound_ok = ((jnp.linalg.norm(rel[:3, 3])
-                         <= 10.0 * cfg.translation_threshold + 0.5)
-                        & (lie.rotation_angle(rel[:3, :3])
-                           <= 10.0 * cfg.rotation_threshold + 0.5))
-            pnp_success = pnp_success & bound_ok
-        T_cur = jnp.where(pnp_success, T_pnp, state.T_W_B)
-
-        # Numerical-health gate (round-3 postmortem: a non-finite pose froze
-        # the keyframe policy forever — NaN comparisons are False — and the
-        # landmark table bled out while every artifact said "success"). A
-        # non-finite current pose recovers to the last keyframe pose, which
-        # is finite by induction (gated below before entering the window).
-        pose_ok = jnp.all(jnp.isfinite(T_cur))
-        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
-
-        # --- keyframe policy (ref estimator.rs:203-225)
-        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
-        t_norm = jnp.linalg.norm(T_rel[:3, 3])
-        r_norm = lie.rotation_angle(T_rel[:3, :3])
-        is_kf = jnp.where(
-            window_full,
-            (t_norm > cfg.translation_threshold) | (r_norm > cfg.rotation_threshold),
-            True)  # every frame is a keyframe until the window fills
-
-        # RANSAC outlier excision (see EstimatorConfig.pnp_ransac_kill):
-        # tracks whose map observation fell outside the winning consensus
-        # set are killed — only when the gate engaged AND the polish solve
-        # succeeded (a failed solve says nothing about the observations).
-        if use_ransac and cfg.pnp_ransac_kill:
-            kill = (jnp.any(pnp_mask & ~inl_mask, axis=0)
-                    & ransac_ok & pnp_success & pose_ok)
+        if cfg.dynamic_flow_thresh > 0:
+            kill_dyn, tri_mem, n_dyn = scene_flow_gate(
+                cfg, rig, T_cur, obs_cur, obs_cur_mask, table,
+                tri_all, tri_ok, state.tri_prev, state.tri_prev_fid,
+                state.flow_acc, state.flow_n)
+            table = table._replace(alive=table.alive & ~kill_dyn)
+            lm_fid = jnp.where(kill_dyn, -1, lm_fid)
         else:
-            kill = jnp.zeros(table.alive.shape, dtype=bool)
-        return T_cur, pnp_success & pose_ok, is_kf, pose_ok, kill
+            tri_mem = (state.tri_prev, state.tri_prev_fid,
+                       state.flow_acc, state.flow_n)
+            n_dyn = jnp.asarray(0, jnp.int32)
+        obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
+        # Frozen verification map: capture births, never refit.
+        lm_birth = (jnp.where(born[:, None], tri_all, state.lm_birth)
+                    if state.lm_birth is not None else None)
+
+        # FIFO roll: if full, shift left; insert at min(kf_count, W-1).
+        ins = jnp.minimum(state.kf_count, W - 1)
+
+        def roll_if_full(arr):
+            rolled = jnp.roll(arr, -1, axis=0)
+            return jnp.where(window_full, rolled, arr)
+
+        kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
+        obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
+        obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask_eff)
+        obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+        w_ins = effective_weights(cfg, table)
+        if cfg.vision_weight_adaptive:
+            # Low-consensus frames contribute proportionally less visual
+            # information to the window solve (see EstimatorConfig).
+            w_ins = w_ins * jnp.maximum(jnp.asarray(health, w_ins.dtype),
+                                        cfg.health_floor)
+        obs_wt = roll_if_full(state.obs_w).at[ins].set(w_ins)
+        kf_count = jnp.minimum(state.kf_count + 1, W)
+
+        # BA once >= 2 keyframes exist (or, for reference parity, only
+        # when the window is full — ref sliding_window.rs:137-157).
+        full_now = (kf_count >= W if not cfg.track_before_full
+                    else kf_count >= 2)
+        # Observation valid only if slot not recycled since that KF.
+        eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
+        # Zero out rows for not-yet-filled KF slots.
+        kf_valid = jnp.arange(W) < kf_count
+        eff_mask = eff_mask & kf_valid[:, None, None]
+        lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+
+        if cfg.refine_births:
+            # Polish freshly triangulated landmarks against EVERY window
+            # observation of their feature (poses fixed) before they
+            # enter BA — the reference's PinholeProjectionFactor as a
+            # birth-quality upgrade (ref factors.rs:27-133).
+            from ..ops.projection import refine_landmarks
+            T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
+            mask_b = eff_mask & born[None, None, :]
+            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                              obs_w, mask_b)
+            lm = jnp.where((born & ok_ref)[:, None], lm_ref, lm)
+
+        return KFPrep(table=table, kf_T=kf_T, kf_count=kf_count,
+                      obs_w=obs_w, obs_m=obs_m, obs_f=obs_f, obs_wt=obs_wt,
+                      lm=lm, lm_fid=lm_fid, eff_mask=eff_mask,
+                      lm_valid=lm_valid, tri_mem=tri_mem, n_dyn=n_dyn,
+                      lm_birth=lm_birth, full_now=full_now,
+                      # will_evict: the NEXT keyframe insert rolls the window
+                      # only once it is at capacity — producing a rolled
+                      # prior any earlier (e.g. at full_now with
+                      # track_before_full) would misalign the prior slots
+                      # with the un-rolled window.
+                      will_evict=kf_count >= W)
+
+    def ba_solve(prep: KFPrep, rig: CameraRig, marg_prior):
+        """Single-device window solve; the distributed step swaps this for
+        parallel.dist_ba with identical argument semantics."""
+        ba_w = prep.obs_wt if cfg.use_obs_weights else None
+        if cfg.use_marginalization:
+            res, new_prior = ba_mod.solve_ba_marginalized(
+                prep.kf_T, rig.T_C_B, prep.lm, prep.obs_w, prep.eff_mask,
+                prep.lm_valid, marg_prior, prep.will_evict, cfg.ba,
+                obs_weight=ba_w)
+        else:
+            res = ba_mod.solve_ba(prep.kf_T, rig.T_C_B, prep.lm, prep.obs_w,
+                                  prep.eff_mask, prep.lm_valid, cfg.ba,
+                                  obs_weight=ba_w)
+            new_prior = marg_prior
+        return (res.T_W_B, res.landmarks, res.success, res.iterations,
+                res.final_cost, new_prior)
+
+    def stage_kf_post(prep: KFPrep, rig: CameraRig, res_T, res_lm, ba_ok):
+        """Keyframe epilogue: accept/reject the solve (the single-device
+        solvers also roll back internally, so the `where` is a no-op there;
+        the distributed solvers rely on it), optional reprojection culling,
+        and the new current pose."""
+        kf_T = jnp.where(ba_ok, res_T, prep.kf_T)
+        lm = jnp.where(ba_ok, res_lm, prep.lm)
+        lm_fid = prep.lm_fid
+        if cfg.cull_reproj_threshold > 0.0:
+            bad = reprojection_outliers(
+                rig.T_C_B, kf_T, lm, prep.obs_w, prep.eff_mask,
+                prep.lm_valid, cfg.cull_reproj_threshold ** 2) & ba_ok
+            lm_fid = jnp.where(bad, -1, lm_fid)
+        T_new = kf_T[jnp.minimum(prep.kf_count, W) - 1]
+        return kf_T, lm, lm_fid, T_new
 
     def stage_opt(state: EstimatorState, rig: CameraRig, pyr0, pyr1, table,
-                  fstats, obs_cur, obs_cur_mask, T_cur, pnp_success, is_kf,
-                  pose_ok, kill):
-        window_full = state.kf_count >= W
-
-        # Apply RANSAC outlier excision BEFORE the window insert: the killed
-        # slot's landmark invalidates, its current-frame observation never
-        # enters the window, and the slot frees for re-detection next frame.
-        # (Past-window observations die with the landmark: eff_mask in
-        # kf_branch requires a VALID landmark via lm_valid.)
-        table = table._replace(alive=table.alive & ~kill)
-        obs_cur_mask = obs_cur_mask & ~kill[None, :]
-        state = state._replace(lm_fid=jnp.where(kill, -1, state.lm_fid))
+                  fstats, obs_cur, obs_cur_mask, mo: MotionOut):
+        table, obs_cur_mask, lm_fid0 = stage_excise(
+            table, obs_cur_mask, state.lm_fid, mo.kill)
+        state = state._replace(lm_fid=lm_fid0)
+        T_cur = mo.T_cur
+        is_kf, pnp_success, pose_ok = mo.is_kf, mo.pnp_success, mo.pose_ok
 
         # --- keyframe branch: triangulate, roll window, BA
-        def kf_branch(operand):
-            table, T_cur, lm, lm_fid = operand
-            lm, lm_fid, born, tri_all, tri_ok = _triangulate_new(
-                rig, T_cur, obs_cur, table, lm, lm_fid)
-
-            if cfg.dynamic_flow_thresh > 0:
-                kill_dyn, tri_mem, n_dyn = scene_flow_gate(
-                    cfg, rig, T_cur, obs_cur, obs_cur_mask, table,
-                    tri_all, tri_ok, state.tri_prev, state.tri_prev_fid,
-                    state.flow_acc, state.flow_n)
-                table = table._replace(alive=table.alive & ~kill_dyn)
-                lm_fid = jnp.where(kill_dyn, -1, lm_fid)
-            else:
-                tri_mem = (state.tri_prev, state.tri_prev_fid,
-                           state.flow_acc, state.flow_n)
-                n_dyn = jnp.asarray(0, jnp.int32)
-            obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
-            # Frozen verification map: capture births, never refit.
-            lm_birth = (jnp.where(born[:, None], tri_all, state.lm_birth)
-                        if state.lm_birth is not None else None)
-
-            # FIFO roll: if full, shift left; insert at min(kf_count, W-1).
-            ins = jnp.minimum(state.kf_count, W - 1)
-
-            def roll_if_full(arr):
-                rolled = jnp.roll(arr, -1, axis=0)
-                return jnp.where(window_full, rolled, arr)
-
-            kf_T = roll_if_full(state.kf_T_W_B)
-            obs_w = roll_if_full(state.obs)
-            obs_m = roll_if_full(state.obs_mask)
-            obs_f = roll_if_full(state.obs_fid)
-            obs_wt = roll_if_full(state.obs_w)
-
-            kf_T = kf_T.at[ins].set(T_cur)
-            obs_w = obs_w.at[ins].set(obs_cur)
-            obs_m = obs_m.at[ins].set(obs_cur_mask_eff)
-            obs_f = obs_f.at[ins].set(table.fid)
-            obs_wt = obs_wt.at[ins].set(effective_weights(cfg, table))
-            kf_count = jnp.minimum(state.kf_count + 1, W)
-
-            # BA once >= 2 keyframes exist (or, for reference parity, only
-            # when the window is full — ref sliding_window.rs:137-157).
-            full_now = (kf_count >= W if not cfg.track_before_full
-                        else kf_count >= 2)
-            # Observation valid only if slot not recycled since that KF.
-            eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
-            # Zero out rows for not-yet-filled KF slots.
-            kf_valid = jnp.arange(W) < kf_count
-            eff_mask = eff_mask & kf_valid[:, None, None]
-            lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
-
-            if cfg.refine_births:
-                # Polish freshly triangulated landmarks against EVERY window
-                # observation of their feature (poses fixed) before they
-                # enter BA — the reference's PinholeProjectionFactor as a
-                # birth-quality upgrade (ref factors.rs:27-133).
-                from ..ops.projection import refine_landmarks
-                T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
-                mask_b = eff_mask & born[None, None, :]
-                lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
-                                                  obs_w, mask_b)
-                lm = jnp.where((born & ok_ref)[:, None], lm_ref, lm)
-
-            ba_w = obs_wt if cfg.use_obs_weights else None
+        def kf_branch(_):
+            prep = stage_kf_pre(state, rig, table, obs_cur, obs_cur_mask,
+                                T_cur, mo.health)
 
             def run_ba(_):
-                if cfg.use_marginalization:
-                    # will_evict: the NEXT keyframe insert rolls the window
-                    # only once it is at capacity — producing a rolled prior
-                    # any earlier (e.g. at full_now with track_before_full)
-                    # would misalign the prior slots with the un-rolled
-                    # window.
-                    res, new_prior = ba_mod.solve_ba_marginalized(
-                        kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        state.marg_prior, kf_count >= W, cfg.ba,
-                        obs_weight=ba_w)
-                else:
-                    res = ba_mod.solve_ba(kf_T, rig.T_C_B, lm, obs_w,
-                                          eff_mask, lm_valid, cfg.ba,
-                                          obs_weight=ba_w)
-                    new_prior = state.marg_prior
-                return (res.T_W_B, res.landmarks, res.success,
-                        res.iterations, res.final_cost, new_prior)
+                return ba_solve(prep, rig, state.marg_prior)
 
             def skip_ba(_):
-                return (kf_T, lm, jnp.asarray(False),
+                return (prep.kf_T, prep.lm, jnp.asarray(False),
                         jnp.asarray(0, jnp.int32),
-                        jnp.asarray(0.0, kf_T.dtype), state.marg_prior)
+                        jnp.asarray(0.0, prep.kf_T.dtype), state.marg_prior)
 
-            kf_T, lm, ba_ok, ba_it, ba_cost, new_prior = jax.lax.cond(
-                full_now, run_ba, skip_ba, None)
-            if cfg.cull_reproj_threshold > 0.0:
-                bad = reprojection_outliers(
-                    rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
-                    cfg.cull_reproj_threshold ** 2) & ba_ok
-                lm_fid = jnp.where(bad, -1, lm_fid)
-            T_new = kf_T[jnp.minimum(kf_count, W) - 1]
-            return (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
+            res_T, res_lm, ba_ok, ba_it, ba_cost, new_prior = jax.lax.cond(
+                prep.full_now, run_ba, skip_ba, None)
+            kf_T, lm, lm_fid, T_new = stage_kf_post(prep, rig, res_T,
+                                                    res_lm, ba_ok)
+            return (kf_T, prep.kf_count, prep.obs_w, prep.obs_m, prep.obs_f,
+                    prep.obs_wt, lm, lm_fid,
                     T_new, T_new, ba_ok, ba_it, ba_cost, new_prior,
-                    table.alive, tri_mem, n_dyn, lm_birth)
+                    prep.table.alive, prep.tri_mem, prep.n_dyn,
+                    prep.lm_birth)
 
-        def no_kf_branch(operand):
-            table, T_cur, lm, lm_fid = operand
+        def no_kf_branch(_):
             return (state.kf_T_W_B, state.kf_count, state.obs, state.obs_mask,
-                    state.obs_fid, state.obs_w, lm, lm_fid, T_cur,
+                    state.obs_fid, state.obs_w, state.lm, state.lm_fid, T_cur,
                     state.last_kf_T_W_B,
                     jnp.asarray(False), jnp.asarray(0, jnp.int32),
                     jnp.asarray(0.0, T_cur.dtype), state.marg_prior,
@@ -625,8 +839,7 @@ def _build_stages(cfg: EstimatorConfig):
         (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid, T_out,
          last_kf, ba_ok, ba_it, ba_cost, marg_prior, alive_out, tri_mem,
          n_dyn, lm_birth_out) = jax.lax.cond(
-            is_kf, kf_branch, no_kf_branch,
-            (table, T_cur, state.lm, state.lm_fid))
+            is_kf, kf_branch, no_kf_branch, None)
         table = table._replace(alive=alive_out)
 
         new_state = EstimatorState(
@@ -653,25 +866,27 @@ def _build_stages(cfg: EstimatorConfig):
             n_tracked=fstats["tracked"], n_landmarks=jnp.sum(
                 ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
             n_alive=fstats["alive"], pose_ok=pose_ok, n_dyn_killed=n_dyn,
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
         )
         return new_state, out
 
-    return stage_frames, stage_track, stage_motion, stage_opt
+    return Stages(frames=stage_frames, track=stage_track,
+                  motion=stage_motion, opt=stage_opt, excise=stage_excise,
+                  kf_pre=stage_kf_pre, kf_post=stage_kf_post,
+                  ba_solve=ba_solve)
 
 
 def make_estimator_step(cfg: EstimatorConfig):
     """Build the jitted per-frame step: (state, rig, img0, img1) -> (state, out)."""
-    stage_frames, stage_track, stage_motion, stage_opt = _build_stages(cfg)
+    st = _build_stages(cfg)
 
     def step(state: EstimatorState, rig: CameraRig, img0, img1):
-        pyr0, pyr1 = stage_frames(img0, img1)
-        table, fstats, obs_cur, obs_cur_mask = stage_track(
+        pyr0, pyr1 = st.frames(img0, img1)
+        table, fstats, obs_cur, obs_cur_mask = st.track(
             state, rig, pyr0, pyr1)
-        T_cur, pnp_success, is_kf, pose_ok, kill = stage_motion(
-            state, rig, table, obs_cur, obs_cur_mask)
-        return stage_opt(state, rig, pyr0, pyr1, table, fstats, obs_cur,
-                         obs_cur_mask, T_cur, pnp_success, is_kf, pose_ok,
-                         kill)
+        mo = st.motion(state, rig, table, obs_cur, obs_cur_mask)
+        return st.opt(state, rig, pyr0, pyr1, table, fstats, obs_cur,
+                      obs_cur_mask, mo)
 
     return jax.jit(step)
 
@@ -693,11 +908,11 @@ def make_estimator_split_step(cfg: EstimatorConfig):
     """
     import time
 
-    stage_frames, stage_track, stage_motion, stage_opt = _build_stages(cfg)
-    j_frames = jax.jit(stage_frames)
-    j_track = jax.jit(stage_track)
-    j_motion = jax.jit(stage_motion)
-    j_opt = jax.jit(stage_opt)
+    st = _build_stages(cfg)
+    j_frames = jax.jit(st.frames)
+    j_track = jax.jit(st.track)
+    j_motion = jax.jit(st.motion)
+    j_opt = jax.jit(st.opt)
 
     def step(state: EstimatorState, rig: CameraRig, img0, img1):
         times = {}
@@ -712,7 +927,7 @@ def make_estimator_split_step(cfg: EstimatorConfig):
         t3 = time.perf_counter()
         times["motion_tracking"] = (t3 - t2) * 1e3
         new_state, out = jax.block_until_ready(
-            j_opt(state, rig, *pyrs, *tr, *mo))
+            j_opt(state, rig, *pyrs, *tr, mo))
         times["optimization"] = (time.perf_counter() - t3) * 1e3
         return new_state, out, times
 

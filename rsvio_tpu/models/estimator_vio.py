@@ -30,6 +30,7 @@ from ..ops import lie, pyramid
 from . import imu as imu_mod
 from . import pnp as pnp_mod
 from . import vio_ba
+from . import estimator as est_mod
 from .estimator import (CameraRig, EstimatorConfig, FrameOutput,
                         _triangulate_new, _undistort_table,
                         reprojection_outliers)
@@ -143,6 +144,10 @@ class VIOEstimatorState(NamedTuple):
     tri_prev_fid: jnp.ndarray = None
     flow_acc: jnp.ndarray = None
     flow_n: jnp.ndarray = None
+    # Frozen birth-time landmark copy for RANSAC verification (allocated
+    # only when base.pnp.ransac_hypotheses > 0; see EstimatorState.lm_birth
+    # for the design rationale — never refit by BA).
+    lm_birth: jnp.ndarray = None
 
 
 def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorState:
@@ -184,6 +189,8 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
                 flow_acc=jnp.zeros((N, 2), dtype=dtype),
                 flow_n=jnp.zeros((N,), jnp.int32))
            if b.dynamic_flow_thresh > 0 else {}),
+        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype))
+           if b.pnp.ransac_hypotheses > 0 else {}),
     )
 
 
@@ -258,15 +265,72 @@ def _imu_predict(T_W_B, vel, pre: Preintegrated):
     return lie.se3_from_rt(R_new, p_new), v_new
 
 
-def make_vio_estimator_step(cfg: VIOEstimatorConfig):
-    """Jitted per-frame VIO step:
-    (state, rig, img0, img1, gyro (S,3), accel (S,3), dts (S,), imu_mask (S,))
-    -> (state, FrameOutput)."""
+class VIOFrontOut(NamedTuple):
+    """Outputs of the VIO front stage (pyramids, IMU buffering, frontend,
+    motion tracking) — bound by name (see estimator.MotionOut)."""
+    pyr0: tuple
+    pyr1: tuple
+    table: object
+    fstats: dict
+    obs_cur: jnp.ndarray
+    obs_cur_mask: jnp.ndarray
+    buf_gyro: jnp.ndarray
+    buf_accel: jnp.ndarray
+    buf_dts: jnp.ndarray
+    buf_count: jnp.ndarray
+    v_pred: jnp.ndarray
+    mo: est_mod.MotionOut
+
+
+class VIOKFPrep(NamedTuple):
+    """VIO keyframe prologue outputs (see estimator.KFPrep): the visual
+    window pieces plus velocity/bias states and the re-preintegrated IMU
+    intervals. Consumed identically by the fused single-device step and the
+    distributed step (parallel.dist_estimator)."""
+    table: object
+    kf_T: jnp.ndarray
+    kf_v: jnp.ndarray
+    kf_bg: jnp.ndarray
+    kf_ba: jnp.ndarray
+    kf_count: jnp.ndarray
+    obs_w: jnp.ndarray
+    obs_m: jnp.ndarray
+    obs_f: jnp.ndarray
+    obs_wt: jnp.ndarray
+    kf_preint: Preintegrated
+    kf_preint_valid: jnp.ndarray
+    lm: jnp.ndarray
+    lm_fid: jnp.ndarray
+    eff_mask: jnp.ndarray
+    lm_valid: jnp.ndarray
+    tri_mem: tuple
+    n_dyn: jnp.ndarray
+    lm_birth: jnp.ndarray
+    full_now: jnp.ndarray
+    will_evict: jnp.ndarray
+
+
+class VIOStages(NamedTuple):
+    front: callable
+    excise: callable
+    kf_pre: callable
+    kf_post: callable
+    ba_solve: callable   # single-device joint solve (dist swaps this)
+
+
+def _build_vio_stages(cfg: VIOEstimatorConfig) -> VIOStages:
+    """The per-frame VIO step as named stage functions, shared verbatim by
+    make_vio_estimator_step (fused) and
+    parallel.dist_estimator.make_distributed_vio_estimator_step (host-
+    orchestrated around the landmark-sharded solve) — the same
+    one-pipeline-many-solvers structure as estimator._build_stages."""
     b = cfg.base
     W = b.window_size
+    B_cap = cfg.interval_buf
+    est_mod.validate_adaptive_knobs(b)
 
-    def step(state: VIOEstimatorState, rig: CameraRig, img0, img1,
-             gyro, accel, dts, imu_mask):
+    def stage_front(state: VIOEstimatorState, rig: CameraRig, img0, img1,
+                    gyro, accel, dts, imu_mask) -> VIOFrontOut:
         pyr0 = pyramid.build_pyramid(img0, b.frontend.klt.levels)
         pyr1 = pyramid.build_pyramid(img1, b.frontend.klt.levels)
 
@@ -276,15 +340,16 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                                          state.bg, state.ba, cfg.imu_params)
         have_samples = jnp.any(imu_mask)
         n_new = jnp.sum(imu_mask.astype(jnp.int32))
-        B_cap = cfg.interval_buf
         # Scatter the frame's masked samples at buf_count.. (static-shape
         # scatter via target indices; overflow clamps to the last slot and is
         # flagged by buf_count saturating).
         tgt = state.buf_count + jnp.cumsum(imu_mask.astype(jnp.int32)) - 1
         tgt = jnp.where(imu_mask, jnp.clip(tgt, 0, B_cap - 1), B_cap)
+
         def buf_scatter(buf, vals):
             padded = jnp.concatenate([buf, buf[-1:]], axis=0)
             return padded.at[tgt].set(vals)[:B_cap]
+
         buf_gyro = buf_scatter(state.buf_gyro, gyro)
         buf_accel = buf_scatter(state.buf_accel, accel)
         buf_dts = buf_scatter(state.buf_dts, dts)
@@ -297,184 +362,251 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             table_in, state.pyr0, state.pyr1, pyr0, pyr1, b.frontend)
         obs_cur, obs_cur_mask = _undistort_table(b, rig, table)
 
-        window_full = state.kf_count >= W
-        pnp_ready = window_full if not b.track_before_full else (
-            state.kf_count >= 1)
-
-        # ---- IMU motion prediction, PnP refinement ----
+        # ---- IMU motion prediction, then the SHARED motion stage (RANSAC
+        # gate + PnP polish + health gate + keyframe policy). The prediction
+        # is EXTERNAL (IMU), so it seeds the hypothesis solves, anchors any
+        # motion prior, and is the failure fallback.
         T_pred, v_pred = _imu_predict(state.T_W_B, state.vel, frame_pre)
         T_pred = jax.tree.map(
             lambda a, b_: jnp.where(have_samples, a, b_), T_pred, state.T_W_B)
         v_pred = jnp.where(have_samples, v_pred, state.vel)
 
-        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
-        pnp_mask = obs_cur_mask & lm_ok[None, :]
+        mo = est_mod.run_motion(
+            b, rig, table, obs_cur, obs_cur_mask,
+            state.lm, state.lm_fid, state.lm_birth,
+            state.kf_count, state.last_kf_T_W_B, state.frame_id,
+            T_pred=T_pred, T_gate_seed=T_pred, T_prior=T_pred,
+            T_fallback=T_pred,
+            # VIO uses the permanent birth weight (no age ramp — see
+            # EstimatorConfig.obs_weight_age_ramp: measured harmful).
+            obs_w_slots=(table.w if b.use_obs_weights else None),
+            cv_bound_check=False)
+        return VIOFrontOut(pyr0=pyr0, pyr1=pyr1, table=table, fstats=fstats,
+                           obs_cur=obs_cur, obs_cur_mask=obs_cur_mask,
+                           buf_gyro=buf_gyro, buf_accel=buf_accel,
+                           buf_dts=buf_dts, buf_count=buf_count,
+                           v_pred=v_pred, mo=mo)
 
-        def run_pnp(_):
-            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
-                                    obs_cur, pnp_mask, b.pnp)
-            return res.T_W_B, res.success
+    def stage_kf_pre(state: VIOEstimatorState, rig: CameraRig, table,
+                     obs_cur, obs_cur_mask, buf_gyro, buf_accel, buf_dts,
+                     buf_count, T_cur, v_cur, health=1.0) -> VIOKFPrep:
+        """Keyframe prologue: triangulation, scene-flow gate, window/preint
+        rolls, interval re-preintegration at the current bias, birth
+        refinement. `state` must already carry the excised lm_fid."""
+        window_full = state.kf_count >= W
+        lm, lm_fid, born, tri_all, tri_ok = _triangulate_new(
+            rig, T_cur, obs_cur, table, state.lm, state.lm_fid)
+        if b.dynamic_flow_thresh > 0:
+            from .estimator import scene_flow_gate
+            kill_dyn, tri_mem, n_dyn = scene_flow_gate(
+                b, rig, T_cur, obs_cur, obs_cur_mask, table,
+                tri_all, tri_ok, state.tri_prev, state.tri_prev_fid,
+                state.flow_acc, state.flow_n)
+            table = table._replace(alive=table.alive & ~kill_dyn)
+            lm_fid = jnp.where(kill_dyn, -1, lm_fid)
+        else:
+            tri_mem = (state.tri_prev, state.tri_prev_fid,
+                       state.flow_acc, state.flow_n)
+            n_dyn = jnp.asarray(0, jnp.int32)
+        obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
+        # Frozen verification map: capture births, never refit.
+        lm_birth = (jnp.where(born[:, None], tri_all, state.lm_birth)
+                    if state.lm_birth is not None else None)
+        ins = jnp.minimum(state.kf_count, W - 1)
 
-        T_pnp, pnp_success = jax.lax.cond(
-            pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
-        T_cur = jnp.where(pnp_success, T_pnp, T_pred)
-        # Numerical-health gate (see estimator.stage_motion): a non-finite
-        # pose recovers to the last keyframe pose instead of freezing the
-        # keyframe policy forever.
-        pose_ok = jnp.all(jnp.isfinite(T_cur))
-        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
-        pnp_success = pnp_success & pose_ok
+        def roll_if_full(arr):
+            return jnp.where(window_full, jnp.roll(arr, -1, axis=0), arr)
 
-        # ---- keyframe policy ----
-        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
-        is_kf = jnp.where(
-            window_full,
-            (jnp.linalg.norm(T_rel[:3, 3]) > b.translation_threshold)
-            | (lie.rotation_angle(T_rel[:3, :3]) > b.rotation_threshold),
-            True)
+        kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
+        kf_v = roll_if_full(state.kf_vel).at[ins].set(v_cur)
+        kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
+        kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
+        obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
+        obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask_eff)
+        obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
+        w_ins = table.w
+        if b.vision_weight_adaptive:
+            # Desert coasting: visual information gathered during
+            # low-consensus frames is down-weighted so the IMU factors +
+            # priors hold the pose (the round-4 accel-bias leak closes
+            # because the dragging visual residuals carry ~h^2 weight).
+            w_ins = w_ins * jnp.maximum(jnp.asarray(health, w_ins.dtype),
+                                        b.health_floor)
+        obs_wt = roll_if_full(state.obs_w).at[ins].set(w_ins)
+        # interval i joins KF i and i+1: re-preintegrate the buffered
+        # samples at the CURRENT bias estimate (exact — avoids the
+        # first-order error of chaining per-frame preintegrations) and
+        # land the result at slot ins-1 (valid only when a previous KF
+        # exists and the buffer did not overflow).
+        buf_mask = jnp.arange(B_cap) < buf_count
+        run_pre = imu_mod.preintegrate(
+            buf_gyro, buf_accel, buf_dts, buf_mask,
+            state.bg, state.ba, cfg.imu_params)
+        run_valid = (buf_count > 0) & (buf_count < B_cap)
+        pre_roll = jax.tree.map(
+            lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
+            state.kf_preint)
+        pv_roll = jnp.where(window_full,
+                            jnp.roll(state.kf_preint_valid, -1),
+                            state.kf_preint_valid)
+        slot = jnp.clip(ins - 1, 0, W - 2)
+        kf_pre = jax.tree.map(
+            lambda arr, v: arr.at[slot].set(
+                jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
+        kf_pv = pv_roll.at[slot].set(
+            jnp.where(ins > 0, run_valid, pv_roll[slot]))
+        kf_count = jnp.minimum(state.kf_count + 1, W)
 
-        def kf_branch(operand):
-            (table, T_cur, v_cur, lm, lm_fid) = operand
-            lm, lm_fid, _born, _tri, _tri_ok = _triangulate_new(rig, T_cur, obs_cur, table, lm, lm_fid)
-            if b.dynamic_flow_thresh > 0:
-                from .estimator import scene_flow_gate
-                kill_dyn, tri_mem, n_dyn = scene_flow_gate(
-                    b, rig, T_cur, obs_cur, obs_cur_mask, table,
-                    _tri, _tri_ok, state.tri_prev, state.tri_prev_fid,
-                    state.flow_acc, state.flow_n)
-                table = table._replace(alive=table.alive & ~kill_dyn)
-                lm_fid = jnp.where(kill_dyn, -1, lm_fid)
-            else:
-                tri_mem = (state.tri_prev, state.tri_prev_fid,
-                           state.flow_acc, state.flow_n)
-                n_dyn = jnp.asarray(0, jnp.int32)
-            obs_cur_mask_eff = obs_cur_mask & table.alive[None, :]
-            ins = jnp.minimum(state.kf_count, W - 1)
+        full_now = (kf_count >= W if not b.track_before_full
+                    else kf_count >= 2)
+        eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
+        kf_valid = jnp.arange(W) < kf_count
+        eff_mask = eff_mask & kf_valid[:, None, None]
+        lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
 
-            def roll_if_full(arr):
-                return jnp.where(window_full, jnp.roll(arr, -1, axis=0), arr)
+        if b.refine_births:
+            # N-view polish of fresh births (see estimator.stage_kf_pre).
+            from ..ops.projection import refine_landmarks
+            T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
+            mask_b = eff_mask & born[None, None, :]
+            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
+                                              obs_w, mask_b)
+            lm = jnp.where((born & ok_ref)[:, None], lm_ref, lm)
 
-            kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
-            kf_v = roll_if_full(state.kf_vel).at[ins].set(v_cur)
-            kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
-            kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
-            obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
-            obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask_eff)
-            obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
-            obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
-            # interval i joins KF i and i+1: re-preintegrate the buffered
-            # samples at the CURRENT bias estimate (exact — avoids the
-            # first-order error of chaining per-frame preintegrations) and
-            # land the result at slot ins-1 (valid only when a previous KF
-            # exists and the buffer did not overflow).
-            buf_mask = jnp.arange(B_cap) < buf_count
-            run_pre = imu_mod.preintegrate(
-                buf_gyro, buf_accel, buf_dts, buf_mask,
-                state.bg, state.ba, cfg.imu_params)
-            run_valid = (buf_count > 0) & (buf_count < B_cap)
-            pre_roll = jax.tree.map(
-                lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
-                state.kf_preint)
-            pv_roll = jnp.where(window_full,
-                                jnp.roll(state.kf_preint_valid, -1),
-                                state.kf_preint_valid)
-            slot = jnp.clip(ins - 1, 0, W - 2)
-            kf_pre = jax.tree.map(
-                lambda arr, v: arr.at[slot].set(
-                    jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
-            kf_pv = pv_roll.at[slot].set(
-                jnp.where(ins > 0, run_valid, pv_roll[slot]))
-            kf_count = jnp.minimum(state.kf_count + 1, W)
+        return VIOKFPrep(table=table, kf_T=kf_T, kf_v=kf_v, kf_bg=kf_bg,
+                         kf_ba=kf_ba_, kf_count=kf_count,
+                         obs_w=obs_w, obs_m=obs_m, obs_f=obs_f,
+                         obs_wt=obs_wt, kf_preint=kf_pre,
+                         kf_preint_valid=kf_pv, lm=lm, lm_fid=lm_fid,
+                         eff_mask=eff_mask, lm_valid=lm_valid,
+                         tri_mem=tri_mem, n_dyn=n_dyn, lm_birth=lm_birth,
+                         full_now=full_now,
+                         # will_evict only when the NEXT insert actually
+                         # rolls the window (at capacity) so prior slots
+                         # stay aligned.
+                         will_evict=kf_count >= W)
 
-            full_now = (kf_count >= W if not b.track_before_full
-                        else kf_count >= 2)
-            eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
-            kf_valid = jnp.arange(W) < kf_count
-            eff_mask = eff_mask & kf_valid[:, None, None]
-            lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
+    def ba_solve(prep: VIOKFPrep, rig: CameraRig, marg_prior):
+        """Single-device joint visual-inertial window solve; the distributed
+        step swaps this for parallel.dist_vio_ba."""
+        ba_w = prep.obs_wt if b.use_obs_weights else None
+        st = vio_ba.VIOState(T_W_B=prep.kf_T, vel=prep.kf_v, bg=prep.kf_bg,
+                             ba=prep.kf_ba)
+        if b.use_marginalization:
+            res, new_prior = vio_ba.solve_vio_ba_marginalized(
+                st, rig.T_C_B, prep.lm, prep.obs_w, prep.eff_mask,
+                prep.lm_valid, prep.kf_preint, prep.kf_preint_valid,
+                marg_prior, prep.will_evict, cfg.vio, obs_weight=ba_w)
+        else:
+            res = vio_ba.solve_vio_ba(
+                st, rig.T_C_B, prep.lm, prep.obs_w, prep.eff_mask,
+                prep.lm_valid, prep.kf_preint, prep.kf_preint_valid,
+                cfg.vio, obs_weight=ba_w)
+            new_prior = marg_prior
+        return (res.state, res.landmarks, res.success, res.iterations,
+                res.final_cost, new_prior)
 
-            if b.refine_births:
-                # N-view polish of fresh births (see estimator.py kf_branch).
-                from ..ops.projection import refine_landmarks
-                T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
-                mask_b = eff_mask & _born[None, None, :]
-                lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
-                                                  obs_w, mask_b)
-                lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
+    def stage_kf_post(prep: VIOKFPrep, rig: CameraRig, res_st, res_lm,
+                      ba_ok):
+        """Keyframe epilogue: accept/reject + optional reprojection culling
+        (see estimator.stage_kf_post)."""
+        kf_T = jnp.where(ba_ok, res_st.T_W_B, prep.kf_T)
+        kf_v = jnp.where(ba_ok, res_st.vel, prep.kf_v)
+        kf_bg = jnp.where(ba_ok, res_st.bg, prep.kf_bg)
+        kf_ba_ = jnp.where(ba_ok, res_st.ba, prep.kf_ba)
+        lm = jnp.where(ba_ok, res_lm, prep.lm)
+        lm_fid = prep.lm_fid
+        if b.cull_reproj_threshold > 0.0:
+            bad = reprojection_outliers(
+                rig.T_C_B, kf_T, lm, prep.obs_w, prep.eff_mask,
+                prep.lm_valid, b.cull_reproj_threshold ** 2) & ba_ok
+            lm_fid = jnp.where(bad, -1, lm_fid)
+        return kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid
 
-            ba_w = obs_wt if b.use_obs_weights else None
+    return VIOStages(front=stage_front, excise=est_mod.excise_outliers,
+                     kf_pre=stage_kf_pre, kf_post=stage_kf_post,
+                     ba_solve=ba_solve)
+
+
+def make_vio_estimator_step(cfg: VIOEstimatorConfig):
+    """Jitted per-frame VIO step:
+    (state, rig, img0, img1, gyro (S,3), accel (S,3), dts (S,), imu_mask (S,))
+    -> (state, FrameOutput)."""
+    b = cfg.base
+    W = b.window_size
+    vst = _build_vio_stages(cfg)
+
+    def step(state: VIOEstimatorState, rig: CameraRig, img0, img1,
+             gyro, accel, dts, imu_mask):
+        fr = vst.front(state, rig, img0, img1, gyro, accel, dts, imu_mask)
+        mo = fr.mo
+        table, obs_cur_mask, lm_fid0 = vst.excise(
+            fr.table, fr.obs_cur_mask, state.lm_fid, mo.kill)
+        state = state._replace(lm_fid=lm_fid0)
+        T_cur, v_pred, obs_cur = mo.T_cur, fr.v_pred, fr.obs_cur
+
+        def kf_branch(_):
+            prep = vst.kf_pre(state, rig, table, obs_cur, obs_cur_mask,
+                              fr.buf_gyro, fr.buf_accel, fr.buf_dts,
+                              fr.buf_count, T_cur, v_pred, mo.health)
 
             def run_ba(_):
-                st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg, ba=kf_ba_)
-                if b.use_marginalization:
-                    # will_evict only when the NEXT insert actually rolls the
-                    # window (at capacity) so prior slots stay aligned.
-                    res, new_prior = vio_ba.solve_vio_ba_marginalized(
-                        st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        kf_pre, kf_pv, state.marg_prior, kf_count >= W,
-                        cfg.vio, obs_weight=ba_w)
-                else:
-                    res = vio_ba.solve_vio_ba(
-                        st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        kf_pre, kf_pv, cfg.vio, obs_weight=ba_w)
-                    new_prior = state.marg_prior
-                return (res.state.T_W_B, res.state.vel, res.state.bg,
-                        res.state.ba, res.landmarks, res.success,
-                        res.iterations, res.final_cost, new_prior)
+                return vst.ba_solve(prep, rig, state.marg_prior)
 
             def skip_ba(_):
-                return (kf_T, kf_v, kf_bg, kf_ba_, lm, jnp.asarray(False),
-                        jnp.asarray(0, jnp.int32), jnp.asarray(0.0, kf_T.dtype),
-                        state.marg_prior)
+                st0 = vio_ba.VIOState(T_W_B=prep.kf_T, vel=prep.kf_v,
+                                      bg=prep.kf_bg, ba=prep.kf_ba)
+                return (st0, prep.lm, jnp.asarray(False),
+                        jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0.0, prep.kf_T.dtype), state.marg_prior)
 
-            (kf_T, kf_v, kf_bg, kf_ba_, lm, ba_ok, ba_it, ba_cost,
-             new_prior) = jax.lax.cond(full_now, run_ba, skip_ba, None)
-            if b.cull_reproj_threshold > 0.0:
-                bad = reprojection_outliers(
-                    rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
-                    b.cull_reproj_threshold ** 2) & ba_ok
-                lm_fid = jnp.where(bad, -1, lm_fid)
-            newest = jnp.minimum(kf_count, W) - 1
-            return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-                    obs_wt, kf_pre, kf_pv, lm, lm_fid,
-                    kf_T[newest], kf_v[newest], kf_bg[newest], kf_ba_[newest],
-                    kf_T[newest], ba_ok, ba_it, ba_cost, new_prior,
-                    jnp.asarray(True),  # reset running preint
-                    table.alive, tri_mem, n_dyn)
+            res_st, res_lm, ba_ok, ba_it, ba_cost, new_prior = jax.lax.cond(
+                prep.full_now, run_ba, skip_ba, None)
+            kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid = vst.kf_post(
+                prep, rig, res_st, res_lm, ba_ok)
+            newest = jnp.minimum(prep.kf_count, W) - 1
+            return (kf_T, kf_v, kf_bg, kf_ba_, prep.kf_count,
+                    prep.obs_w, prep.obs_m, prep.obs_f, prep.obs_wt,
+                    prep.kf_preint, prep.kf_preint_valid, lm, lm_fid,
+                    kf_T[newest], kf_v[newest], kf_bg[newest],
+                    kf_ba_[newest], kf_T[newest], ba_ok, ba_it, ba_cost,
+                    new_prior, jnp.asarray(True),  # reset running preint
+                    prep.table.alive, prep.tri_mem, prep.n_dyn,
+                    prep.lm_birth)
 
-        def no_kf_branch(operand):
-            (table, T_cur, v_cur, lm, lm_fid) = operand
+        def no_kf_branch(_):
             return (state.kf_T_W_B, state.kf_vel, state.kf_bg, state.kf_ba,
                     state.kf_count, state.obs, state.obs_mask, state.obs_fid,
                     state.obs_w,
-                    state.kf_preint, state.kf_preint_valid, lm, lm_fid,
-                    T_cur, v_cur, state.bg, state.ba,
+                    state.kf_preint, state.kf_preint_valid, state.lm,
+                    state.lm_fid,
+                    T_cur, v_pred, state.bg, state.ba,
                     state.last_kf_T_W_B, jnp.asarray(False),
                     jnp.asarray(0, jnp.int32), jnp.asarray(0.0, T_cur.dtype),
                     state.marg_prior, jnp.asarray(False),
                     table.alive,
                     (state.tri_prev, state.tri_prev_fid,
                      state.flow_acc, state.flow_n),
-                    jnp.asarray(0, jnp.int32))
+                    jnp.asarray(0, jnp.int32), state.lm_birth)
 
         (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, obs_wt,
          kf_pre, kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
          ba_ok, ba_it, ba_cost, marg_prior, reset_run, alive_out, tri_mem,
-         n_dyn) = jax.lax.cond(
-            is_kf, kf_branch, no_kf_branch,
-            (table, T_cur, v_pred, state.lm, state.lm_fid))
+         n_dyn, lm_birth_out) = jax.lax.cond(
+            mo.is_kf, kf_branch, no_kf_branch, None)
         table = table._replace(alive=alive_out)
 
         # On keyframes the interval sample buffer restarts.
-        buf_count_out = jnp.where(reset_run, 0, buf_count)
+        buf_count_out = jnp.where(reset_run, 0, fr.buf_count)
 
         new_state = VIOEstimatorState(
-            table=table, pyr0=pyr0, pyr1=pyr1,
+            table=table, pyr0=fr.pyr0, pyr1=fr.pyr1,
             kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
             kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
             obs_w=obs_wt,
             kf_preint=kf_pre, kf_preint_valid=kf_pv,
-            buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
+            buf_gyro=fr.buf_gyro, buf_accel=fr.buf_accel,
+            buf_dts=fr.buf_dts,
             buf_count=buf_count_out,
             lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
             T_W_B=T_out, vel=v_out, bg=bg_out, ba=ba_out,
@@ -482,14 +614,17 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             frame_id=state.frame_id + 1,
             tri_prev=tri_mem[0], tri_prev_fid=tri_mem[1],
             flow_acc=tri_mem[2], flow_n=tri_mem[3],
+            lm_birth=lm_birth_out,
         )
         out = FrameOutput(
-            T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,
+            T_W_B=T_out, is_keyframe=mo.is_kf, pnp_success=mo.pnp_success,
             ba_success=ba_ok, ba_iterations=ba_it, ba_final_cost=ba_cost,
-            n_tracked=fstats["tracked"],
+            n_tracked=fr.fstats["tracked"],
             n_landmarks=jnp.sum(((lm_fid == table.fid)
                                  & (lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"], pose_ok=pose_ok, n_dyn_killed=n_dyn,
+            n_alive=fr.fstats["alive"], pose_ok=mo.pose_ok,
+            n_dyn_killed=n_dyn,
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
         )
         return new_state, out
 

@@ -99,7 +99,7 @@ class PnPResult(NamedTuple):
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
               cfg: PnPConfig = PnPConfig(), T_W_B_prior=None,
-              obs_weight=None):
+              obs_weight=None, prior_scale=None):
     """Levenberg-Marquardt pose-only solve.
 
     Args:
@@ -146,7 +146,13 @@ def solve_pnp(T_W_B_init, T_C_B, landmarks, obs, mask,
         if cfg.motion_prior_weight > 0.0:
             # Quadratic prior toward the anchor pose in the T_B_W
             # split-retraction tangent: r_p = w * (T boxminus T_prior).
+            # prior_scale (traced, optional) modulates the weight at
+            # runtime — the adaptive-prior path scales by (1 - health) so
+            # clean frames pay no prior lag (EstimatorConfig.
+            # pnp_prior_adaptive).
             w = cfg.motion_prior_weight
+            if prior_scale is not None:
+                w = w * prior_scale
             dt_p = T_B_W[:3, 3] - T_B_W_prior[:3, 3]
             dw_p = lie.so3_log(T_B_W_prior[:3, :3].T @ T_B_W[:3, :3])
             d = jnp.concatenate([dt_p, dw_p])

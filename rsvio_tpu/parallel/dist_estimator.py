@@ -36,135 +36,79 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
 
     Landmark capacity (cfg.frontend.capacity) must be divisible by the mesh
     size.
+
+    Every pipeline stage (frontend, RANSAC-gated PnP, outlier excision,
+    keyframe prologue/epilogue) is THE SAME function the fused single-device
+    step runs (est._build_stages) — only the window solve is swapped for the
+    landmark-sharded parallel.dist_ba. The round-4 crash came from this file
+    re-implementing the prologue and drifting; now capability knobs (RANSAC
+    consensus gate, scene-flow gate, score weights, birth refinement,
+    culling) are inherited rather than refused.
     """
     W = cfg.window_size
     N = cfg.frontend.capacity
     n_dev = mesh.devices.size
     if N % n_dev:
         raise ValueError(f"capacity {N} not divisible by mesh size {n_dev}")
-    # The distributed step implements the core pipeline only; refuse knobs
-    # it does not implement rather than letting them be silently inert
-    # (same rule as the r3 min_lm_span uniformity fix).
-    if cfg.pnp.ransac_hypotheses > 0 or cfg.dynamic_flow_thresh > 0:
-        raise NotImplementedError(
-            "solver.ransac_hypotheses / solver.dynamic_flow are not "
-            "implemented in the distributed estimator — disable them or "
-            "use the single-device step")
 
-    stage_frames, stage_track, stage_motion, _ = est._build_stages(cfg)
-    j_frames = jax.jit(stage_frames)
-    j_track = jax.jit(stage_track)
-    j_motion = jax.jit(stage_motion)
-
-    @jax.jit
-    def kf_pre(state: est.EstimatorState, rig, table, obs_cur, obs_cur_mask,
-               T_cur):
-        """Keyframe prologue (identical to the fused kf_branch pre-BA):
-        triangulate new landmarks, FIFO-roll the window, insert the frame."""
-        window_full = state.kf_count >= W
-        lm, lm_fid, _born, _tri, _tri_ok = est._triangulate_new(rig, T_cur, obs_cur, table,
-                                          state.lm, state.lm_fid)
-        ins = jnp.minimum(state.kf_count, W - 1)
-
-        def roll_if_full(arr):
-            rolled = jnp.roll(arr, -1, axis=0)
-            return jnp.where(window_full, rolled, arr)
-
-        kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
-        obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
-        obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
-        obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
-        obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
-        kf_count = jnp.minimum(state.kf_count + 1, W)
-
-        eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
-        kf_valid = jnp.arange(W) < kf_count
-        eff_mask = eff_mask & kf_valid[:, None, None]
-        lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
-        if cfg.refine_births:
-            # N-view polish of fresh births (matches the fused kf_branch).
-            from ..models.estimator import lie as _lie
-            from ..ops.projection import refine_landmarks
-            T_B_W_w = jax.vmap(_lie.se3_inverse)(kf_T)
-            mask_b = eff_mask & _born[None, None, :]
-            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
-                                              obs_w, mask_b)
-            lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
-        return (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
-                eff_mask, lm_valid)
-
-    @jax.jit
-    def apply_ba(kf_T, lm, lm_fid, kf_count, res_T, res_lm, success,
-                 rig, obs_w, eff_mask, lm_valid):
-        """Accept/reject + optional reprojection culling (matches the fused
-        kf_branch epilogue)."""
-        kf_T = jnp.where(success, res_T, kf_T)
-        lm = jnp.where(success, res_lm, lm)
-        if cfg.cull_reproj_threshold > 0.0:
-            bad = est.reprojection_outliers(
-                rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
-                cfg.cull_reproj_threshold ** 2) & success
-            lm_fid = jnp.where(bad, -1, lm_fid)
-        T_new = kf_T[jnp.minimum(kf_count, W) - 1]
-        return kf_T, lm, lm_fid, T_new
-
-    @jax.jit
-    def j_excise(table, obs_cur_mask, lm_fid, kill):
-        """RANSAC outlier excision — mirrors the fused stage_opt prologue
-        (models/estimator.py stage_opt: table alive, current-frame mask,
-        landmark invalidation). kill is all-False while the gate is refused
-        here, but the wiring keeps stage arity changes from silently
-        breaking this consumer again (round-4 verdict weak #1)."""
-        return (table._replace(alive=table.alive & ~kill),
-                obs_cur_mask & ~kill[None, :],
-                jnp.where(kill, -1, lm_fid))
+    st = est._build_stages(cfg)
+    j_frames = jax.jit(st.frames)
+    j_track = jax.jit(st.track)
+    j_motion = jax.jit(st.motion)
+    j_excise = jax.jit(st.excise)
+    j_kf_pre = jax.jit(st.kf_pre)
+    j_kf_post = jax.jit(st.kf_post)
 
     def step(state: est.EstimatorState, rig: est.CameraRig, img0, img1):
         pyrs = j_frames(img0, img1)
         table, fstats, obs_cur, obs_cur_mask = j_track(state, rig, *pyrs)
-        T_cur, pnp_success, is_kf, pose_ok, kill = j_motion(
-            state, rig, table, obs_cur, obs_cur_mask)
+        mo = j_motion(state, rig, table, obs_cur, obs_cur_mask)
         table, obs_cur_mask, lm_fid0 = j_excise(table, obs_cur_mask,
-                                                state.lm_fid, kill)
+                                                state.lm_fid, mo.kill)
         state = state._replace(lm_fid=lm_fid0)
+        T_cur = mo.T_cur
 
         ba_ok = jnp.asarray(False)
         ba_it = jnp.asarray(0, jnp.int32)
         ba_cost = jnp.asarray(0.0, T_cur.dtype)
         marg_prior = state.marg_prior
+        n_dyn = jnp.asarray(0, jnp.int32)
 
-        if bool(is_kf):    # host-level branch (see module docstring)
-            (kf_T, kf_count, obs_w, obs_m, obs_f, obs_wt, lm, lm_fid,
-             eff_mask, lm_valid) = kf_pre(state, rig, table, obs_cur,
-                                          obs_cur_mask, T_cur)
-            kfc = int(kf_count)
-            ba_w = obs_wt if cfg.use_obs_weights else None
-            full_now = (kfc >= W) if not cfg.track_before_full else (kfc >= 2)
-            if full_now:
+        if bool(mo.is_kf):    # host-level branch (see module docstring)
+            prep = j_kf_pre(state, rig, table, obs_cur, obs_cur_mask, T_cur,
+                            mo.health)
+            ba_w = prep.obs_wt if cfg.use_obs_weights else None
+            if bool(prep.full_now):
                 if cfg.use_marginalization:
                     res, marg_prior = dist_ba.solve_ba_marginalized_distributed(
-                        mesh, kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        state.marg_prior, jnp.asarray(kfc >= W), cfg.ba,
-                        obs_weight=ba_w)
+                        mesh, prep.kf_T, rig.T_C_B, prep.lm, prep.obs_w,
+                        prep.eff_mask, prep.lm_valid, state.marg_prior,
+                        prep.will_evict, cfg.ba, obs_weight=ba_w)
                 else:
                     res = dist_ba.solve_ba_distributed(
-                        mesh, kf_T, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        cfg.ba, obs_weight=ba_w)
+                        mesh, prep.kf_T, rig.T_C_B, prep.lm, prep.obs_w,
+                        prep.eff_mask, prep.lm_valid, cfg.ba, obs_weight=ba_w)
                 ba_ok, ba_it, ba_cost = (res.success, res.iterations,
                                          res.final_cost)
-                kf_T, lm, lm_fid, T_new = apply_ba(
-                    kf_T, lm, lm_fid, kf_count, res.T_W_B, res.landmarks,
-                    res.success, rig, obs_w, eff_mask, lm_valid)
+                res_T, res_lm = res.T_W_B, res.landmarks
             else:
-                T_new = kf_T[min(kfc, W) - 1]
+                res_T, res_lm = prep.kf_T, prep.lm
+            kf_T, lm, lm_fid, T_new = j_kf_post(prep, rig, res_T, res_lm,
+                                                ba_ok)
+            n_dyn = prep.n_dyn
             new_state = est.EstimatorState(
-                table=table, pyr0=pyrs[0], pyr1=pyrs[1],
-                kf_T_W_B=kf_T, kf_count=kf_count,
-                obs=obs_w, obs_mask=obs_m, obs_fid=obs_f, obs_w=obs_wt,
+                table=prep.table, pyr0=pyrs[0], pyr1=pyrs[1],
+                kf_T_W_B=kf_T, kf_count=prep.kf_count,
+                obs=prep.obs_w, obs_mask=prep.obs_m, obs_fid=prep.obs_f,
+                obs_w=prep.obs_wt,
                 lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
                 T_W_B=T_new, last_kf_T_W_B=T_new,
                 frame_id=state.frame_id + 1,
-                T_W_B_prev=state.T_W_B)
+                T_W_B_prev=state.T_W_B,
+                tri_prev=prep.tri_mem[0], tri_prev_fid=prep.tri_mem[1],
+                flow_acc=prep.tri_mem[2], flow_n=prep.tri_mem[3],
+                lm_birth=prep.lm_birth)
+            out_table = prep.table
         else:
             new_state = est.EstimatorState(
                 table=table, pyr0=pyrs[0], pyr1=pyrs[1],
@@ -174,16 +118,22 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 lm=state.lm, lm_fid=state.lm_fid, marg_prior=marg_prior,
                 T_W_B=T_cur, last_kf_T_W_B=state.last_kf_T_W_B,
                 frame_id=state.frame_id + 1,
-                T_W_B_prev=state.T_W_B)
+                T_W_B_prev=state.T_W_B,
+                tri_prev=state.tri_prev, tri_prev_fid=state.tri_prev_fid,
+                flow_acc=state.flow_acc, flow_n=state.flow_n,
+                lm_birth=state.lm_birth)
+            out_table = table
 
         out = est.FrameOutput(
-            T_W_B=new_state.T_W_B, is_keyframe=is_kf,
-            pnp_success=pnp_success, ba_success=ba_ok, ba_iterations=ba_it,
+            T_W_B=new_state.T_W_B, is_keyframe=mo.is_kf,
+            pnp_success=mo.pnp_success, ba_success=ba_ok,
+            ba_iterations=ba_it,
             ba_final_cost=ba_cost, n_tracked=fstats["tracked"],
             n_landmarks=jnp.sum(
-                ((new_state.lm_fid == table.fid)
+                ((new_state.lm_fid == out_table.fid)
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"], pose_ok=pose_ok)
+            n_alive=fstats["alive"], pose_ok=mo.pose_ok, n_dyn_killed=n_dyn,
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp)
         return new_state, out
 
     return step
@@ -191,27 +141,18 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
 
 def make_distributed_vio_estimator_step(vcfg, mesh):
     """Distributed VISUAL-INERTIAL per-frame step: the full VIO pipeline
-    (IMU buffering + prediction, frontend, PnP, keyframe policy) with the
-    joint 15-dim-state window solve landmark-sharded over `mesh` via
-    parallel.dist_vio_ba. Same host-orchestrated structure and rationale as
-    make_distributed_estimator_step; parity with the fused single-device
-    VIO step is asserted by tests/test_dist_estimator.py.
+    (IMU buffering + prediction, frontend, RANSAC-gated PnP, keyframe
+    policy) with the joint 15-dim-state window solve landmark-sharded over
+    `mesh` via parallel.dist_vio_ba. Same host-orchestrated structure and
+    rationale as make_distributed_estimator_step; every stage is shared
+    with the fused step via estimator_vio._build_vio_stages, so parity
+    (tests/test_dist_estimator.py) is structural, not coincidental.
 
     vcfg: models.estimator_vio.VIOEstimatorConfig.
     Signature matches make_vio_estimator_step:
     (state, rig, img0, img1, gyro, accel, dts, imu_mask) -> (state, out).
     """
     from ..models import estimator_vio as ev
-    b_cfg = vcfg.base
-    if b_cfg.pnp.ransac_hypotheses > 0 or b_cfg.dynamic_flow_thresh > 0:
-        raise NotImplementedError(
-            "solver.ransac_hypotheses / solver.dynamic_flow are not "
-            "implemented in the distributed estimator — disable them or "
-            "use the single-device step")
-    from ..models import imu as imu_mod
-    from ..models import vio_ba
-    from ..ops import lie, pyramid
-    from ..models.frontend import frontend_step
 
     b = vcfg.base
     W = b.window_size
@@ -219,219 +160,99 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
     n_dev = mesh.devices.size
     if N % n_dev:
         raise ValueError(f"capacity {N} not divisible by mesh size {n_dev}")
-    B_cap = vcfg.interval_buf
 
-    @jax.jit
-    def j_front(state: ev.VIOEstimatorState, rig, img0, img1, gyro, accel,
-                dts, imu_mask):
-        """Frame work before the keyframe branch (identical algebra to the
-        fused step, ref models/estimator_vio.py make_vio_estimator_step)."""
-        pyr0 = pyramid.build_pyramid(img0, b.frontend.klt.levels)
-        pyr1 = pyramid.build_pyramid(img1, b.frontend.klt.levels)
-
-        frame_pre = imu_mod.preintegrate(gyro, accel, dts, imu_mask,
-                                         state.bg, state.ba, vcfg.imu_params)
-        have_samples = jnp.any(imu_mask)
-        n_new = jnp.sum(imu_mask.astype(jnp.int32))
-        tgt = state.buf_count + jnp.cumsum(imu_mask.astype(jnp.int32)) - 1
-        tgt = jnp.where(imu_mask, jnp.clip(tgt, 0, B_cap - 1), B_cap)
-
-        def buf_scatter(buf, vals):
-            padded = jnp.concatenate([buf, buf[-1:]], axis=0)
-            return padded.at[tgt].set(vals)[:B_cap]
-
-        buf_gyro = buf_scatter(state.buf_gyro, gyro)
-        buf_accel = buf_scatter(state.buf_accel, accel)
-        buf_dts = buf_scatter(state.buf_dts, dts)
-        buf_count = jnp.minimum(state.buf_count + n_new, B_cap)
-
-        table_in = state.table._replace(
-            alive=state.table.alive & (state.frame_id > 0))
-        table, fstats = frontend_step(
-            table_in, state.pyr0, state.pyr1, pyr0, pyr1, b.frontend)
-        obs_cur, obs_cur_mask = est._undistort_table(b, rig, table)
-
-        window_full = state.kf_count >= W
-        pnp_ready = window_full if not b.track_before_full else (
-            state.kf_count >= 1)
-
-        T_pred, v_pred = ev._imu_predict(state.T_W_B, state.vel, frame_pre)
-        T_pred = jax.tree.map(
-            lambda a, b_: jnp.where(have_samples, a, b_), T_pred,
-            state.T_W_B)
-        v_pred = jnp.where(have_samples, v_pred, state.vel)
-
-        lm_ok = (state.lm_fid == table.fid) & (state.lm_fid >= 0) & table.alive
-        pnp_mask = obs_cur_mask & lm_ok[None, :]
-
-        from ..models import pnp as pnp_mod
-
-        def run_pnp(_):
-            res = pnp_mod.solve_pnp(T_pred, rig.T_C_B, state.lm,
-                                    obs_cur, pnp_mask, b.pnp)
-            return res.T_W_B, res.success
-
-        T_pnp, pnp_success = jax.lax.cond(
-            pnp_ready, run_pnp, lambda _: (T_pred, jnp.asarray(False)), None)
-        T_cur = jnp.where(pnp_success, T_pnp, T_pred)
-        # Numerical-health gate — identical to the local VIO estimator so
-        # dist/local parity holds.
-        pose_ok = jnp.all(jnp.isfinite(T_cur))
-        T_cur = jnp.where(pose_ok, T_cur, state.last_kf_T_W_B)
-        pnp_success = pnp_success & pose_ok
-
-        T_rel = lie.se3_inverse(state.last_kf_T_W_B) @ T_cur
-        is_kf = jnp.where(
-            window_full,
-            (jnp.linalg.norm(T_rel[:3, 3]) > b.translation_threshold)
-            | (lie.rotation_angle(T_rel[:3, :3]) > b.rotation_threshold),
-            True)
-        return (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
-                buf_gyro, buf_accel, buf_dts, buf_count,
-                T_cur, v_pred, pnp_success, is_kf, pose_ok)
-
-    @jax.jit
-    def j_kf_pre(state: ev.VIOEstimatorState, rig, table, obs_cur,
-                 obs_cur_mask, buf_gyro, buf_accel, buf_dts, buf_count,
-                 T_cur, v_cur):
-        """Keyframe prologue: triangulation, window/preint rolls, interval
-        re-preintegration at the current bias (same as the fused kf_branch
-        pre-BA)."""
-        window_full = state.kf_count >= W
-        lm, lm_fid, _born, _tri, _tri_ok = est._triangulate_new(rig, T_cur, obs_cur, table,
-                                          state.lm, state.lm_fid)
-        ins = jnp.minimum(state.kf_count, W - 1)
-
-        def roll_if_full(arr):
-            return jnp.where(window_full, jnp.roll(arr, -1, axis=0), arr)
-
-        kf_T = roll_if_full(state.kf_T_W_B).at[ins].set(T_cur)
-        kf_v = roll_if_full(state.kf_vel).at[ins].set(v_cur)
-        kf_bg = roll_if_full(state.kf_bg).at[ins].set(state.bg)
-        kf_ba_ = roll_if_full(state.kf_ba).at[ins].set(state.ba)
-        obs_w = roll_if_full(state.obs).at[ins].set(obs_cur)
-        obs_m = roll_if_full(state.obs_mask).at[ins].set(obs_cur_mask)
-        obs_f = roll_if_full(state.obs_fid).at[ins].set(table.fid)
-        obs_wt = roll_if_full(state.obs_w).at[ins].set(table.w)
-
-        buf_mask = jnp.arange(B_cap) < buf_count
-        run_pre = imu_mod.preintegrate(
-            buf_gyro, buf_accel, buf_dts, buf_mask,
-            state.bg, state.ba, vcfg.imu_params)
-        run_valid = (buf_count > 0) & (buf_count < B_cap)
-        pre_roll = jax.tree.map(
-            lambda x: jnp.where(window_full, jnp.roll(x, -1, axis=0), x),
-            state.kf_preint)
-        pv_roll = jnp.where(window_full,
-                            jnp.roll(state.kf_preint_valid, -1),
-                            state.kf_preint_valid)
-        slot = jnp.clip(ins - 1, 0, W - 2)
-        kf_pre = jax.tree.map(
-            lambda arr, v: arr.at[slot].set(
-                jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
-        kf_pv = pv_roll.at[slot].set(
-            jnp.where(ins > 0, run_valid, pv_roll[slot]))
-        kf_count = jnp.minimum(state.kf_count + 1, W)
-
-        eff_mask = obs_m & (obs_f == table.fid[None, :])[:, None, :]
-        kf_valid = jnp.arange(W) < kf_count
-        eff_mask = eff_mask & kf_valid[:, None, None]
-        lm_valid = (lm_fid == table.fid) & (lm_fid >= 0)
-        if b.refine_births:
-            # N-view polish of fresh births (matches the fused kf_branch).
-            from ..ops.projection import refine_landmarks
-            T_B_W_w = jax.vmap(lie.se3_inverse)(kf_T)
-            mask_b = eff_mask & _born[None, None, :]
-            lm_ref, ok_ref = refine_landmarks(rig.T_C_B, T_B_W_w, lm,
-                                              obs_w, mask_b)
-            lm = jnp.where((_born & ok_ref)[:, None], lm_ref, lm)
-        return (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-                obs_wt, kf_pre, kf_pv, lm, lm_fid, eff_mask, lm_valid)
-
-    @jax.jit
-    def j_apply(kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid, kf_count,
-                res_st, res_lm, success, rig, obs_w, eff_mask, lm_valid):
-        kf_T = jnp.where(success, res_st.T_W_B, kf_T)
-        kf_v = jnp.where(success, res_st.vel, kf_v)
-        kf_bg = jnp.where(success, res_st.bg, kf_bg)
-        kf_ba_ = jnp.where(success, res_st.ba, kf_ba_)
-        lm = jnp.where(success, res_lm, lm)
-        if b.cull_reproj_threshold > 0.0:
-            bad = est.reprojection_outliers(
-                rig.T_C_B, kf_T, lm, obs_w, eff_mask, lm_valid,
-                b.cull_reproj_threshold ** 2) & success
-            lm_fid = jnp.where(bad, -1, lm_fid)
-        return kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid
+    vst = ev._build_vio_stages(vcfg)
+    j_front = jax.jit(vst.front)
+    j_excise = jax.jit(vst.excise)
+    j_kf_pre = jax.jit(vst.kf_pre)
+    j_kf_post = jax.jit(vst.kf_post)
 
     def step(state: ev.VIOEstimatorState, rig, img0, img1, gyro, accel,
              dts, imu_mask):
-        (pyr0, pyr1, table, fstats, obs_cur, obs_cur_mask,
-         buf_gyro, buf_accel, buf_dts, buf_count,
-         T_cur, v_pred, pnp_success, is_kf, pose_ok) = j_front(
-            state, rig, img0, img1, gyro, accel, dts, imu_mask)
+        fr = j_front(state, rig, img0, img1, gyro, accel, dts, imu_mask)
+        mo = fr.mo
+        table, obs_cur_mask, lm_fid0 = j_excise(
+            fr.table, fr.obs_cur_mask, state.lm_fid, mo.kill)
+        state = state._replace(lm_fid=lm_fid0)
+        T_cur, v_pred = mo.T_cur, fr.v_pred
 
         ba_ok = jnp.asarray(False)
         ba_it = jnp.asarray(0, jnp.int32)
         ba_cost = jnp.asarray(0.0, T_cur.dtype)
         marg_prior = state.marg_prior
+        n_dyn = jnp.asarray(0, jnp.int32)
 
-        if bool(is_kf):    # host-level branch (see module docstring)
-            (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f,
-             obs_wt, kf_pre, kf_pv, lm, lm_fid, eff_mask,
-             lm_valid) = j_kf_pre(
-                state, rig, table, obs_cur, obs_cur_mask,
-                buf_gyro, buf_accel, buf_dts, buf_count, T_cur, v_pred)
-            kfc = int(kf_count)
-            ba_w = obs_wt if b.use_obs_weights else None
-            full_now = (kfc >= W) if not b.track_before_full else (kfc >= 2)
-            if full_now:
-                st = vio_ba.VIOState(T_W_B=kf_T, vel=kf_v, bg=kf_bg,
-                                     ba=kf_ba_)
+        if bool(mo.is_kf):    # host-level branch (see module docstring)
+            prep = j_kf_pre(state, rig, table, fr.obs_cur, obs_cur_mask,
+                            fr.buf_gyro, fr.buf_accel, fr.buf_dts,
+                            fr.buf_count, T_cur, v_pred, mo.health)
+            ba_w = prep.obs_wt if b.use_obs_weights else None
+            if bool(prep.full_now):
+                st = dist_vio_ba.vio_ba.VIOState(
+                    T_W_B=prep.kf_T, vel=prep.kf_v, bg=prep.kf_bg,
+                    ba=prep.kf_ba)
                 if b.use_marginalization:
                     res, marg_prior = \
                         dist_vio_ba.solve_vio_ba_marginalized_distributed(
-                            mesh, st, rig.T_C_B, lm, obs_w, eff_mask,
-                            lm_valid, kf_pre, kf_pv, state.marg_prior,
-                            jnp.asarray(kfc >= W), vcfg.vio, obs_weight=ba_w)
+                            mesh, st, rig.T_C_B, prep.lm, prep.obs_w,
+                            prep.eff_mask, prep.lm_valid, prep.kf_preint,
+                            prep.kf_preint_valid, state.marg_prior,
+                            prep.will_evict, vcfg.vio, obs_weight=ba_w)
                 else:
                     res = dist_vio_ba.solve_vio_ba_distributed(
-                        mesh, st, rig.T_C_B, lm, obs_w, eff_mask, lm_valid,
-                        kf_pre, kf_pv, vcfg.vio, obs_weight=ba_w)
+                        mesh, st, rig.T_C_B, prep.lm, prep.obs_w,
+                        prep.eff_mask, prep.lm_valid, prep.kf_preint,
+                        prep.kf_preint_valid, vcfg.vio, obs_weight=ba_w)
                 ba_ok, ba_it, ba_cost = (res.success, res.iterations,
                                          res.final_cost)
-                kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid = j_apply(
-                    kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid, kf_count,
-                    res.state, res.landmarks, res.success, rig, obs_w,
-                    eff_mask, lm_valid)
-            newest = min(kfc, W) - 1
+                res_st, res_lm = res.state, res.landmarks
+            else:
+                res_st = dist_vio_ba.vio_ba.VIOState(
+                    T_W_B=prep.kf_T, vel=prep.kf_v, bg=prep.kf_bg,
+                    ba=prep.kf_ba)
+                res_lm = prep.lm
+            kf_T, kf_v, kf_bg, kf_ba_, lm, lm_fid = j_kf_post(
+                prep, rig, res_st, res_lm, ba_ok)
+            n_dyn = prep.n_dyn
+            newest = min(int(prep.kf_count), W) - 1
             new_state = ev.VIOEstimatorState(
-                table=table, pyr0=pyr0, pyr1=pyr1,
+                table=prep.table, pyr0=fr.pyr0, pyr1=fr.pyr1,
                 kf_T_W_B=kf_T, kf_vel=kf_v, kf_bg=kf_bg, kf_ba=kf_ba_,
-                kf_count=kf_count, obs=obs_w, obs_mask=obs_m, obs_fid=obs_f,
-                obs_w=obs_wt,
-                kf_preint=kf_pre, kf_preint_valid=kf_pv,
-                buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
-                buf_count=jnp.zeros_like(buf_count),  # keyframe resets buffer
+                kf_count=prep.kf_count, obs=prep.obs_w, obs_mask=prep.obs_m,
+                obs_fid=prep.obs_f, obs_w=prep.obs_wt,
+                kf_preint=prep.kf_preint, kf_preint_valid=prep.kf_preint_valid,
+                buf_gyro=fr.buf_gyro, buf_accel=fr.buf_accel,
+                buf_dts=fr.buf_dts,
+                buf_count=jnp.zeros_like(fr.buf_count),  # keyframe resets
                 lm=lm, lm_fid=lm_fid, marg_prior=marg_prior,
                 T_W_B=kf_T[newest], vel=kf_v[newest], bg=kf_bg[newest],
                 ba=kf_ba_[newest], last_kf_T_W_B=kf_T[newest],
-                frame_id=state.frame_id + 1)
+                frame_id=state.frame_id + 1,
+                tri_prev=prep.tri_mem[0], tri_prev_fid=prep.tri_mem[1],
+                flow_acc=prep.tri_mem[2], flow_n=prep.tri_mem[3],
+                lm_birth=prep.lm_birth)
+            out_table = prep.table
         else:
             new_state = state._replace(
-                table=table, pyr0=pyr0, pyr1=pyr1,
-                buf_gyro=buf_gyro, buf_accel=buf_accel, buf_dts=buf_dts,
-                buf_count=buf_count,
+                table=table, pyr0=fr.pyr0, pyr1=fr.pyr1,
+                buf_gyro=fr.buf_gyro, buf_accel=fr.buf_accel,
+                buf_dts=fr.buf_dts,
+                buf_count=fr.buf_count,
                 T_W_B=T_cur, vel=v_pred,
                 frame_id=state.frame_id + 1)
+            out_table = table
 
         out = est.FrameOutput(
-            T_W_B=new_state.T_W_B, is_keyframe=is_kf,
-            pnp_success=pnp_success, ba_success=ba_ok, ba_iterations=ba_it,
-            ba_final_cost=ba_cost, n_tracked=fstats["tracked"],
+            T_W_B=new_state.T_W_B, is_keyframe=mo.is_kf,
+            pnp_success=mo.pnp_success, ba_success=ba_ok,
+            ba_iterations=ba_it,
+            ba_final_cost=ba_cost, n_tracked=fr.fstats["tracked"],
             n_landmarks=jnp.sum(
-                ((new_state.lm_fid == table.fid)
+                ((new_state.lm_fid == out_table.fid)
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
-            n_alive=fstats["alive"], pose_ok=pose_ok)
+            n_alive=fr.fstats["alive"], pose_ok=mo.pose_ok,
+            n_dyn_killed=n_dyn,
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp)
         return new_state, out
 
     return step

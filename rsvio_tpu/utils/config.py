@@ -176,6 +176,17 @@ class SolverConfig:
     # Kill tracks voted outside the consensus (invalidate their landmark,
     # free the slot) so BA never ingests the occluder observations.
     ransac_kill_outliers: bool = True
+    # Adaptive track-health defenses (round 5; both need ransac_hypotheses
+    # > 0 as the consensus signal — see models.estimator.EstimatorConfig).
+    # pnp_prior_adaptive scales pnp_motion_prior by (1 - health): zero lag
+    # on clean scenes, full pull through contamination/deserts.
+    # vision_weight_adaptive down-weights the window-solve observations of
+    # low-consensus frames (needs score_weighted_obs).
+    pnp_prior_adaptive: bool = False
+    vision_weight_adaptive: bool = False
+    health_floor: float = 0.1
+    health_f_lo: float = 0.5
+    health_f_hi: float = 0.9
     # Stereo scene-flow dynamic-object gate (0 = off): accumulated
     # reprojection-flow threshold in normalized camera units (e.g. ~0.02 =
     # 4-9 px) above which a track is classified as a coherent mover and
@@ -254,6 +265,20 @@ def load_config(path: str) -> Config:
     precision = str(data.get("precision", "f32")).lower()
     if precision not in ("f32", "f64"):
         raise ValueError(f"precision must be f32 or f64, got {precision!r}")
+    solver_data = data.get("solver")
+    if isinstance(solver_data, dict) and "dynamic_flow_center" in solver_data:
+        dfc = solver_data["dynamic_flow_center"]
+        # YAML 1.1 parses bare on/off as booleans — map them back; then
+        # validate eagerly (a typo like "of" would otherwise silently
+        # resolve to centered mode via a != "off" comparison downstream).
+        if isinstance(dfc, bool):
+            dfc = "on" if dfc else "off"
+        dfc = str(dfc).lower()
+        if dfc not in ("auto", "on", "off"):
+            raise ValueError(
+                "solver.dynamic_flow_center must be one of auto/on/off, "
+                f"got {solver_data['dynamic_flow_center']!r}")
+        solver_data["dynamic_flow_center"] = dfc
     return Config(
         precision=precision,
         camera=_fill(CameraConfig, data.get("camera")),
@@ -268,8 +293,13 @@ def load_config(path: str) -> Config:
     )
 
 
-def make_estimator_config(cfg: Config):
-    """Translate a Config into the static EstimatorConfig + device CameraRig."""
+def make_estimator_config(cfg: Config, kind: str = "vo"):
+    """Translate a Config into the static EstimatorConfig + device CameraRig.
+
+    kind: "vo" or "vio" — resolves solver.dynamic_flow_center="auto" at this
+    single construction point (VO centers: unanchored pose drift is
+    common-mode; VIO measures raw flow against the IMU-anchored pose —
+    centering would let a tight mover cluster capture the median)."""
     import jax.numpy as jnp
 
     from ..models import ba as ba_mod
@@ -352,12 +382,18 @@ def make_estimator_config(cfg: Config):
         pnp_cv_predict=cfg.solver.pnp_cv_predict,
         use_obs_weights=cfg.solver.score_weighted_obs,
         pnp_ransac_kill=cfg.solver.ransac_kill_outliers,
+        pnp_prior_adaptive=cfg.solver.pnp_prior_adaptive,
+        vision_weight_adaptive=cfg.solver.vision_weight_adaptive,
+        health_floor=cfg.solver.health_floor,
+        health_f_lo=cfg.solver.health_f_lo,
+        health_f_hi=cfg.solver.health_f_hi,
         dynamic_flow_thresh=cfg.solver.dynamic_flow,
         dynamic_flow_decay=cfg.solver.dynamic_flow_decay,
         dynamic_flow_min_n=cfg.solver.dynamic_flow_min_n,
-        # "auto" resolves per estimator: VO centers (drift is common-mode),
-        # VIO does not (anchored pose; the CLI flips this for --vio).
-        dynamic_flow_center=cfg.solver.dynamic_flow_center != "off",
+        # "auto" resolves per estimator kind (validated at load_config).
+        dynamic_flow_center=(
+            kind != "vio" if cfg.solver.dynamic_flow_center == "auto"
+            else cfg.solver.dynamic_flow_center == "on"),
     )
     return ecfg, rig
 

@@ -63,6 +63,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            init_gyro=None, init_accel=None,
                            motion_prior: float = 0.0,
                            ransac: int = 0,
+                           adaptive: bool = False,
                            dynamic_flow: float = 0.0,
                            pnp_cv_predict: bool = False,
                            use_obs_weights: bool = True,
@@ -134,6 +135,13 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         # tight mover cluster capture the median) — overridable.
         dynamic_flow_center=(os.environ.get(
             "RSVIO_DYNFLOW_CENTER", "0" if use_vio else "1") == "1"),
+        # Round-5 adaptive defenses: consensus-driven motion prior and
+        # vision down-weighting (requires ransac > 0 and motion_prior > 0).
+        pnp_prior_adaptive=adaptive,
+        vision_weight_adaptive=adaptive,
+        health_floor=float(os.environ.get("RSVIO_HEALTH_FLOOR", "0.1")),
+        health_f_lo=float(os.environ.get("RSVIO_HEALTH_LO", "0.5")),
+        health_f_hi=float(os.environ.get("RSVIO_HEALTH_HI", "0.9")),
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(

