@@ -302,10 +302,12 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                         "keyframe (health gate)", k)
         log.debug(
             "[Timing] frame %d: %.1f ms | kf=%d pnp=%d ba=%d(it=%d) "
-            "tracked=%d lm=%d | health ok=%d step=%.3fm | %s", k, elapsed_ms,
+            "tracked=%d lm=%d | health ok=%d h=%.2f inl=%d/%d step=%.3fm "
+            "| %s", k, elapsed_ms,
             int(out.is_keyframe), int(out.pnp_success), int(out.ba_success),
             int(out.ba_iterations), int(out.n_tracked), int(out.n_landmarks),
-            int(pose_ok), step_m, profiling.report())
+            int(pose_ok), float(out.health), int(out.n_ransac_inliers),
+            int(out.n_pnp_candidates), step_m, profiling.report())
 
         if viewer_on:
             # Entity schema parity with ref estimator.rs:272-364:

@@ -276,6 +276,8 @@ class FrameOutput(NamedTuple):
     # defenses and surfaces in logs/bench.
     n_ransac_inliers: jnp.ndarray = 0
     n_pnp_candidates: jnp.ndarray = 0
+    # Consensus track-health signal (MotionOut.health; 1.0 = healthy/off).
+    health: jnp.ndarray = 1.0
 
 
 def effective_weights(cfg: EstimatorConfig, table: FeatureTable):
@@ -867,6 +869,7 @@ def _build_stages(cfg: EstimatorConfig) -> Stages:
                 ((lm_fid == table.fid) & (lm_fid >= 0)).astype(jnp.int32)),
             n_alive=fstats["alive"], pose_ok=pose_ok, n_dyn_killed=n_dyn,
             n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
+            health=mo.health,
         )
         return new_state, out
 

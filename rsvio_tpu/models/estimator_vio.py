@@ -625,6 +625,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             n_alive=fr.fstats["alive"], pose_ok=mo.pose_ok,
             n_dyn_killed=n_dyn,
             n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
+            health=mo.health,
         )
         return new_state, out
 

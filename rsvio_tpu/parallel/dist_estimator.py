@@ -133,7 +133,8 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 ((new_state.lm_fid == out_table.fid)
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
             n_alive=fstats["alive"], pose_ok=mo.pose_ok, n_dyn_killed=n_dyn,
-            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp)
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
+            health=mo.health)
         return new_state, out
 
     return step
@@ -252,7 +253,8 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                  & (new_state.lm_fid >= 0)).astype(jnp.int32)),
             n_alive=fr.fstats["alive"], pose_ok=mo.pose_ok,
             n_dyn_killed=n_dyn,
-            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp)
+            n_ransac_inliers=mo.n_inliers, n_pnp_candidates=mo.n_pnp,
+            health=mo.health)
         return new_state, out
 
     return step

@@ -152,7 +152,12 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
             ransac_hypotheses=int(
                 os.environ.get("RSVIO_RANSAC", str(ransac))),
             ransac_threshold=float(
-                os.environ.get("RSVIO_RANSAC_PX", "4.0")) / float(scene.fx)),
+                os.environ.get("RSVIO_RANSAC_PX", "4.0")) / float(scene.fx),
+            # Age-weighted voting horizon: a long occluder transit
+            # (40-80 frames) out-ages the default cap, so the mover's
+            # tracks regain full vote weight mid-transit.
+            ransac_age_cap=int(
+                os.environ.get("RSVIO_RANSAC_AGECAP", "10"))),
         ba=ba_mod.BAConfig(
             chi2_gate=chi2,
             min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))),

@@ -220,3 +220,17 @@ def test_dynamic_flow_center_resolution_and_validation(tmp_path):
     p_bad.write_text('solver:\n  dynamic_flow_center: "of"\n')  # typo
     with pytest.raises(ValueError):
         load_config(str(p_bad))
+
+
+def test_adaptive_profile_yaml():
+    """Round-5 profile: euroc_vo_adaptive.yaml wires the consensus gate +
+    adaptive prior + adaptive vision weighting coherently (the stage
+    builder validates knob coherence)."""
+    cfg = load_config(os.path.join(CONFIG_DIR, "euroc_vo_adaptive.yaml"))
+    ecfg, _ = make_estimator_config(cfg)
+    assert ecfg.pnp_prior_adaptive and ecfg.vision_weight_adaptive
+    assert ecfg.pnp.ransac_hypotheses == 16
+    assert ecfg.pnp.motion_prior_weight == 20.0
+    assert ecfg.use_obs_weights
+    from rsvio_tpu.models.estimator import _build_stages
+    _build_stages(ecfg)  # must not raise
