@@ -151,6 +151,14 @@ class EstimatorConfig(NamedTuple):
     health_f_lo: float = 0.5
     health_f_hi: float = 0.9
     health_floor: float = 0.1
+    # Health hysteresis: the effective health DROPS instantly but RECOVERS
+    # at most this much per frame (1.0 = no hysteresis). During an occluder
+    # transit the raw consensus signal flaps — the mover intermittently
+    # wins the (age-weighted) vote and reads healthy — and every flap
+    # releases the prior for a frame of drag. With hysteresis one dip keeps
+    # the defenses engaged through the transit; clean scenes hold health
+    # 1.0 continuously and pay nothing.
+    health_recover: float = 1.0
     # Age ramp on the birth discount: recover the effective weight as
     #   w_eff = 1 - (1 - w_birth) * exp(-age_ramp * age)
     # (a surviving track "earns back" trust). MEASURED HARMFUL on the
@@ -219,6 +227,9 @@ class EstimatorState(NamedTuple):
     # times, so no single rigid pose explains their anchors — while the
     # static world stays consistent regardless of birth time.
     lm_birth: jnp.ndarray = None      # (N,3)
+    # Smoothed track-health memory (see EstimatorConfig.health_recover);
+    # allocated only when the consensus gate is on.
+    health_ema: jnp.ndarray = None    # ()
 
 
 def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
@@ -248,7 +259,8 @@ def init_state(cfg: EstimatorConfig, dtype=jnp.float32) -> EstimatorState:
                 flow_acc=jnp.zeros((N, 2), dtype=dtype),
                 flow_n=jnp.zeros((N,), jnp.int32))
            if cfg.dynamic_flow_thresh > 0 else {}),
-        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype))
+        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype),
+                health_ema=jnp.asarray(1.0, dtype))
            if cfg.pnp.ransac_hypotheses > 0 else {}),
     )
 
@@ -483,7 +495,8 @@ def excise_outliers(table: FeatureTable, obs_cur_mask, lm_fid, kill):
 def run_motion(cfg: EstimatorConfig, rig: CameraRig, table, obs_cur,
                obs_cur_mask, lm, lm_fid, lm_birth, kf_count, last_kf_T_W_B,
                frame_id, T_pred, T_gate_seed, T_prior, T_fallback,
-               obs_w_slots=None, cv_bound_check=False) -> MotionOut:
+               obs_w_slots=None, cv_bound_check=False,
+               health_prev=None) -> MotionOut:
     """PnP motion tracking + keyframe policy, shared by the VO and VIO
     estimators (single-device and distributed): optional RANSAC consensus
     pre-gate, LM PnP polish with optional motion prior and score weights,
@@ -548,6 +561,11 @@ def run_motion(cfg: EstimatorConfig, rig: CameraRig, table, obs_cur,
         health = jnp.where(ransac_ok, ramp,
                            jnp.asarray(cfg.health_floor, dtype))
         health = jnp.where(pnp_ready, health, jnp.asarray(1.0, dtype))
+        if cfg.health_recover < 1.0 and health_prev is not None:
+            # Hysteresis: drop instantly, recover at most health_recover
+            # per frame (see EstimatorConfig.health_recover).
+            health = jnp.minimum(
+                health, health_prev + jnp.asarray(cfg.health_recover, dtype))
     else:
         health = jnp.asarray(1.0, dtype)
 
@@ -678,7 +696,8 @@ def _build_stages(cfg: EstimatorConfig) -> Stages:
             T_fallback=state.T_W_B,
             obs_w_slots=(effective_weights(cfg, table)
                          if cfg.use_obs_weights else None),
-            cv_bound_check=cfg.pnp_cv_predict)
+            cv_bound_check=cfg.pnp_cv_predict,
+            health_prev=state.health_ema)
 
     stage_excise = excise_outliers
 
@@ -861,6 +880,7 @@ def _build_stages(cfg: EstimatorConfig) -> Stages:
             tri_prev=tri_mem[0], tri_prev_fid=tri_mem[1],
             flow_acc=tri_mem[2], flow_n=tri_mem[3],
             lm_birth=lm_birth_out,
+            health_ema=(mo.health if state.health_ema is not None else None),
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=is_kf, pnp_success=pnp_success,

@@ -148,6 +148,9 @@ class VIOEstimatorState(NamedTuple):
     # only when base.pnp.ransac_hypotheses > 0; see EstimatorState.lm_birth
     # for the design rationale — never refit by BA).
     lm_birth: jnp.ndarray = None
+    # Smoothed track-health memory (EstimatorConfig.health_recover);
+    # allocated with the gate.
+    health_ema: jnp.ndarray = None
 
 
 def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorState:
@@ -189,7 +192,8 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
                 flow_acc=jnp.zeros((N, 2), dtype=dtype),
                 flow_n=jnp.zeros((N,), jnp.int32))
            if b.dynamic_flow_thresh > 0 else {}),
-        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype))
+        **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype),
+                health_ema=jnp.asarray(1.0, dtype))
            if b.pnp.ransac_hypotheses > 0 else {}),
     )
 
@@ -380,7 +384,8 @@ def _build_vio_stages(cfg: VIOEstimatorConfig) -> VIOStages:
             # VIO uses the permanent birth weight (no age ramp — see
             # EstimatorConfig.obs_weight_age_ramp: measured harmful).
             obs_w_slots=(table.w if b.use_obs_weights else None),
-            cv_bound_check=False)
+            cv_bound_check=False,
+            health_prev=state.health_ema)
         return VIOFrontOut(pyr0=pyr0, pyr1=pyr1, table=table, fstats=fstats,
                            obs_cur=obs_cur, obs_cur_mask=obs_cur_mask,
                            buf_gyro=buf_gyro, buf_accel=buf_accel,
@@ -615,6 +620,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             tri_prev=tri_mem[0], tri_prev_fid=tri_mem[1],
             flow_acc=tri_mem[2], flow_n=tri_mem[3],
             lm_birth=lm_birth_out,
+            health_ema=(mo.health if state.health_ema is not None else None),
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=mo.is_kf, pnp_success=mo.pnp_success,

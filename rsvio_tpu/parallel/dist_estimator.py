@@ -107,7 +107,9 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 T_W_B_prev=state.T_W_B,
                 tri_prev=prep.tri_mem[0], tri_prev_fid=prep.tri_mem[1],
                 flow_acc=prep.tri_mem[2], flow_n=prep.tri_mem[3],
-                lm_birth=prep.lm_birth)
+                lm_birth=prep.lm_birth,
+                health_ema=(mo.health if state.health_ema is not None
+                            else None))
             out_table = prep.table
         else:
             new_state = est.EstimatorState(
@@ -121,7 +123,9 @@ def make_distributed_estimator_step(cfg: est.EstimatorConfig, mesh):
                 T_W_B_prev=state.T_W_B,
                 tri_prev=state.tri_prev, tri_prev_fid=state.tri_prev_fid,
                 flow_acc=state.flow_acc, flow_n=state.flow_n,
-                lm_birth=state.lm_birth)
+                lm_birth=state.lm_birth,
+                health_ema=(mo.health if state.health_ema is not None
+                            else None))
             out_table = table
 
         out = est.FrameOutput(
@@ -231,7 +235,9 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                 frame_id=state.frame_id + 1,
                 tri_prev=prep.tri_mem[0], tri_prev_fid=prep.tri_mem[1],
                 flow_acc=prep.tri_mem[2], flow_n=prep.tri_mem[3],
-                lm_birth=prep.lm_birth)
+                lm_birth=prep.lm_birth,
+                health_ema=(mo.health if state.health_ema is not None
+                            else None))
             out_table = prep.table
         else:
             new_state = state._replace(
@@ -240,7 +246,9 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                 buf_dts=fr.buf_dts,
                 buf_count=fr.buf_count,
                 T_W_B=T_cur, vel=v_pred,
-                frame_id=state.frame_id + 1)
+                frame_id=state.frame_id + 1,
+                **({} if state.health_ema is None
+                   else dict(health_ema=mo.health)))
             out_table = table
 
         out = est.FrameOutput(

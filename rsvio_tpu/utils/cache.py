@@ -22,6 +22,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Persist EVERY executable: under the remote (axon) compile service
+        # even a trivial op costs a ~0.4 s round trip, so the default
+        # min-compile-time threshold would re-pay dozens of RTTs per cold
+        # process start (measured: startup 70 -> ~30 s once the small ops
+        # hit the cache).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # cache is an optimization; never fatal

@@ -187,6 +187,9 @@ class SolverConfig:
     health_floor: float = 0.1
     health_f_lo: float = 0.5
     health_f_hi: float = 0.9
+    # Hysteresis: health drops instantly, recovers at most this much per
+    # frame (1.0 = off). See models.estimator.EstimatorConfig.
+    health_recover: float = 1.0
     # Stereo scene-flow dynamic-object gate (0 = off): accumulated
     # reprojection-flow threshold in normalized camera units (e.g. ~0.02 =
     # 4-9 px) above which a track is classified as a coherent mover and
@@ -387,6 +390,7 @@ def make_estimator_config(cfg: Config, kind: str = "vo"):
         health_floor=cfg.solver.health_floor,
         health_f_lo=cfg.solver.health_f_lo,
         health_f_hi=cfg.solver.health_f_hi,
+        health_recover=cfg.solver.health_recover,
         dynamic_flow_thresh=cfg.solver.dynamic_flow,
         dynamic_flow_decay=cfg.solver.dynamic_flow_decay,
         dynamic_flow_min_n=cfg.solver.dynamic_flow_min_n,

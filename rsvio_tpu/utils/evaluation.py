@@ -142,6 +142,7 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
         health_floor=float(os.environ.get("RSVIO_HEALTH_FLOOR", "0.1")),
         health_f_lo=float(os.environ.get("RSVIO_HEALTH_LO", "0.5")),
         health_f_hi=float(os.environ.get("RSVIO_HEALTH_HI", "0.9")),
+        health_recover=float(os.environ.get("RSVIO_HEALTH_RECOVER", "1.0")),
         pnp=pnp_mod.PnPConfig(
             chi2_gate=chi2,
             motion_prior_weight=float(
