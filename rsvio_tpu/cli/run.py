@@ -154,6 +154,8 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                                 param_tol=cfg.solver.param_tol,
                                 chi2_gate=cfg.solver.chi2_gate,
                                 chi2_gate_iter=cfg.solver.chi2_gate_iter,
+                                bias_gyro_weight=cfg.solver.bias_gyro_weight,
+                                bias_accel_weight=cfg.solver.bias_accel_weight,
                                 min_lm_span=cfg.solver.min_lm_span))
             step = ev.make_vio_estimator_step(vcfg)
             # Gravity-aligned bootstrap from the quasi-static head of the

@@ -221,6 +221,15 @@ class SolverConfig:
     # README.md:70,79 lists marginalization as future work). Default off =
     # reference-parity FIFO behavior. Applies to both VO and --vio modes.
     marginalization: bool = False
+    # VIO bias random-walk link stiffness (sqrt-info per consecutive-KF
+    # bias residual; --vio only). The default accel value is deliberately
+    # loose; during visual information deserts (full occlusions) window
+    # drag leaks into the accel-bias states through this channel — raising
+    # it to ~1e4 pins the biases over the window horizon (physically sound
+    # for consumer IMUs over a few seconds) and measured occlusion drift
+    # 47.9% -> 17.9% at 320px (round-5 sweep, docs/NOTES.md).
+    bias_gyro_weight: float = 1e3
+    bias_accel_weight: float = 1e2
 
 
 @dataclasses.dataclass
@@ -245,11 +254,25 @@ class Config:
 
 def _fill(cls, data: Optional[dict]):
     """Build a dataclass from a dict, ignoring unknown keys (the reference's
-    serde behavior: the `depth:` section in tum_vi.yaml parses away)."""
+    serde behavior: the `depth:` section in tum_vi.yaml parses away).
+
+    Numeric fields are coerced to the dataclass default's type: YAML 1.1
+    resolves `1e4` (no dot) as a STRING, so without coercion a user writing
+    `bias_accel_weight: 1e4` would silently ship a str into jitted code."""
     if not isinstance(data, dict):
         return cls()
-    names = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in data.items() if k in names})
+    defaults = {f.name: f.default for f in dataclasses.fields(cls)}
+    out = {}
+    for k, v in data.items():
+        if k not in defaults:
+            continue
+        d = defaults[k]
+        if type(d) is float and isinstance(v, (int, str)):
+            v = float(v)
+        elif type(d) is int and isinstance(v, str):
+            v = int(v)
+        out[k] = v
+    return cls(**out)
 
 
 def load_yaml_stripped(path: str) -> dict:

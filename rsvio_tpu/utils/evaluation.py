@@ -171,10 +171,18 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
     if use_vio:
         from ..models import estimator_vio as ev
         from ..models import vio_ba
+        # Bias random-walk link weights: RSVIO_BIAS_GW / RSVIO_BIAS_AW
+        # override for the occlusion desert study (the accel-bias channel is
+        # where visual drag leaks into the IMU chain — NOTES round-4 late).
+        _vio_defaults = vio_ba.VIOBAConfig()
         cfg = ev.VIOEstimatorConfig(
             base=base, imu_buf=imu_buf,
             vio=vio_ba.VIOBAConfig(
                 chi2_gate=chi2,
+                bias_gyro_weight=float(os.environ.get(
+                    "RSVIO_BIAS_GW", str(_vio_defaults.bias_gyro_weight))),
+                bias_accel_weight=float(os.environ.get(
+                    "RSVIO_BIAS_AW", str(_vio_defaults.bias_accel_weight))),
                 min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))))
         step = ev.make_vio_estimator_step(cfg)
         if init_gyro is not None:

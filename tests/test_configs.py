@@ -106,6 +106,8 @@ solver:
   chi2_gate_iter: 2
   pnp_motion_prior: 15.0
   min_lm_span: 3
+  bias_gyro_weight: 5e3
+  bias_accel_weight: 1e4
 """)
     cfg = load_config(str(p))
     ecfg, _ = make_estimator_config(cfg)
@@ -117,6 +119,10 @@ solver:
     assert ecfg.pnp.chi2_gate == pytest.approx(0.015)
     assert ecfg.pnp.motion_prior_weight == pytest.approx(15.0)
     assert ecfg.ba.min_lm_span == 3
+    # The VIO bias random-walk stiffness rides solver: -> cli VIOBAConfig
+    # (the occlusion-desert defense knob — docs/NOTES.md round 5).
+    assert cfg.solver.bias_gyro_weight == pytest.approx(5e3)
+    assert cfg.solver.bias_accel_weight == pytest.approx(1e4)
 
 
 def test_relax_floor_auto_default(tmp_path):
