@@ -156,6 +156,10 @@ def run_player(player, config_path: str, pcfg: PlayerConfig) -> PlayerResult:
                                 chi2_gate_iter=cfg.solver.chi2_gate_iter,
                                 bias_gyro_weight=cfg.solver.bias_gyro_weight,
                                 bias_accel_weight=cfg.solver.bias_accel_weight,
+                                bias_gyro_weight_desert=(
+                                    cfg.solver.bias_gyro_weight_desert),
+                                bias_accel_weight_desert=(
+                                    cfg.solver.bias_accel_weight_desert),
                                 min_lm_span=cfg.solver.min_lm_span))
             step = ev.make_vio_estimator_step(vcfg)
             # Gravity-aligned bootstrap from the quasi-static head of the

@@ -151,6 +151,19 @@ class VIOEstimatorState(NamedTuple):
     # Smoothed track-health memory (EstimatorConfig.health_recover);
     # allocated with the gate.
     health_ema: jnp.ndarray = None
+    # Per-interval desert factor (1 - track health at the closing keyframe)
+    # for the health-gated bias random-walk stiffness; allocated only when
+    # vio.bias_*_weight_desert are configured (vio_ba.bias_desert_scales).
+    kf_bias_alpha: jnp.ndarray = None   # (W-1,)
+
+
+def _bias_desert_on(cfg: VIOEstimatorConfig) -> bool:
+    """Health-gated bias stiffness engaged? Needs both desert weights set
+    AND the RANSAC consensus gate as the health signal (like the other
+    adaptive defenses — estimator.validate_adaptive_knobs)."""
+    return (cfg.vio.bias_gyro_weight_desert > 0.0
+            and cfg.vio.bias_accel_weight_desert > 0.0
+            and cfg.base.pnp.ransac_hypotheses > 0)
 
 
 def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorState:
@@ -195,6 +208,8 @@ def init_vio_state(cfg: VIOEstimatorConfig, dtype=jnp.float32) -> VIOEstimatorSt
         **(dict(lm_birth=jnp.zeros((N, 3), dtype=dtype),
                 health_ema=jnp.asarray(1.0, dtype))
            if b.pnp.ransac_hypotheses > 0 else {}),
+        **(dict(kf_bias_alpha=jnp.zeros((W - 1,), dtype=dtype))
+           if _bias_desert_on(cfg) else {}),
     )
 
 
@@ -312,6 +327,9 @@ class VIOKFPrep(NamedTuple):
     lm_birth: jnp.ndarray
     full_now: jnp.ndarray
     will_evict: jnp.ndarray
+    # (W-1,) desert factors for the health-gated bias stiffness (None when
+    # the feature is off — see _bias_desert_on).
+    bias_alpha: jnp.ndarray = None
 
 
 class VIOStages(NamedTuple):
@@ -332,6 +350,15 @@ def _build_vio_stages(cfg: VIOEstimatorConfig) -> VIOStages:
     W = b.window_size
     B_cap = cfg.interval_buf
     est_mod.validate_adaptive_knobs(b)
+    if ((cfg.vio.bias_gyro_weight_desert > 0.0
+         or cfg.vio.bias_accel_weight_desert > 0.0)
+            and not _bias_desert_on(cfg)):
+        # Refuse half-configured desert stiffness rather than silently
+        # ignoring the knob (the ADVICE round-4 failure class).
+        raise NotImplementedError(
+            "bias_*_weight_desert requires BOTH desert weights set and the "
+            "RANSAC consensus gate (pnp.ransac_hypotheses > 0) as the "
+            "health signal")
 
     def stage_front(state: VIOEstimatorState, rig: CameraRig, img0, img1,
                     gyro, accel, dts, imu_mask) -> VIOFrontOut:
@@ -460,6 +487,27 @@ def _build_vio_stages(cfg: VIOEstimatorConfig) -> VIOStages:
                 jnp.where(ins > 0, v, arr[slot])), pre_roll, run_pre)
         kf_pv = pv_roll.at[slot].set(
             jnp.where(ins > 0, run_valid, pv_roll[slot]))
+        if _bias_desert_on(cfg):
+            # Desert factor of the interval CLOSING at this keyframe,
+            # ramped on the SAME health band as the other adaptive
+            # defenses: full stiffness once health <= health_f_lo, base
+            # stiffness at >= health_f_hi. The raw (1 - h) mapping
+            # measured too soft — during partial occlusion h reads
+            # 0.6-0.9 and the log-interpolated stiffness never leaves
+            # the loose decade (320px occlusion: 25.5% drift vs 8.0%
+            # with full stiffness).
+            a_roll = jnp.where(window_full,
+                               jnp.roll(state.kf_bias_alpha, -1),
+                               state.kf_bias_alpha)
+            h_eff = jnp.clip(jnp.asarray(health, a_roll.dtype), 0.0, 1.0)
+            a_new = jnp.clip(
+                (b.health_f_hi - h_eff)
+                / jnp.maximum(b.health_f_hi - b.health_f_lo, 1e-6),
+                0.0, 1.0)
+            bias_alpha = a_roll.at[slot].set(
+                jnp.where(ins > 0, a_new, a_roll[slot]))
+        else:
+            bias_alpha = state.kf_bias_alpha
         kf_count = jnp.minimum(state.kf_count + 1, W)
 
         full_now = (kf_count >= W if not b.track_before_full
@@ -489,24 +537,35 @@ def _build_vio_stages(cfg: VIOEstimatorConfig) -> VIOStages:
                          # will_evict only when the NEXT insert actually
                          # rolls the window (at capacity) so prior slots
                          # stay aligned.
-                         will_evict=kf_count >= W)
+                         will_evict=kf_count >= W,
+                         bias_alpha=bias_alpha)
 
     def ba_solve(prep: VIOKFPrep, rig: CameraRig, marg_prior):
         """Single-device joint visual-inertial window solve; the distributed
         step swaps this for parallel.dist_vio_ba."""
         ba_w = prep.obs_wt if b.use_obs_weights else None
+        # Window-max desert factor: biases are ONE chain through the
+        # window — pinning only the desert links lets the solver route the
+        # same drag through the remaining loose links (measured: per-link
+        # alpha 25.5% occlusion drift, window-max 8-9%). Physically the
+        # stiffness asserts bias stability over the window HORIZON, which
+        # is a property of the whole chain.
+        b_alpha = (jnp.broadcast_to(jnp.max(prep.bias_alpha),
+                                    prep.bias_alpha.shape)
+                   if _bias_desert_on(cfg) else None)
         st = vio_ba.VIOState(T_W_B=prep.kf_T, vel=prep.kf_v, bg=prep.kf_bg,
                              ba=prep.kf_ba)
         if b.use_marginalization:
             res, new_prior = vio_ba.solve_vio_ba_marginalized(
                 st, rig.T_C_B, prep.lm, prep.obs_w, prep.eff_mask,
                 prep.lm_valid, prep.kf_preint, prep.kf_preint_valid,
-                marg_prior, prep.will_evict, cfg.vio, obs_weight=ba_w)
+                marg_prior, prep.will_evict, cfg.vio, obs_weight=ba_w,
+                bias_alpha=b_alpha)
         else:
             res = vio_ba.solve_vio_ba(
                 st, rig.T_C_B, prep.lm, prep.obs_w, prep.eff_mask,
                 prep.lm_valid, prep.kf_preint, prep.kf_preint_valid,
-                cfg.vio, obs_weight=ba_w)
+                cfg.vio, obs_weight=ba_w, bias_alpha=b_alpha)
             new_prior = marg_prior
         return (res.state, res.landmarks, res.success, res.iterations,
                 res.final_cost, new_prior)
@@ -577,7 +636,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     kf_ba_[newest], kf_T[newest], ba_ok, ba_it, ba_cost,
                     new_prior, jnp.asarray(True),  # reset running preint
                     prep.table.alive, prep.tri_mem, prep.n_dyn,
-                    prep.lm_birth)
+                    prep.lm_birth, prep.bias_alpha)
 
         def no_kf_branch(_):
             return (state.kf_T_W_B, state.kf_vel, state.kf_bg, state.kf_ba,
@@ -592,12 +651,13 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
                     table.alive,
                     (state.tri_prev, state.tri_prev_fid,
                      state.flow_acc, state.flow_n),
-                    jnp.asarray(0, jnp.int32), state.lm_birth)
+                    jnp.asarray(0, jnp.int32), state.lm_birth,
+                    state.kf_bias_alpha)
 
         (kf_T, kf_v, kf_bg, kf_ba_, kf_count, obs_w, obs_m, obs_f, obs_wt,
          kf_pre, kf_pv, lm, lm_fid, T_out, v_out, bg_out, ba_out, last_kf,
          ba_ok, ba_it, ba_cost, marg_prior, reset_run, alive_out, tri_mem,
-         n_dyn, lm_birth_out) = jax.lax.cond(
+         n_dyn, lm_birth_out, bias_alpha_out) = jax.lax.cond(
             mo.is_kf, kf_branch, no_kf_branch, None)
         table = table._replace(alive=alive_out)
 
@@ -621,6 +681,7 @@ def make_vio_estimator_step(cfg: VIOEstimatorConfig):
             flow_acc=tri_mem[2], flow_n=tri_mem[3],
             lm_birth=lm_birth_out,
             health_ema=(mo.health if state.health_ema is not None else None),
+            kf_bias_alpha=bias_alpha_out,
         )
         out = FrameOutput(
             T_W_B=T_out, is_keyframe=mo.is_kf, pnp_success=mo.pnp_success,

@@ -90,6 +90,21 @@ class VIOBAConfig(NamedTuple):
     prior_visual_anchor: bool = True
     bias_gyro_weight: float = 1e3    # sqrt-info for bias random-walk residuals
     bias_accel_weight: float = 1e2
+    # Health-gated DESERT stiffness for the bias random-walk links (0 = off).
+    # During a visual information desert (full occlusion) the window drag
+    # leaks into the IMU chain through BOTH bias states: the solver absorbs
+    # dragged-pose inconsistency by walking the biases. Per-interval desert
+    # factor alpha in [0,1] (1 - track health at the closing keyframe, see
+    # estimator_vio.stage_kf_pre) interpolates each link's stiffness in LOG
+    # space between the base weight (alpha=0: clean scene, biases free to
+    # refine) and this desert weight (alpha=1: biases pinned over the window
+    # horizon — physically sound for consumer IMUs over a few seconds).
+    # Round-5 320px occlusion sweep (static equivalents): drift 47.9%
+    # (1e3/1e2) -> 17.9% (accel 1e6 only) -> 8.0% (gyro 1e5 + accel 1e6),
+    # while clean scenes saw a 1.7-1.8x ATE cost from the STATIC boost that
+    # this health gating avoids (alpha ~= 0 when consensus is healthy).
+    bias_gyro_weight_desert: float = 0.0
+    bias_accel_weight_desert: float = 0.0
     # Cap on the preintegration sqrt-information scale. Mixing 1e4-weighted
     # IMU blocks (squared -> 1e8) with O(1e2) visual blocks in an f32 Hessian
     # drowns the visual information (7 significant digits); ~3e2 keeps a
@@ -150,8 +165,12 @@ def _imu_sqrt_info(pre: Preintegrated, cfg: VIOBAConfig):
 
 
 def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig,
-                           sqrt_info=None):
-    """Whitened 15-dim IMU residual between state tuples (T_W_B, v, bg, ba)."""
+                           sqrt_info=None, bias_scale=None):
+    """Whitened 15-dim IMU residual between state tuples (T_W_B, v, bg, ba).
+
+    bias_scale: optional (gyro_scale, accel_scale) multipliers on the bias
+    random-walk rows — the health-gated desert stiffness (see
+    VIOBAConfig.bias_gyro_weight_desert / bias_desert_scales)."""
     r = imu_residual(pre, st_i[0], st_i[1], st_i[2], st_i[3],
                      st_j[0], st_j[1], st_j[2], st_j[3])
     if sqrt_info is None:
@@ -159,11 +178,30 @@ def _imu_whitened_residual(pre: Preintegrated, st_i, st_j, cfg: VIOBAConfig,
     r9 = sqrt_info @ r[:9]
     r_bg = r[9:12] * cfg.bias_gyro_weight
     r_ba = r[12:15] * cfg.bias_accel_weight
+    if bias_scale is not None:
+        r_bg = r_bg * bias_scale[0]
+        r_ba = r_ba * bias_scale[1]
     return jnp.concatenate([r9, r_bg, r_ba])
 
 
+def bias_desert_scales(cfg: VIOBAConfig, bias_alpha, dtype):
+    """Per-interval (gyro, accel) bias-link multipliers from desert factors.
+
+    bias_alpha: (W-1,) in [0,1] — 0 = healthy interval (base stiffness),
+    1 = full information desert (desert stiffness). Interpolation is in LOG
+    space (stiffness ratios span 2-4 decades). Returns (W-1, 2) scales or
+    None when the feature is off."""
+    if bias_alpha is None or cfg.bias_gyro_weight_desert <= 0.0 \
+            or cfg.bias_accel_weight_desert <= 0.0:
+        return None
+    a = jnp.clip(bias_alpha.astype(dtype), 0.0, 1.0)
+    gs = (cfg.bias_gyro_weight_desert / cfg.bias_gyro_weight) ** a
+    as_ = (cfg.bias_accel_weight_desert / cfg.bias_accel_weight) ** a
+    return jnp.stack([gs, as_], axis=1)
+
+
 def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig,
-                       sqrt_info=None):
+                       sqrt_info=None, bias_scale=None):
     """Residual + Jacobians of the IMU factor between KF i and i+1.
 
     Returns (r (15,), J_i (15,15), J_j (15,15)) where the Jacobians are taken
@@ -185,7 +223,7 @@ def _imu_linearize_one(pre: Preintegrated, st: VIOState, i, cfg: VIOBAConfig,
         T_B_Wj = lie.se3_retract_split(lie.se3_inverse(Tj), dj[:6])
         si = (lie.se3_inverse(T_B_Wi), vi + di[6:9], bgi + di[9:12], bai + di[12:15])
         sj = (lie.se3_inverse(T_B_Wj), vj + dj[6:9], bgj + dj[9:12], baj + dj[12:15])
-        return _imu_whitened_residual(pre, si, sj, cfg, sqrt_info)
+        return _imu_whitened_residual(pre, si, sj, cfg, sqrt_info, bias_scale)
 
     z = jnp.zeros(D, dtype=Ti.dtype)
     r = res(z, z)
@@ -203,7 +241,7 @@ def _visual_linearize(T_B_W, T_C_B, landmarks, obs, mask, delta):
 def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
                  preint: Preintegrated, preint_valid,
                  cfg: VIOBAConfig = VIOBAConfig(), fix_first: bool = True,
-                 obs_weight=None):
+                 obs_weight=None, bias_alpha=None):
     """Joint visual-inertial window optimization.
 
     Args:
@@ -212,9 +250,12 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
       preint: Preintegrated pytree with leading dim (W-1) — interval i joins
         KF i and i+1.
       preint_valid: (W-1,) bool — missing IMU intervals contribute nothing.
+      bias_alpha: optional (W-1,) desert factors for the health-gated bias
+        random-walk stiffness (see bias_desert_scales).
     """
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
+    b_scales = bias_desert_scales(cfg, bias_alpha, dtype)
 
     lm_active0 = ba_mod.lm_span_gate(
         ba_mod.stereo_observability_mask(obs_mask, lm_valid),
@@ -262,7 +303,8 @@ def solve_vio_ba(state: VIOState, T_C_B, landmarks, obs, obs_mask, lm_valid,
         def imu_blocks(i):
             r, J_i, J_j = _imu_linearize_one(
                 jax.tree.map(lambda x: x[i], preint), st, i, cfg,
-                sqrt_infos[i])
+                sqrt_infos[i],
+                None if b_scales is None else b_scales[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
                     w * (J_i.T @ r), w * (J_j.T @ r),
@@ -508,7 +550,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
                               preint: Preintegrated, preint_valid,
                               prior: MargPrior, will_evict,
                               cfg: VIOBAConfig = VIOBAConfig(),
-                              obs_weight=None):
+                              obs_weight=None, bias_alpha=None):
     """solve_vio_ba with a 15-dim-state pose/velocity/bias prior + rollout of
     the next prior.
 
@@ -524,6 +566,7 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
     """
     W = state.T_W_B.shape[0]
     dtype = state.T_W_B.dtype
+    b_scales = bias_desert_scales(cfg, bias_alpha, dtype)
 
     lm_active0 = ba_mod.lm_span_gate(
         ba_mod.stereo_observability_mask(obs_mask, lm_valid),
@@ -578,7 +621,8 @@ def solve_vio_ba_marginalized(state: VIOState, T_C_B, landmarks, obs,
         def imu_blocks(i):
             r, J_i, J_j = _imu_linearize_one(
                 jax.tree.map(lambda x: x[i], preint), st, i, cfg,
-                sqrt_infos[i])
+                sqrt_infos[i],
+                None if b_scales is None else b_scales[i])
             w = preint_valid[i].astype(dtype)
             return (w * (J_i.T @ J_i), w * (J_j.T @ J_j), w * (J_i.T @ J_j),
                     w * (J_i.T @ r), w * (J_j.T @ r),

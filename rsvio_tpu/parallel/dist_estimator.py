@@ -192,6 +192,11 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                             fr.buf_gyro, fr.buf_accel, fr.buf_dts,
                             fr.buf_count, T_cur, v_pred, mo.health)
             ba_w = prep.obs_wt if b.use_obs_weights else None
+            # Window-max desert factor — matches the fused ba_solve (the
+            # bias chain is pinned as a whole; see estimator_vio).
+            b_alpha = (jnp.broadcast_to(jnp.max(prep.bias_alpha),
+                                        prep.bias_alpha.shape)
+                       if ev._bias_desert_on(vcfg) else None)
             if bool(prep.full_now):
                 st = dist_vio_ba.vio_ba.VIOState(
                     T_W_B=prep.kf_T, vel=prep.kf_v, bg=prep.kf_bg,
@@ -202,12 +207,14 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                             mesh, st, rig.T_C_B, prep.lm, prep.obs_w,
                             prep.eff_mask, prep.lm_valid, prep.kf_preint,
                             prep.kf_preint_valid, state.marg_prior,
-                            prep.will_evict, vcfg.vio, obs_weight=ba_w)
+                            prep.will_evict, vcfg.vio, obs_weight=ba_w,
+                            bias_alpha=b_alpha)
                 else:
                     res = dist_vio_ba.solve_vio_ba_distributed(
                         mesh, st, rig.T_C_B, prep.lm, prep.obs_w,
                         prep.eff_mask, prep.lm_valid, prep.kf_preint,
-                        prep.kf_preint_valid, vcfg.vio, obs_weight=ba_w)
+                        prep.kf_preint_valid, vcfg.vio, obs_weight=ba_w,
+                        bias_alpha=b_alpha)
                 ba_ok, ba_it, ba_cost = (res.success, res.iterations,
                                          res.final_cost)
                 res_st, res_lm = res.state, res.landmarks
@@ -237,7 +244,8 @@ def make_distributed_vio_estimator_step(vcfg, mesh):
                 flow_acc=prep.tri_mem[2], flow_n=prep.tri_mem[3],
                 lm_birth=prep.lm_birth,
                 health_ema=(mo.health if state.health_ema is not None
-                            else None))
+                            else None),
+                kf_bias_alpha=prep.bias_alpha)
             out_table = prep.table
         else:
             new_state = state._replace(

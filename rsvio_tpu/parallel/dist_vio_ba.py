@@ -29,7 +29,8 @@ from .mesh import LANDMARK_AXIS
 def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
                              obs_mask, lm_valid, preint, preint_valid,
                              cfg: VIOBAConfig = VIOBAConfig(),
-                             fix_first: bool = True, obs_weight=None):
+                             fix_first: bool = True, obs_weight=None,
+                             bias_alpha=None):
     """Landmark-sharded solve_vio_ba over `mesh` (1-D, axis LANDMARK_AXIS).
 
     Same contract as models.vio_ba.solve_vio_ba; the landmark count must
@@ -42,17 +43,24 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
     pre_spec = jax.tree.map(lambda _: P(), preint)
     if obs_weight is None:
         obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
+    # Health-gated desert bias stiffness (vio_ba.bias_desert_scales):
+    # replicated (W-1,2) multipliers riding the IMU factors — like the
+    # states, zero communication. Ones when the feature is off (same traced
+    # signature either way).
+    b_scales = vio_ba.bias_desert_scales(cfg, bias_alpha, dtype)
+    if b_scales is None:
+        b_scales = jnp.ones((W - 1, 2), dtype=dtype)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P(),
-                  P(None, axis)),
+                  P(None, axis), P()),
         out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
-               obs_w):
+               obs_w, b_scales):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -97,7 +105,7 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
             def imu_blocks(i):
                 r, J_i, J_j = vio_ba._imu_linearize_one(
                     jax.tree.map(lambda x: x[i], preint), st, i, cfg,
-                    sqrt_infos[i])
+                    sqrt_infos[i], b_scales[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
                         w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r),
@@ -262,7 +270,8 @@ def solve_vio_ba_distributed(mesh, state: VIOState, T_C_B, landmarks, obs,
 
     (st_out, lms_out, success, status, cost0, cost, it,
      metrics) = jax.jit(_solve)(state, T_C_B, landmarks, obs, obs_mask,
-                                lm_valid, preint, preint_valid, obs_weight)
+                                lm_valid, preint, preint_valid, obs_weight,
+                                b_scales)
     return vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                               success=success, status=status,
                               initial_cost=cost0, final_cost=cost,
@@ -274,7 +283,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
                                           preint, preint_valid,
                                           prior, will_evict,
                                           cfg: VIOBAConfig = VIOBAConfig(),
-                                          obs_weight=None):
+                                          obs_weight=None, bias_alpha=None):
     """Landmark-sharded, prior-augmented VIO BA + next-prior rollout.
 
     Distributed counterpart of models.vio_ba.solve_vio_ba_marginalized (same
@@ -298,18 +307,22 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
 
     if obs_weight is None:
         obs_weight = jnp.ones((W, landmarks.shape[0]), dtype=dtype)
+    # Desert bias stiffness — see solve_vio_ba_distributed.
+    b_scales = vio_ba.bias_desert_scales(cfg, bias_alpha, dtype)
+    if b_scales is None:
+        b_scales = jnp.ones((W - 1, 2), dtype=dtype)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(state_spec, P(), P(axis), P(None, None, axis, None),
                   P(None, None, axis), P(axis), pre_spec, P(), P(),
-                  P(None, axis)),
+                  P(None, axis), P()),
         out_specs=(state_spec, P(axis), P(), P(), P(), P(), P(), P(),
                    P(None, None, axis)),
         check_rep=False,
     )
     def _solve(st0, T_C_B, lms, obs, mask_in, lm_valid, preint, preint_valid,
-               prior, obs_w):
+               prior, obs_w, b_scales):
         lm_active0 = ba_mod.lm_span_gate(
             ba_mod.stereo_observability_mask(mask_in, lm_valid),
             mask_in, cfg.min_lm_span)
@@ -352,7 +365,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
             def imu_blocks(i):
                 r, J_i, J_j = vio_ba._imu_linearize_one(
                     jax.tree.map(lambda x: x[i], preint), st, i, cfg,
-                    sqrt_infos[i])
+                    sqrt_infos[i], b_scales[i])
                 w = preint_valid[i].astype(dtype)
                 return (w * (J_i.T @ J_i), w * (J_j.T @ J_j),
                         w * (J_i.T @ J_j), w * (J_i.T @ r), w * (J_j.T @ r),
@@ -531,11 +544,11 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
 
     @partial(jax.jit)
     def _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
-             preint_valid, prior, will_evict, obs_weight):
+             preint_valid, prior, will_evict, obs_weight, b_scales):
         (st_out, lms_out, success, status, cost0, cost, it,
          metrics, mask_f) = _solve(state, T_C_B, landmarks, obs, obs_mask,
                                    lm_valid, preint, preint_valid, prior,
-                                   obs_weight)
+                                   obs_weight, b_scales)
         # ---- next prior: the shared EVICTION-system construction
         # (models.vio_ba.build_eviction_prior — kept verbatim-identical to
         # the single-device solver so distributed parity cannot drift).
@@ -559,7 +572,7 @@ def solve_vio_ba_marginalized_distributed(mesh, state: VIOState, T_C_B,
     (st_out, lms_out, success, status, cost0, cost, it, out_prior,
      metrics) = _run(state, T_C_B, landmarks, obs, obs_mask, lm_valid, preint,
                      preint_valid, prior, jnp.asarray(will_evict),
-                     obs_weight)
+                     obs_weight, b_scales)
     result = vio_ba.VIOBAResult(state=st_out, landmarks=lms_out,
                                 success=success, status=status,
                                 initial_cost=cost0, final_cost=cost,

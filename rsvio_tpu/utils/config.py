@@ -230,6 +230,14 @@ class SolverConfig:
     # 47.9% -> 17.9% at 320px (round-5 sweep, docs/NOTES.md).
     bias_gyro_weight: float = 1e3
     bias_accel_weight: float = 1e2
+    # Health-gated DESERT stiffness (0 = off): when the RANSAC consensus
+    # gate reports low track health at a keyframe, that window interval's
+    # bias links are stiffened toward these weights (log-space interpolation
+    # by 1-health) so the solver cannot walk the biases to absorb visual
+    # drag; healthy intervals keep the base stiffness. Requires
+    # ransac_hypotheses > 0. See models.vio_ba.bias_desert_scales.
+    bias_gyro_weight_desert: float = 0.0
+    bias_accel_weight_desert: float = 0.0
 
 
 @dataclasses.dataclass

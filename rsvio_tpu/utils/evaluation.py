@@ -66,6 +66,10 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
                            adaptive: bool = False,
                            dynamic_flow: float = 0.0,
                            pnp_cv_predict: bool = False,
+                           bias_gyro_weight: float = None,
+                           bias_accel_weight: float = None,
+                           bias_gyro_weight_desert: float = 0.0,
+                           bias_accel_weight_desert: float = 0.0,
                            use_obs_weights: bool = True,
                            coarse_level_policy: str = None,
                            backend: str = "auto") -> RunResult:
@@ -171,18 +175,25 @@ def run_synthetic_sequence(seq: dict, scene: syn.SceneConfig, *,
     if use_vio:
         from ..models import estimator_vio as ev
         from ..models import vio_ba
-        # Bias random-walk link weights: RSVIO_BIAS_GW / RSVIO_BIAS_AW
-        # override for the occlusion desert study (the accel-bias channel is
-        # where visual drag leaks into the IMU chain — NOTES round-4 late).
+        # Bias random-walk link stiffness: the desert-drag defense (visual
+        # drag leaks into the IMU chain through the bias states — NOTES
+        # round-4 late / round-5 sweep). kwargs from the profile, RSVIO_BIAS_GW
+        # / RSVIO_BIAS_AW env overrides for sensitivity studies.
         _vio_defaults = vio_ba.VIOBAConfig()
+        _gw = (bias_gyro_weight if bias_gyro_weight is not None
+               else _vio_defaults.bias_gyro_weight)
+        _aw = (bias_accel_weight if bias_accel_weight is not None
+               else _vio_defaults.bias_accel_weight)
         cfg = ev.VIOEstimatorConfig(
             base=base, imu_buf=imu_buf,
             vio=vio_ba.VIOBAConfig(
                 chi2_gate=chi2,
-                bias_gyro_weight=float(os.environ.get(
-                    "RSVIO_BIAS_GW", str(_vio_defaults.bias_gyro_weight))),
-                bias_accel_weight=float(os.environ.get(
-                    "RSVIO_BIAS_AW", str(_vio_defaults.bias_accel_weight))),
+                bias_gyro_weight=float(os.environ.get("RSVIO_BIAS_GW", _gw)),
+                bias_accel_weight=float(os.environ.get("RSVIO_BIAS_AW", _aw)),
+                bias_gyro_weight_desert=float(os.environ.get(
+                    "RSVIO_BIAS_GW_DESERT", bias_gyro_weight_desert)),
+                bias_accel_weight_desert=float(os.environ.get(
+                    "RSVIO_BIAS_AW_DESERT", bias_accel_weight_desert)),
                 min_lm_span=int(os.environ.get("RSVIO_LM_SPAN", "1"))))
         step = ev.make_vio_estimator_step(cfg)
         if init_gyro is not None:

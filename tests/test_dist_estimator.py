@@ -149,17 +149,23 @@ def test_vio_matches_single_device_with_gates(sequence, mesh8):  # noqa: F811
     from rsvio_tpu.parallel.dist_estimator import (
         make_distributed_vio_estimator_step)
 
+    from rsvio_tpu.models import vio_ba as vio_ba_mod
     base = _cfg(False)
     cfg = ev.VIOEstimatorConfig(base=base._replace(
         pnp=base.pnp._replace(ransac_hypotheses=16, ransac_min_inliers=8),
         dynamic_flow_thresh=0.05, dynamic_flow_center=False,
-        use_obs_weights=True))
+        use_obs_weights=True),
+        # Health-gated desert bias stiffness rides the shared kf_pre stage
+        # and the solver's bias_alpha arg — parity must hold with it on.
+        vio=vio_ba_mod.VIOBAConfig(bias_gyro_weight_desert=1e5,
+                                   bias_accel_weight_desert=1e6))
     rig = _rig()
     local = ev.make_vio_estimator_step(cfg)
     dist = make_distributed_vio_estimator_step(cfg, mesh8)
     s_l = ev.init_vio_state(cfg)
     s_d = ev.init_vio_state(cfg)
     assert s_l.lm_birth is not None and s_l.tri_prev is not None
+    assert s_l.kf_bias_alpha is not None
 
     S = 10
     gyro = jnp.zeros((S, 3))

@@ -273,3 +273,75 @@ class TestVIOObsWeights:
         err_w = float(jnp.abs(r_w.state.T_W_B[:, :3, 3]
                               - T_gt[:, :3, 3]).max())
         assert err_w < err_eq, (err_w, err_eq)
+
+
+class TestDesertBiasStiffness:
+    """Health-gated bias random-walk stiffness (vio_ba.bias_desert_scales):
+    alpha=0 must be EXACTLY the base solve; alpha=1 must reproduce a solve
+    with statically boosted bias weights; and pinned links must hold the
+    biases when drag-shaped visual noise would otherwise walk them."""
+
+    CFG_DESERT = vio_ba.VIOBAConfig(bias_gyro_weight_desert=1e5,
+                                    bias_accel_weight_desert=1e6)
+
+    def test_alpha_zero_matches_base(self):
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=3)
+        r0 = vio_ba.solve_vio_ba(st, T_C_B, lms, obs, mask, lm_valid,
+                                 pre, pv, self.CFG_DESERT)
+        ra = vio_ba.solve_vio_ba(st, T_C_B, lms, obs, mask, lm_valid,
+                                 pre, pv, self.CFG_DESERT,
+                                 bias_alpha=jnp.zeros(W_KF - 1))
+        assert bool(r0.success) and bool(ra.success)
+        np.testing.assert_allclose(np.asarray(r0.state.T_W_B),
+                                   np.asarray(ra.state.T_W_B), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r0.state.ba),
+                                   np.asarray(ra.state.ba), atol=1e-6)
+
+    def test_alpha_one_matches_static_boost(self):
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=4)
+        ra = vio_ba.solve_vio_ba(st, T_C_B, lms, obs, mask, lm_valid,
+                                 pre, pv, self.CFG_DESERT,
+                                 bias_alpha=jnp.ones(W_KF - 1))
+        r_static = vio_ba.solve_vio_ba(
+            st, T_C_B, lms, obs, mask, lm_valid, pre, pv,
+            vio_ba.VIOBAConfig(bias_gyro_weight=1e5, bias_accel_weight=1e6))
+        assert bool(ra.success) and bool(r_static.success)
+        np.testing.assert_allclose(np.asarray(ra.state.T_W_B),
+                                   np.asarray(r_static.state.T_W_B),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ra.state.ba),
+                                   np.asarray(r_static.state.ba), atol=1e-5)
+
+    def test_stiff_links_pin_biases_under_drag(self):
+        # Coherent observation drag (all features shifted the same way in
+        # the newest KF) tries to walk the biases; the desert-stiff solve
+        # must keep them near the (true zero) initial estimate.
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=5)
+        obs_drag = obs.at[-1].add(5e-3)
+        r_loose = vio_ba.solve_vio_ba(st, T_C_B, lms, obs_drag, mask,
+                                      lm_valid, pre, pv, self.CFG_DESERT)
+        r_stiff = vio_ba.solve_vio_ba(st, T_C_B, lms, obs_drag, mask,
+                                      lm_valid, pre, pv, self.CFG_DESERT,
+                                      bias_alpha=jnp.ones(W_KF - 1))
+        assert bool(r_loose.success) and bool(r_stiff.success)
+        ba_loose = float(jnp.abs(r_loose.state.ba).max())
+        ba_stiff = float(jnp.abs(r_stiff.state.ba).max())
+        assert ba_stiff < ba_loose, (ba_stiff, ba_loose)
+        assert ba_stiff < 1e-4, ba_stiff
+
+    def test_marginalized_accepts_alpha(self):
+        from rsvio_tpu.models.marginalization import empty_prior
+        (st, T_C_B, lms, obs, mask, lm_valid, pre, pv, T_gt, v_gt,
+         p_gt) = make_vio_problem(seed=6)
+        prior = empty_prior(W_KF, 15, jnp.float32)
+        res, _ = vio_ba.solve_vio_ba_marginalized(
+            st, T_C_B, lms, obs, mask, lm_valid, pre, pv, prior,
+            jnp.asarray(False), self.CFG_DESERT,
+            bias_alpha=0.5 * jnp.ones(W_KF - 1))
+        assert bool(res.success)
+        err = float(jnp.abs(res.state.T_W_B[:, :3, 3]
+                            - T_gt[:, :3, 3]).max())
+        assert err < 0.02, err

@@ -57,9 +57,19 @@ CONFIGS = [
     # the transit outcome is noise-sensitive (44/25/13%). A marginalized
     # variant measured WORSE (24-36%) and an age-cap-40 vote horizon
     # measured worse (34/28/10) — redetected static tracks are young too.
+    # Desert bias stiffness 1e5/1e6: the round-5 desert-drag fix — window
+    # drag leaks into the gyro AND accel bias states during occlusions
+    # (320px sweep, static equivalents: occlusion drift 47.9% default ->
+    # 17.9% accel-only -> 8.0% both). HEALTH-GATED per window interval
+    # (vio_ba.bias_desert_scales): clean intervals keep the base stiffness
+    # (a STATIC boost cost 1.7-1.8x ATE on depth/photometric), desert
+    # intervals pin the biases — physically sound for consumer IMUs over
+    # the ~5 s window horizon.
     ("vio_adapt", dict(use_vio=True, use_marginalization=False,
                        motion_prior=20.0, ransac=16, adaptive=True,
-                       dynamic_flow=0.02)),
+                       dynamic_flow=0.02,
+                       bias_gyro_weight_desert=1e5,
+                       bias_accel_weight_desert=1e6)),
 ]
 
 
