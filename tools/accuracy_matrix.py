@@ -57,19 +57,22 @@ CONFIGS = [
     # the transit outcome is noise-sensitive (44/25/13%). A marginalized
     # variant measured WORSE (24-36%) and an age-cap-40 vote horizon
     # measured worse (34/28/10) — redetected static tracks are young too.
-    # Desert bias stiffness 1e5/1e6: the round-5 desert-drag fix — window
-    # drag leaks into the gyro AND accel bias states during occlusions
-    # (320px sweep, static equivalents: occlusion drift 47.9% default ->
-    # 17.9% accel-only -> 8.0% both). HEALTH-GATED per window interval
-    # (vio_ba.bias_desert_scales): clean intervals keep the base stiffness
-    # (a STATIC boost cost 1.7-1.8x ATE on depth/photometric), desert
-    # intervals pin the biases — physically sound for consumer IMUs over
-    # the ~5 s window horizon.
+    # Physical bias random-walk stiffness 1e5/1e3 (round 5): window drag
+    # leaks into the gyro AND accel bias states during occlusion deserts.
+    # The loose defaults (1e3/1e2) model a far noisier walk than the IMU
+    # spec implies (1/(sigma_walk*sqrt(dt)) at the EuRoC ADIS16448 numbers
+    # and ~0.25 s KF intervals: gyro ~1e5, accel ~7e2). Full-res ladder
+    # (occlusion ATE/drift): defaults 0.744/14.9 -> accel 1e4 0.192/1.45
+    # -> accel 1e3 0.155/3.35 with depth_6dof BEST-ever (0.0045 m vs
+    # 0.0097 committed; accel 1e4 cost 0.038 there). Over-stiff accel
+    # (1e6) measured worse everywhere (320px occl 8%, clean 1.7x); the
+    # health-gated desert variant (solver.bias_*_weight_desert) never
+    # beat the static pair because the consensus signal reads healthy
+    # while a coherent mover holds the vote (docs/NOTES.md round 5).
     ("vio_adapt", dict(use_vio=True, use_marginalization=False,
                        motion_prior=20.0, ransac=16, adaptive=True,
                        dynamic_flow=0.02,
-                       bias_gyro_weight_desert=1e5,
-                       bias_accel_weight_desert=1e6)),
+                       bias_gyro_weight=1e5, bias_accel_weight=1e3)),
 ]
 
 
